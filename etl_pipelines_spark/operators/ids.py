@@ -1,0 +1,62 @@
+"""Stable integer-ID issuance (SURVEY.md §2.10 M1).
+
+Reference (core_coin_wallet_transfers.py:412-481): unseen wallet
+addresses get ``row_number() over (order by wallet_address) +
+coalesce(max(existing_id), 0)``, append-only; (wallet, coin) pair ids
+are offset from 3,000,000,000.
+
+Scale design (SURVEY.md §7.3 item 1): a global row_number is a
+single-partition sort. For large new-key batches we compute
+partition-local row_numbers plus an exclusive prefix-sum of partition
+counts — dense, deterministic (ordered by key), and fully parallel.
+`monotonically_increasing_id` is deliberately NOT used (non-dense,
+partition-layout-dependent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dense_global_ids(new_keys: DataFrame, key_col: str, out: str, offset: int = 0) -> DataFrame:
+    """Assign 1-based dense ids ordered by `key_col`, + offset.
+
+    Uses range-partitioned sort (repartitionByRange) so each partition
+    holds a contiguous key range, then partition-local row_number +
+    cumulative partition-count offsets — no single-partition shuffle.
+    """
+    parts = (
+        new_keys.select(key_col)
+        .distinct()
+        .repartitionByRange(F.col(key_col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("_pid").orderBy(key_col)
+    local = parts.withColumn("_local_rn", F.row_number().over(w_local))
+    # partition sizes -> exclusive prefix sum (tiny: one row per partition)
+    sizes = local.groupBy("_pid").agg(F.max("_local_rn").alias("_n"))
+    w_prefix = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    prefixes = sizes.withColumn("_before", F.coalesce(F.sum("_n").over(w_prefix), F.lit(0)))
+    return (
+        local.join(F.broadcast(prefixes.select("_pid", "_before")), "_pid")
+        .withColumn(out, (F.col("_local_rn") + F.col("_before") + F.lit(offset)).cast("long"))
+        .select(key_col, out)
+    )
+
+
+def issue_new_ids(
+    existing: DataFrame,
+    candidates: DataFrame,
+    key_col: str,
+    id_col: str,
+    base_offset: int = 0,
+) -> DataFrame:
+    """INSERT-if-absent id issuance (M1): anti-join unseen keys, number
+    them after max(existing id), return ONLY the new (key, id) rows to
+    append. Deterministic given the same inputs."""
+    new_keys = candidates.select(key_col).distinct().join(existing, key_col, "left_anti")
+    max_existing = existing.agg(
+        F.coalesce(F.max(id_col), F.lit(base_offset)).alias("_max")
+    ).first()["_max"]
+    return dense_global_ids(new_keys, key_col, id_col, offset=int(max_existing))

@@ -1,0 +1,151 @@
+"""coin_wallet_profits pipeline — the reference's computational heart.
+
+Per (coin, wallet, day): cumulative USD profitability derived from
+transfers x prices. Semantics ported stage-by-stage from
+cloud_functions/core_coin_wallet_profits/core_coin_wallet_profits.py
+(merge :235-311, first-price :321-349, imputation :352-440,
+splice :443-478, pre-inflow trim :482-523, kernel :527-634).
+
+Spark shape (replaces the reference's whole batch orchestration,
+SURVEY.md §3.2): every stage partitions on (coin_id, wallet_address) or
+coin_id — Catalyst reuses the pair-key shuffle across the stacked
+windows, and AQE's skew-join handling covers hot coins. No driver-side
+batching, temp tables, or retry loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_pipelines_spark.operators.windows import cumulative_window, ordered_window
+
+PAIR = ["coin_id", "wallet_address"]
+
+
+def merge_prices_and_transfers(transfers: DataFrame, prices: DataFrame) -> DataFrame:
+    """Left join preserving all transfer rows; price null where missing
+    (reference :235-311)."""
+    return transfers.join(
+        prices.select("coin_id", "date", "price"), ["coin_id", "date"], "left"
+    )
+
+
+def first_price_info(prices: DataFrame) -> DataFrame:
+    """Per coin: first_price_date = min(date), first_price = price at
+    that date (reference :321-349, groupby agg {'date':'min',
+    'price':'first'} on a date-sorted frame)."""
+    return prices.groupBy("coin_id").agg(
+        F.min("date").alias("first_price_date"),
+        F.min_by("price", "date").alias("first_price"),
+    )
+
+
+def add_first_price_info(profits: DataFrame, prices: DataFrame) -> DataFrame:
+    return profits.join(F.broadcast(first_price_info(prices)), "coin_id", "left")
+
+
+def create_imputed_records(profits: DataFrame) -> DataFrame:
+    """Wallets with activity before their coin's first price date get one
+    synthetic row at first_price_date carrying the last pre-price balance
+    as a transfer-in — skipped when real activity exists on that date
+    (reference :352-440)."""
+    pre = profits.filter(F.col("date") < F.col("first_price_date"))
+    has_pre = pre.select(*PAIR).distinct()
+    active_on_first = (
+        profits.filter(F.col("date") == F.col("first_price_date")).select(*PAIR).distinct()
+    )
+    needs = has_pre.join(active_on_first, PAIR, "left_anti")
+    pre_balances = pre.groupBy(*PAIR).agg(F.max_by("balance", "date").alias("balance"))
+    coin_first = profits.select("coin_id", "first_price_date", "first_price").distinct()
+    return (
+        needs.join(pre_balances, PAIR)
+        .join(coin_first, "coin_id")
+        .select(
+            "coin_id",
+            "wallet_address",
+            F.col("first_price_date").alias("date"),
+            F.col("balance").alias("net_transfers"),
+            "balance",
+            F.col("first_price").alias("price"),
+            "first_price_date",
+            "first_price",
+        )
+    )
+
+
+def splice_imputed_records(profits: DataFrame, imputed: DataFrame) -> DataFrame:
+    """Drop priceless rows, add imputed rows, then rewrite each pair's
+    earliest surviving row to show its full balance as transfer-in
+    (reference :443-478). Imputed rows never collide with kept rows on
+    date (imputation is skipped when activity exists on first_price_date),
+    so row_number order is well-defined."""
+    kept = profits.filter(F.col("price").isNotNull())
+    combined = kept.select(*imputed.columns).unionByName(imputed)
+    w = ordered_window(PAIR, ["date"])
+    return (
+        combined.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "net_transfers",
+            F.when(F.col("_rn") == 1, F.col("balance")).otherwise(F.col("net_transfers")),
+        )
+        .drop("_rn")
+    )
+
+
+def filter_pre_inflow_records(profits: DataFrame) -> DataFrame:
+    """Drop rows before each pair's first positive cumulative token
+    inflow and drop the helper columns (reference :482-523)."""
+    cum = cumulative_window(PAIR, ["date"])
+    inflows = F.greatest(F.col("net_transfers"), F.lit(0.0))
+    return (
+        profits.withColumn("_cum_inflows", F.sum(inflows).over(cum))
+        .filter(F.col("_cum_inflows") > 0)
+        .drop("_cum_inflows", "first_price_date", "first_price")
+    )
+
+
+def calculate_wallet_profitability(profits: DataFrame) -> DataFrame:
+    """The profitability kernel (reference :527-634):
+    profits_change = (price - prev_price) * prev_balance with
+    prev_price defaulting to price (first row) and prev_balance to 0;
+    cumulative sums per pair; USD valuations."""
+    w = ordered_window(PAIR, ["date"])
+    cum = cumulative_window(PAIR, ["date"])
+    prev_price = F.coalesce(F.lag("price", 1).over(w), F.col("price"))
+    prev_balance = F.coalesce(F.lag("balance", 1).over(w), F.lit(0.0))
+    return (
+        profits.withColumn("profits_change", (F.col("price") - prev_price) * prev_balance)
+        .withColumn("profits_cumulative", F.sum("profits_change").over(cum))
+        .withColumn("usd_balance", F.col("balance") * F.col("price"))
+        .withColumn("usd_net_transfers", F.col("net_transfers") * F.col("price"))
+        .withColumn(
+            "usd_inflows",
+            F.when(F.col("usd_net_transfers") > 0, F.col("usd_net_transfers")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .withColumn("usd_inflows_cumulative", F.sum("usd_inflows").over(cum))
+        .select(
+            "coin_id",
+            "wallet_address",
+            "date",
+            "profits_change",
+            "profits_cumulative",
+            "usd_balance",
+            "usd_net_transfers",
+            "usd_inflows",
+            "usd_inflows_cumulative",
+        )
+    )
+
+
+def build_wallet_profits(transfers: DataFrame, prices: DataFrame) -> DataFrame:
+    """Full five-stage pipeline: merge -> first-price -> impute ->
+    splice -> trim -> kernel."""
+    merged = merge_prices_and_transfers(transfers, prices)
+    with_first = add_first_price_info(merged, prices)
+    imputed = create_imputed_records(with_first)
+    spliced = splice_imputed_records(with_first, imputed)
+    trimmed = filter_pre_inflow_records(spliced)
+    return calculate_wallet_profitability(trimmed)

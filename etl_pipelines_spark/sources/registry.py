@@ -1,0 +1,53 @@
+"""Parquet table registry over the driver-generated TESTDATA.
+
+The universal table read in the reference is a BigQuery SQL scan
+(SURVEY.md §2.1 S1, e.g. core_coin_wallet_profits.py:108-177); here the
+equivalent is a Parquet scan registered as a temp view so both the
+DataFrame API and spark.sql() work. Parquet scans get predicate
+pushdown + column pruning from Catalyst for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_testdata(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register every testdata table as a temp view (idempotent)."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols=("date",), mode: str = "overwrite"
+) -> None:
+    """Write a curated table with the reference's physical layout:
+    PARTITION BY DATE(date) CLUSTER BY ... (orchestrator.py:277-279) →
+    parquet partitionBy + sortWithinPartitions.
+    """
+    cols = [c for c in partition_cols if c in df.columns]
+    writer = df.write.mode(mode)
+    if cols:
+        writer = writer.partitionBy(*cols)
+    writer.parquet(path)
