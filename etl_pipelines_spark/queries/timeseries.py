@@ -1,0 +1,385 @@
+"""Time-series specialty queries (SURVEY.md §2.6-2.7, §2.11, §3.2-3.3):
+the wallet-profits kernel, gap fill/densify, dip removal, whale buckets.
+
+Mapping of the reference's domain onto the testdata star schema:
+coin_id -> l_partkey, wallet_address -> o_custkey, transfer -> lineitem
+(quantity signed by returnflag: 'R' = outflow), price -> daily
+quantity-weighted average unit price per part.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_pipelines_spark.operators.densify import densify_daily, with_days_imputed
+from etl_pipelines_spark.operators.outliers import remove_single_day_dips
+from etl_pipelines_spark.operators.windows import (
+    cumulative_window,
+    forward_fill,
+    ordered_window,
+)
+from etl_pipelines_spark.queries.catalog import register, t
+
+# ---------------------------------------------------------------- shared
+
+DAILY_PRICES_SQL = """
+    SELECT l_partkey AS coin_id, CAST(l_shipdate AS DATE) AS date,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                / CAST(SUM(l_quantity) AS DOUBLE) AS DOUBLE) AS price
+    FROM lineitem
+    GROUP BY l_partkey, CAST(l_shipdate AS DATE)
+"""
+
+TRANSFERS_SQL = """
+    SELECT l.l_partkey AS coin_id, o.o_custkey AS wallet_address,
+           CAST(l.l_shipdate AS DATE) AS date,
+           CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN -l.l_quantity
+                         ELSE l.l_quantity END) AS DOUBLE) AS net_transfers
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2, 3
+"""
+
+
+def daily_prices(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily quantity-weighted average unit price per part."""
+    li = t(spark, sf, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("coin_id"), F.to_date("l_shipdate").alias("date")
+    ).agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / F.sum("l_quantity").cast("double")
+        )
+        .cast("double")
+        .alias("price")
+    )
+
+
+def transfers(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily signed net transfers per (part, customer)."""
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders")
+    signed = F.when(F.col("l_returnflag") == "R", -F.col("l_quantity")).otherwise(
+        F.col("l_quantity")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("l_partkey").alias("coin_id"),
+            F.col("o_custkey").alias("wallet_address"),
+            F.to_date("l_shipdate").alias("date"),
+        )
+        .agg(F.sum(signed).cast("double").alias("net_transfers"))
+    )
+
+
+# --------------------------------------------------------------------- q20
+@register(
+    "q20_lag_lead_dip_removal",
+    f"""
+    WITH daily AS ({DAILY_PRICES_SQL}),
+    flagged AS (
+        SELECT coin_id, date, price,
+               LAG(price) OVER w AS prev_price,
+               LEAD(price) OVER w AS next_price
+        FROM daily
+        WINDOW w AS (PARTITION BY coin_id ORDER BY date)
+    )
+    SELECT coin_id, date, price FROM flagged
+    WHERE NOT COALESCE(
+        (price / prev_price < 0.8 AND next_price / prev_price > 0.9)
+        OR (price = 0 AND prev_price > 0 AND next_price > 0
+            AND next_price / prev_price > 0.9),
+        FALSE)
+    """,
+    description="Q4/W7 single-day dip removal via lag/lead "
+    "(reference core_coin_market_data.py:140-190)",
+    tags=("window", "quality"),
+)
+def q20(spark: SparkSession, sf: str) -> DataFrame:
+    return remove_single_day_dips(daily_prices(spark, sf)).select("coin_id", "date", "price")
+
+
+# --------------------------------------------------------------------- q21
+@register(
+    "q21_gap_fill_densify",
+    f"""
+    WITH daily AS ({DAILY_PRICES_SQL}),
+    sub AS (SELECT * FROM daily WHERE coin_id < 25),
+    bounds AS (SELECT coin_id, MIN(date) AS min_d FROM sub GROUP BY coin_id),
+    gmax AS (SELECT MAX(date) AS max_d FROM sub),
+    scaffold AS (
+        SELECT b.coin_id, CAST(UNNEST(generate_series(b.min_d, g.max_d, INTERVAL 1 DAY)) AS DATE) AS date
+        FROM bounds b CROSS JOIN gmax g
+    ),
+    joined AS (
+        SELECT s.coin_id, s.date, d.price
+        FROM scaffold s LEFT JOIN sub d ON d.coin_id = s.coin_id AND d.date = s.date
+    ),
+    lagged AS (
+        SELECT *, CASE WHEN price IS NOT NULL
+                       OR LAG(price) OVER (PARTITION BY coin_id ORDER BY date) IS NOT NULL
+                  THEN 1 ELSE 0 END AS new_grp
+        FROM joined
+    ),
+    grouped AS (
+        SELECT *, SUM(new_grp) OVER (PARTITION BY coin_id ORDER BY date
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM lagged
+    )
+    SELECT coin_id, date,
+           LAST_VALUE(price IGNORE NULLS)
+               OVER (PARTITION BY coin_id ORDER BY date
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS price,
+           CASE WHEN price IS NULL
+                THEN CAST(ROW_NUMBER() OVER (PARTITION BY coin_id, grp ORDER BY date) AS BIGINT)
+           END AS days_imputed
+    FROM grouped
+    """,
+    description="D1/D2/W10-W12 set-based densify + ffill + days_imputed "
+    "(reference per-coin loop core_coin_market_data.py:194-270, "
+    "re-expressed as sequence/explode)",
+    tags=("densify", "window"),
+)
+def q21(spark: SparkSession, sf: str) -> DataFrame:
+    daily = daily_prices(spark, sf).filter(F.col("coin_id") < 25)
+    dense = densify_daily(daily, ["coin_id"], "date")
+    dense = with_days_imputed(dense, ["coin_id"], presence_col="price", date_col="date")
+    dense = forward_fill(dense, ["coin_id"], ["date"], ["price"])
+    return dense.select("coin_id", "date", "price", "days_imputed")
+
+
+# --------------------------------------------------------------------- q22
+@register(
+    "q22_wallet_profits_kernel",
+    f"""
+    WITH prices AS ({DAILY_PRICES_SQL}),
+    xfers AS ({TRANSFERS_SQL}),
+    merged AS (
+        SELECT x.coin_id, x.wallet_address, x.date, x.net_transfers,
+               CAST(SUM(x.net_transfers) OVER (PARTITION BY x.coin_id, x.wallet_address
+                    ORDER BY x.date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS balance,
+               p.price
+        FROM xfers x
+        JOIN prices p ON p.coin_id = x.coin_id AND p.date = x.date
+    ),
+    kernel AS (
+        SELECT coin_id, wallet_address, date, net_transfers, balance, price,
+               COALESCE(LAG(price) OVER w, price) AS prev_price,
+               COALESCE(LAG(balance) OVER w, 0.0) AS prev_balance
+        FROM merged
+        WINDOW w AS (PARTITION BY coin_id, wallet_address ORDER BY date)
+    ),
+    changes AS (
+        SELECT coin_id, wallet_address, date,
+               CAST((price - prev_price) * prev_balance AS DOUBLE) AS profits_change,
+               CAST(balance * price AS DOUBLE) AS usd_balance,
+               CAST(net_transfers * price AS DOUBLE) AS usd_net_transfers,
+               CAST(CASE WHEN net_transfers * price > 0
+                         THEN net_transfers * price ELSE 0.0 END AS DOUBLE) AS usd_inflows
+        FROM kernel
+    )
+    -- cumulative metrics quantized at 1e-6 via floor-scaled BIGINT sums:
+    -- exact in any order, bit-identical across engines
+    SELECT coin_id, wallet_address, date, profits_change,
+           CAST(SUM(CAST(FLOOR(profits_change * 1e6) AS BIGINT)) OVER cum AS DOUBLE) / 1e6
+               AS profits_cumulative,
+           usd_balance, usd_net_transfers, usd_inflows,
+           CAST(SUM(CAST(FLOOR(usd_inflows * 1e6) AS BIGINT)) OVER cum AS DOUBLE) / 1e6
+               AS usd_inflows_cumulative
+    FROM changes
+    WINDOW cum AS (PARTITION BY coin_id, wallet_address ORDER BY date
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    description="The flagship W8/W9 profitability kernel (reference "
+    "core_coin_wallet_profits.py:527-634) on testdata: coin=part, "
+    "wallet=customer, price=daily weighted avg unit price",
+    tags=("window", "kernel", "flagship"),
+)
+def q22(spark: SparkSession, sf: str) -> DataFrame:
+    x = transfers(spark, sf)
+    p = daily_prices(spark, sf)
+    pair = ["coin_id", "wallet_address"]
+    cum = cumulative_window(pair, ["date"])
+    w = ordered_window(pair, ["date"])
+    merged = (
+        x.withColumn("balance", F.sum("net_transfers").over(cum).cast("double"))
+        .join(p, ["coin_id", "date"])
+    )
+    prev_price = F.coalesce(F.lag("price").over(w), F.col("price"))
+    prev_balance = F.coalesce(F.lag("balance").over(w), F.lit(0.0))
+    usd_net = F.col("net_transfers") * F.col("price")
+    changes = merged.select(
+        "coin_id",
+        "wallet_address",
+        "date",
+        ((F.col("price") - prev_price) * prev_balance).cast("double").alias("profits_change"),
+        (F.col("balance") * F.col("price")).cast("double").alias("usd_balance"),
+        usd_net.cast("double").alias("usd_net_transfers"),
+        F.when(usd_net > 0, usd_net).otherwise(F.lit(0.0)).cast("double").alias("usd_inflows"),
+    )
+    def cum_scaled(col: str) -> F.Column:
+        scaled = F.floor(F.col(col) * F.lit(1e6)).cast("long")
+        return (F.sum(scaled).over(cum).cast("double") / F.lit(1e6))
+
+    return changes.select(
+        "coin_id",
+        "wallet_address",
+        "date",
+        "profits_change",
+        cum_scaled("profits_change").alias("profits_cumulative"),
+        "usd_balance",
+        "usd_net_transfers",
+        "usd_inflows",
+        cum_scaled("usd_inflows").alias("usd_inflows_cumulative"),
+    )
+
+
+# --------------------------------------------------------------------- q23
+@register(
+    "q23_whale_bucket_counts",
+    """
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS date,
+               SUM(CAST(value AS DECIMAL(18,2))) AS net
+        FROM events GROUP BY 1, 2
+    ),
+    balances AS (
+        SELECT user_id, date,
+               CAST(SUM(net) OVER (PARTITION BY user_id ORDER BY date
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS balance
+        FROM daily
+    ),
+    bounds AS (SELECT user_id, MIN(date) AS min_d FROM balances GROUP BY user_id),
+    gmax AS (SELECT MAX(date) AS max_d FROM balances),
+    scaffold AS (
+        SELECT b.user_id, CAST(UNNEST(generate_series(b.min_d, g.max_d, INTERVAL 1 DAY)) AS DATE) AS date
+        FROM bounds b CROSS JOIN gmax g
+    ),
+    filled AS (
+        SELECT s.user_id, s.date,
+               LAST_VALUE(bal.balance IGNORE NULLS)
+                   OVER (PARTITION BY s.user_id ORDER BY s.date
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS balance
+        FROM scaffold s
+        LEFT JOIN balances bal ON bal.user_id = s.user_id AND bal.date = s.date
+    )
+    SELECT date,
+           COUNT(CASE WHEN balance < 100 THEN 1 END) AS small,
+           COUNT(CASE WHEN balance >= 100 AND balance < 500 THEN 1 END) AS medium,
+           COUNT(CASE WHEN balance >= 500 THEN 1 END) AS whale
+    FROM filled
+    GROUP BY date
+    """,
+    description="A10/D6 whale-count query: cumsum -> densify -> ffill -> "
+    "bucket -> per-date counts, no wide pivot "
+    "(reference dreambot_whale_chart.py:370-434)",
+    tags=("densify", "window", "serving"),
+)
+def q23(spark: SparkSession, sf: str) -> DataFrame:
+    ev = t(spark, sf, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("date")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("net")
+    )
+    cum = cumulative_window(["user_id"], ["date"])
+    balances = daily.withColumn(
+        "balance", F.sum("net").over(cum).cast("double")
+    ).drop("net")
+    dense = densify_daily(balances, ["user_id"], "date")
+    dense = forward_fill(dense, ["user_id"], ["date"], ["balance"])
+    return dense.groupBy("date").agg(
+        F.count(F.when(F.col("balance") < 100, 1)).alias("small"),
+        F.count(F.when((F.col("balance") >= 100) & (F.col("balance") < 500), 1)).alias(
+            "medium"
+        ),
+        F.count(F.when(F.col("balance") >= 500, 1)).alias("whale"),
+    )
+
+
+# --------------------------------------------------------------------- q24
+@register(
+    "q24_rank_within_group",
+    """
+    SELECT s_nationkey, s_suppkey, s_name,
+           CAST(RANK() OVER (PARTITION BY s_nationkey
+                             ORDER BY s_acctbal DESC) AS BIGINT) AS bal_rank
+    FROM supplier
+    """,
+    description="A11/W5 rank within group (reference tvl rank "
+    "defillama_protocols.py:44)",
+    tags=("window",),
+)
+def q24(spark: SparkSession, sf: str) -> DataFrame:
+    s = t(spark, sf, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc())
+    return s.select(
+        "s_nationkey", "s_suppkey", "s_name", F.rank().over(w).cast("long").alias("bal_rank")
+    )
+
+
+# --------------------------------------------------------------------- q25
+@register(
+    "q25_global_running_total",
+    """
+    SELECT o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (ORDER BY o_totalprice, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_total
+    FROM orders
+    QUALIFY running_total <= 1000000
+    """,
+    description="W3 global-order running total + band filter (reference "
+    "batch sizing retrieve_dune_transfer_data.py:194,241). Single-partition "
+    "window — bounded input by construction, documented skew",
+    tags=("window",),
+)
+def q25(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    w = (
+        Window.orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double")
+            .alias("running_total"),
+        )
+        .filter(F.col("running_total") <= 1000000)
+    )
+
+
+# --------------------------------------------------------------------- q26
+@register(
+    "q26_date_functions",
+    """
+    SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS order_month,
+           COUNT(*) AS n_orders,
+           CAST(MIN(o_orderdate) AS DATE) AS first_order,
+           CAST(MAX(o_orderdate) AS DATE) AS last_order,
+           DATEDIFF('day', CAST(MIN(o_orderdate) AS DATE), CAST(MAX(o_orderdate) AS DATE)) AS span_days
+    FROM orders
+    GROUP BY 1
+    """,
+    description="F2 date/time functions: date_trunc, datediff "
+    "(reference retrieve_dune_transfer_data.py:418-446, dbt "
+    "test_cCoinMarketData_no_date_gaps.sql:12-16)",
+    tags=("scalar", "agg"),
+)
+def q26(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min(F.to_date("o_orderdate")).alias("first_order"),
+            F.max(F.to_date("o_orderdate")).alias("last_order"),
+            F.datediff(
+                F.max(F.to_date("o_orderdate")), F.min(F.to_date("o_orderdate"))
+            ).alias("span_days"),
+        )
+    )

@@ -46,4 +46,6 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # testdata events.parquet uses TIMESTAMP(NANOS); read as long + convert
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark

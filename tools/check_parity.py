@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every query in the catalog on Spark AND its DuckDB oracle at
+sf0.01, compares row count, column names, and values (exact for
+ints/strings/dates; bitwise for floats with a fallback report of max
+ulp-ish deviation). Usage:
+
+    python tools/check_parity.py            # all queries
+    python tools/check_parity.py q01 q22    # prefixes ok
+    SPARK_GRAFT_PARITY_SF=/root/testdata/sf0.001 python tools/check_parity.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from etl_pipelines_spark.queries import QUERIES  # noqa: E402
+from etl_pipelines_spark.session import get_spark  # noqa: E402
+from etl_pipelines_spark.sources.registry import TABLES  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.01")
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+        elif df[c].dtype == object:
+            # date objects -> datetime for stable compare
+            try:
+                if df[c].map(lambda v: hasattr(v, "year")).all() and len(df) > 0:
+                    df[c] = pd.to_datetime(df[c])
+            except (TypeError, ValueError):
+                pass
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
+    problems = []
+    if list(sorted(spark_df.columns)) != list(sorted(oracle_df.columns)):
+        problems.append(
+            f"columns differ: spark={sorted(spark_df.columns)} oracle={sorted(oracle_df.columns)}"
+        )
+        return problems
+    if len(spark_df) != len(oracle_df):
+        problems.append(f"row count differ: spark={len(spark_df)} oracle={len(oracle_df)}")
+        return problems
+    s = normalize(spark_df)
+    o = normalize(oracle_df)
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
+            sv = sv.astype("float64").to_numpy()
+            ov = ov.astype("float64").to_numpy()
+            both_nan = np.isnan(sv) & np.isnan(ov)
+            eq = (sv == ov) | both_nan
+            if not eq.all():
+                bad = ~eq
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    rel = np.abs(sv[bad] - ov[bad]) / np.maximum(np.abs(ov[bad]), 1e-300)
+                problems.append(
+                    f"col {c}: {bad.sum()}/{len(sv)} float mismatches, "
+                    f"max abs={np.nanmax(np.abs(sv[bad]-ov[bad])):.3e} "
+                    f"max rel={np.nanmax(rel):.3e}"
+                )
+        else:
+            eq = (sv == ov) | (sv.isna() & ov.isna())
+            if not eq.all():
+                idx = (~eq).idxmax()
+                problems.append(
+                    f"col {c}: {(~eq).sum()}/{len(sv)} mismatches, "
+                    f"first: spark={sv[idx]!r} oracle={ov[idx]!r}"
+                )
+    return problems
+
+
+def main() -> int:
+    prefixes = sys.argv[1:]
+    selected = {
+        n: q
+        for n, q in QUERIES.items()
+        if not prefixes or any(n.startswith(p) for p in prefixes)
+    }
+    con = duckdb.connect()
+    for tbl in TABLES:
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM '{SF_DIR}/{tbl}.parquet'"
+        )
+    spark = get_spark("parity-check", shuffle_partitions=8)
+    failures = []
+    for name, spec in sorted(selected.items()):
+        t0 = time.time()
+        try:
+            sdf = spec.spark_fn(spark, SF_DIR).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if spec.oracle is None:
+            status = "ROWS-ONLY"
+            print(f"ok    {name}: {len(sdf)} rows [{status}] ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.execute(spec.oracle).df()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: oracle error: {e}")
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name}: ({time.time()-t0:.1f}s)")
+            for p in problems:
+                print(f"      {p}")
+        else:
+            print(f"ok    {name}: {len(sdf)} rows match ({time.time()-t0:.1f}s)")
+    print(f"\n{len(selected) - len(failures)}/{len(selected)} queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
