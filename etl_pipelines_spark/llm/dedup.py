@@ -39,23 +39,39 @@ def doc_tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
+def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shingle) distinct word-trigram shingles.
+
+    Trigrams (not unigrams) keep Jaccard discriminative on small
+    vocabularies — with unigram tokens every same-domain doc pair looks
+    near-identical and LSH degenerates to an all-pairs join.
+    """
+    tris = F.expr(
+        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - 2, 1)),"
+        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, 3)))"
+    )
+    return df.select(id_col, F.explode(tris).alias("shingle")).distinct()
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = N_MINHASHES
 ) -> DataFrame:
-    """Per-doc MinHash signature: mh_j = min(md5('j:' || token))."""
-    toks = doc_tokens(df, text_col, id_col)
+    """Per-doc MinHash signature over trigram shingles:
+    mh_j = min(md5('j:' || shingle))."""
+    sh = doc_shingles(df, text_col, id_col)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("token")))).alias(f"mh_{j}")
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh_{j}")
         for j in range(k)
     ]
-    return toks.groupBy(id_col).agg(*aggs)
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str = "doc_id", bands: int = 2, rows_per_band: int = 2
+    signatures: DataFrame, id_col: str = "doc_id", bands: int = 4, rows_per_band: int = 1
 ) -> DataFrame:
     """Docs sharing any band of their signature -> (doc_a, doc_b) pairs,
-    a < b, distinct across bands."""
+    a < b, distinct across bands. Default 4 bands of 1 hash: loose,
+    recall-oriented banding; the exact Jaccard verify pass prunes."""
     pair_frames = []
     for b in range(bands):
         cols = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
@@ -84,8 +100,9 @@ def token_jaccard(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Exact token-set Jaccard for the given (doc_a, doc_b) pairs."""
-    toks = doc_tokens(df, text_col, id_col)
+    """Exact trigram-shingle-set Jaccard for the given (doc_a, doc_b)
+    pairs."""
+    toks = doc_shingles(df, text_col, id_col).withColumnRenamed("shingle", "token")
     sizes = toks.groupBy(id_col).agg(F.count("token").alias("n"))
     inter = (
         pairs.join(toks.withColumnRenamed(id_col, "doc_a"), "doc_a")

@@ -17,11 +17,18 @@ from etl_pipelines_spark.llm.similarity import brute_force_topk
 from etl_pipelines_spark.llm.text import with_predicted_lang, with_token_stats
 from etl_pipelines_spark.queries.catalog import register, t
 
-MINHASH_SQL = """
-    WITH toks AS (
-        SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS token
+SHINGLE_SQL = """
+        SELECT DISTINCT doc_id,
+               UNNEST(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                   i -> array_to_string(
+                       list_slice(string_split(text, ' '), i, i + 2), ' ')
+               )) AS token
         FROM documents
-    )
+"""
+
+MINHASH_SQL = f"""
+    WITH toks AS ({SHINGLE_SQL})
     SELECT doc_id,
            MIN(MD5(CONCAT('0:', token))) AS mh_0,
            MIN(MD5(CONCAT('1:', token))) AS mh_1,
@@ -123,19 +130,17 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
     f"""
     WITH sigs AS ({MINHASH_SQL}),
     banded AS (
-        SELECT doc_id, CONCAT(mh_0, '|', mh_1) AS band_key FROM sigs
-        UNION ALL
-        SELECT doc_id, CONCAT(mh_2, '|', mh_3) AS band_key FROM sigs
+        SELECT doc_id, CONCAT('0|', mh_0) AS band_key FROM sigs
+        UNION ALL SELECT doc_id, CONCAT('1|', mh_1) FROM sigs
+        UNION ALL SELECT doc_id, CONCAT('2|', mh_2) FROM sigs
+        UNION ALL SELECT doc_id, CONCAT('3|', mh_3) FROM sigs
     ),
     pairs AS (
         SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
         FROM banded l JOIN banded r ON l.band_key = r.band_key
         WHERE l.doc_id < r.doc_id
     ),
-    toks AS (
-        SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS token
-        FROM documents
-    ),
+    toks AS ({SHINGLE_SQL}),
     sizes AS (SELECT doc_id, COUNT(token) AS n FROM toks GROUP BY doc_id),
     inter AS (
         SELECT p.doc_a, p.doc_b, COUNT(*) AS n_intersect
