@@ -94,6 +94,101 @@ def lsh_candidate_pairs(
     return out.distinct()
 
 
+N_SIMHASH_BITS = 64  # 16 md5 hex chars x 4 bits
+SIMHASH_CHUNKS = 4  # hamming <= 3 => >=1 of 4 16-bit chunks identical
+
+_HEX = "'0123456789abcdef'"
+
+
+def _simhash_bit_sql(i: int, h: str = "_h") -> str:
+    """SQL for bit i of the 64-bit token hash: hex digit -> bit.
+
+    Engine-portable (Spark + DuckDB): instr/substring/floor only, no
+    bitwise ops or platform hash functions.
+    """
+    pos, shift = i // 4 + 1, 1 << (i % 4)
+    return (
+        f"CAST(FLOOR((instr({_HEX}, substring({h}, {pos}, 1)) - 1) / {shift}) AS INT) % 2"
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc 64-bit SimHash as a '0'/'1' string column `simhash`.
+
+    bit_i = sign of sum over distinct tokens of (2*bit_i(md5(token))-1).
+    One shuffle on doc_id; the 64 votes are plain sum aggregates, fully
+    map-side-combinable, so the shuffle carries 64 ints per doc — not
+    the token stream.
+    """
+    toks = doc_tokens(df, text_col, id_col).withColumn("_h", F.md5("token"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(F.expr(f"2 * ({_simhash_bit_sql(i)}) - 1")).alias(f"v_{i}")
+            for i in range(N_SIMHASH_BITS)
+        ]
+    )
+    chars = [
+        F.when(F.col(f"v_{i}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(N_SIMHASH_BITS)
+    ]
+    return votes.select(id_col, F.concat(*chars).alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with SimHash hamming <= max_hamming.
+
+    Scale path: the signature is split into 4 16-bit chunks; by
+    pigeonhole any pair within hamming<=3 agrees on at least one whole
+    chunk, so candidates come from 4 equi-joins on chunk values — never
+    an all-pairs comparison. The exact hamming check then prunes.
+    """
+    sigs = simhash_signatures(df, text_col, id_col)
+    chunk_len = N_SIMHASH_BITS // SIMHASH_CHUNKS
+    frames = []
+    for c in range(SIMHASH_CHUNKS):
+        chunked = sigs.select(
+            F.col(id_col),
+            F.concat(
+                F.lit(f"{c}|"), F.substring("simhash", c * chunk_len + 1, chunk_len)
+            ).alias("chunk_key"),
+        )
+        left, right = chunked.alias("l"), chunked.alias("r")
+        frames.append(
+            left.join(right, F.col("l.chunk_key") == F.col("r.chunk_key"))
+            .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .select(
+                F.col(f"l.{id_col}").alias("doc_a"),
+                F.col(f"r.{id_col}").alias("doc_b"),
+            )
+        )
+    cands = frames[0]
+    for fr in frames[1:]:
+        cands = cands.unionByName(fr)
+    cands = cands.distinct()
+
+    sig_a = sigs.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"))
+    sig_b = sigs.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"))
+    hamming = F.expr(
+        f"aggregate(transform(sequence(1, {N_SIMHASH_BITS}), i -> "
+        "CASE WHEN substring(sh_a, i, 1) <> substring(sh_b, i, 1) THEN 1 ELSE 0 END), "
+        "0, (acc, v) -> acc + v)"
+    )
+    return (
+        cands.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def token_jaccard(
     df: DataFrame,
     pairs: DataFrame,

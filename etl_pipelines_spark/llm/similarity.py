@@ -81,6 +81,117 @@ def brute_force_topk(
     )
 
 
+def lcg_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1) via a 64-bit
+    LCG (Knuth MMIX constants). Pure Python so the exact same doubles
+    can be embedded as literals into both the Spark plan and the DuckDB
+    oracle SQL."""
+    state = seed & 0xFFFFFFFFFFFFFFFF
+    planes: list[list[float]] = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 33) / float(1 << 31)) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def cosine_near_dups(
+    embeddings: DataFrame,
+    plane_bands: list[list[list[float]]],
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_a, vec_b, cosine) pairs with cosine >= threshold, found via
+    multi-band random-hyperplane LSH.
+
+    Each band's planes hash every vector into a sign-pattern bucket;
+    candidate pairs come from equi-self-joins on (band, bucket) — the
+    corpus is never all-pairs joined. Exact cosine then prunes. Recall
+    is tunable by band count; precision is exact.
+    """
+    frames = []
+    for b, planes in enumerate(plane_bands):
+        bucketed = hyperplane_lsh_buckets(embeddings, planes, id_col, vec_col).select(
+            F.col(id_col), F.concat(F.lit(f"{b}|"), F.col("bucket")).alias("bucket")
+        )
+        left, right = bucketed.alias("l"), bucketed.alias("r")
+        frames.append(
+            left.join(right, F.col("l.bucket") == F.col("r.bucket"))
+            .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .select(
+                F.col(f"l.{id_col}").alias("vec_a"), F.col(f"r.{id_col}").alias("vec_b")
+            )
+        )
+    cands = frames[0]
+    for fr in frames[1:]:
+        cands = cands.unionByName(fr)
+    cands = cands.distinct()
+
+    va = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"))
+    vb = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cands.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn(
+            "cosine",
+            _dot_scaled(F.col("_va"), F.col("_vb"))
+            / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def bucketed_topk(
+    embeddings: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    n_queries: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: vectors are partitioned into
+    hyperplane-sign buckets; each query ranks only its own bucket.
+
+    At 100 TB the bucket column becomes the table's physical partition/
+    cluster key, so a query probes one partition instead of the corpus.
+    Returns (query_id, neighbor_id, rank, cosine).
+    """
+    bucketed = hyperplane_lsh_buckets(embeddings, planes, id_col, vec_col).join(
+        embeddings.select(id_col, vec_col), id_col
+    )
+    q = bucketed.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.col("bucket").alias("_qbucket"),
+    )
+    c = bucketed.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        F.col("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("bucket") == F.col("_qbucket"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            _dot_scaled(F.col("_qvec"), F.col("_cvec"))
+            / (_norm(F.col("_qvec")) * _norm(F.col("_cvec"))),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def hyperplane_lsh_buckets(
     embeddings: DataFrame,
     hyperplanes: list[list[float]],

@@ -8,12 +8,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipelines_spark.llm.dedup import (
+    N_SIMHASH_BITS,
+    SIMHASH_CHUNKS,
+    _simhash_bit_sql,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
+    simhash_near_dups,
     token_jaccard,
 )
-from etl_pipelines_spark.llm.similarity import brute_force_topk
+from etl_pipelines_spark.llm.similarity import (
+    brute_force_topk,
+    bucketed_topk,
+    cosine_near_dups,
+    lcg_hyperplanes,
+)
 from etl_pipelines_spark.llm.text import with_predicted_lang, with_token_stats
 from etl_pipelines_spark.queries.catalog import register, t
 
@@ -212,3 +221,180 @@ def q35(spark: SparkSession, sf: str) -> DataFrame:
     emb = t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return brute_force_topk(emb, queries, k=10)
+
+
+# --------------------------------------------------------------------- q36
+def _simhash_oracle() -> str:
+    votes = ",\n           ".join(
+        f"SUM(2 * ({_simhash_bit_sql(i)}) - 1) AS v_{i}" for i in range(N_SIMHASH_BITS)
+    )
+    sig = ", ".join(
+        f"CASE WHEN v_{i} >= 0 THEN '1' ELSE '0' END" for i in range(N_SIMHASH_BITS)
+    )
+    chunk_len = N_SIMHASH_BITS // SIMHASH_CHUNKS
+    chunks = "\n        UNION ALL ".join(
+        f"SELECT doc_id, CONCAT('{c}|', substring(simhash, {c * chunk_len + 1}, "
+        f"{chunk_len})) AS chunk_key FROM sigs"
+        for c in range(SIMHASH_CHUNKS)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    hashed AS (SELECT doc_id, MD5(token) AS _h FROM toks),
+    votes AS (
+        SELECT doc_id,
+           {votes}
+        FROM hashed GROUP BY doc_id
+    ),
+    sigs AS (SELECT doc_id, CONCAT({sig}) AS simhash FROM votes),
+    chunks AS ({chunks}),
+    cands AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM chunks l JOIN chunks r ON l.chunk_key = r.chunk_key
+        WHERE l.doc_id < r.doc_id
+    )
+    SELECT * FROM (
+        SELECT doc_a, doc_b,
+               CAST(list_sum(list_transform(range(1, {N_SIMHASH_BITS + 1}), i ->
+                    CASE WHEN substring(sa.simhash, i, 1) <> substring(sb.simhash, i, 1)
+                         THEN 1 ELSE 0 END)) AS INT) AS hamming
+        FROM cands
+        JOIN sigs sa ON sa.doc_id = doc_a
+        JOIN sigs sb ON sb.doc_id = doc_b
+    ) WHERE hamming <= 3
+    """
+
+
+@register(
+    "q36_simhash_near_dup",
+    _simhash_oracle(),
+    description="SimHash near-dup: 64-bit sign-of-vote signatures, "
+    "16-bit chunk banding (pigeonhole guarantees recall at hamming<=3), "
+    "exact hamming verify",
+    tags=("dedup",),
+)
+def q36(spark: SparkSession, sf: str) -> DataFrame:
+    return simhash_near_dups(t(spark, sf, "documents"))
+
+
+# --------------------------------------------------------------------- q37
+EMB_DIM = 64
+_PLANES = lcg_hyperplanes(8, EMB_DIM, seed=42)
+PLANE_BANDS = [_PLANES[:4], _PLANES[4:]]
+
+
+def _plane_lit(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+
+def _signs_sql(bands: list[list[list[float]]]) -> str:
+    """CTEs comps/signs/buckets shared by the ANN oracles."""
+    sign_cols = ",\n           ".join(
+        f"SUM(CAST(FLOOR(val * ({_plane_lit(p)})[idx] * 1000000000000.0) AS BIGINT))"
+        f" AS s_{b}_{j}"
+        for b, planes in enumerate(bands)
+        for j, p in enumerate(planes)
+    )
+    bucket_rows = "\n        UNION ALL ".join(
+        "SELECT vec_id, CONCAT('{b}|', {bits}) AS bucket FROM signs".format(
+            b=b,
+            bits=", ".join(
+                f"CASE WHEN s_{b}_{j} >= 0 THEN '1' ELSE '0' END"
+                for j in range(len(planes))
+            ),
+        )
+        for b, planes in enumerate(bands)
+    )
+    return f"""
+    comps AS (
+        SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS val,
+               generate_subscripts(embedding, 1) AS idx
+        FROM embeddings
+    ),
+    signs AS (
+        SELECT vec_id,
+           {sign_cols}
+        FROM comps GROUP BY vec_id
+    ),
+    buckets AS ({bucket_rows}),
+    norms AS (
+        SELECT vec_id,
+               SQRT(CAST(SUM(CAST(FLOOR(val * val * 1000000000000.0) AS BIGINT))
+                    AS DOUBLE) / 1000000000000.0) AS nrm
+        FROM comps GROUP BY vec_id
+    )"""
+
+
+@register(
+    "q37_cosine_near_dup",
+    f"""
+    WITH {_signs_sql(PLANE_BANDS)},
+    cands AS (
+        SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+        FROM buckets l JOIN buckets r ON l.bucket = r.bucket
+        WHERE l.vec_id < r.vec_id
+    ),
+    dots AS (
+        SELECT p.vec_a, p.vec_b,
+               CAST(SUM(CAST(FLOOR(a.val * b.val * 1000000000000.0) AS BIGINT))
+                    AS DOUBLE) / 1000000000000.0 AS dot
+        FROM cands p
+        JOIN comps a ON a.vec_id = p.vec_a
+        JOIN comps b ON b.vec_id = p.vec_b AND b.idx = a.idx
+        GROUP BY p.vec_a, p.vec_b
+    )
+    SELECT * FROM (
+        SELECT d.vec_a, d.vec_b,
+               CAST(d.dot / (na.nrm * nb.nrm) AS DOUBLE) AS cosine
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.vec_a
+        JOIN norms nb ON nb.vec_id = d.vec_b
+    ) WHERE cosine >= 0.4
+    """,
+    description="Embedding near-dup via 2-band random-hyperplane LSH "
+    "(deterministic LCG planes shared with the oracle) + exact cosine "
+    "verify at threshold 0.4",
+    tags=("dedup", "similarity"),
+)
+def q37(spark: SparkSession, sf: str) -> DataFrame:
+    return cosine_near_dups(t(spark, sf, "embeddings"), PLANE_BANDS, threshold=0.4)
+
+
+# --------------------------------------------------------------------- q38
+@register(
+    "q38_ivf_bucketed_ann",
+    f"""
+    WITH {_signs_sql(PLANE_BANDS[:1])},
+    pairs AS (
+        SELECT bq.vec_id AS query_id, bc.vec_id AS neighbor_id
+        FROM buckets bq
+        JOIN buckets bc ON bc.bucket = bq.bucket AND bc.vec_id <> bq.vec_id
+        WHERE bq.vec_id < 20
+    ),
+    dots AS (
+        SELECT p.query_id, p.neighbor_id,
+               CAST(SUM(CAST(FLOOR(q.val * c.val * 1000000000000.0) AS BIGINT))
+                    AS DOUBLE) / 1000000000000.0 AS dot
+        FROM pairs p
+        JOIN comps q ON q.vec_id = p.query_id
+        JOIN comps c ON c.vec_id = p.neighbor_id AND c.idx = q.idx
+        GROUP BY p.query_id, p.neighbor_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id) AS BIGINT) AS rank,
+           CAST(dot / (nq.nrm * nc.nrm) AS DOUBLE) AS cosine
+    FROM dots
+    JOIN norms nq ON nq.vec_id = query_id
+    JOIN norms nc ON nc.vec_id = neighbor_id
+    QUALIFY rank <= 5
+    """,
+    description="IVF-style ANN: hyperplane-sign coarse quantizer "
+    "partitions the corpus; each query exactly re-ranks only its own "
+    "bucket (bucket = physical partition key at scale)",
+    tags=("similarity",),
+)
+def q38(spark: SparkSession, sf: str) -> DataFrame:
+    return bucketed_topk(t(spark, sf, "embeddings"), PLANE_BANDS[0], k=5, n_queries=20)
