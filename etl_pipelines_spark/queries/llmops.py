@@ -398,3 +398,49 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q38(spark: SparkSession, sf: str) -> DataFrame:
     return bucketed_topk(t(spark, sf, "embeddings"), PLANE_BANDS[0], k=5, n_queries=20)
+
+
+# --------------------------------------------------------------------- q39
+@register(
+    "q39_multimodal_features",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256,
+           CAST(CAST(list_sum(list_transform(range(1, length(text) + 1),
+                    i -> unicode(substring(text, i, 1)))) AS DOUBLE)
+                / octet_length(encode(text)) AS DOUBLE) AS byte_mean
+    FROM documents
+    """,
+    description="Multimodal plumbing: binary payload column -> Arrow-"
+    "batched mapInPandas feature extraction (len/sha256/byte-mean; real "
+    "decoder is a documented stub)",
+    tags=("multimodal",),
+)
+def q39(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.llm.multimodal import (
+        attach_fake_payload,
+        extract_media_features,
+    )
+
+    return extract_media_features(attach_fake_payload(t(spark, sf, "documents")))
+
+
+# --------------------------------------------------------------------- q40
+@register(
+    "q40_frame_sampling",
+    """
+    SELECT doc_id, sample_no, CAST(FLOOR(sample_no * n_frames / 4.0) AS BIGINT) AS frame_idx
+    FROM (
+        SELECT doc_id, n_chars % 100 + 1 AS n_frames, UNNEST(range(0, 4)) AS sample_no
+        FROM documents
+    )
+    """,
+    description="Evenly-spaced frame sampling over media metadata - "
+    "JVM-only sequence+explode, payload untouched until decode",
+    tags=("multimodal",),
+)
+def q40(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.llm.multimodal import attach_fake_payload, sample_frames
+
+    return sample_frames(attach_fake_payload(t(spark, sf, "documents")))

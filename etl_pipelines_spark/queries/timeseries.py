@@ -383,3 +383,100 @@ def q26(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("span_days"),
         )
     )
+
+
+# --------------------------------------------------------------------- q27
+@register(
+    "q27_sessionization",
+    """
+    WITH ordered AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ) AS prev_us
+        FROM events
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                       THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ),
+    sessions AS (
+        SELECT *, SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+    description="Sessionization: gaps-and-islands with a 30-min "
+    "inactivity gap (lag + running-sum session ids), per-session stats. "
+    "Batch twin of F.session_window",
+    tags=("streaming", "window"),
+)
+def q27(spark: SparkSession, sf: str) -> DataFrame:
+    ev = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sessions = flagged.withColumn(
+        "session_no",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("total_value"),
+    )
+
+
+# --------------------------------------------------------------------- q28
+@register(
+    "q28_incremental_hwm",
+    """
+    WITH hwm AS (
+        SELECT user_id, MAX(CAST(ts AS TIMESTAMP)) AS hwm
+        FROM events
+        WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20 00:00:00'
+        GROUP BY user_id
+    )
+    SELECT e.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_new,
+           MIN(CAST(e.ts AS TIMESTAMP)) AS first_new,
+           MAX(CAST(e.ts AS TIMESTAMP)) AS last_new
+    FROM events e
+    LEFT JOIN hwm h ON h.user_id = e.user_id
+    WHERE h.hwm IS NULL OR CAST(e.ts AS TIMESTAMP) > h.hwm
+    GROUP BY e.user_id
+    """,
+    description="Incremental high-water-mark pull (I1): per-key "
+    "max(ts) freshness state, broadcast against the incoming scan so "
+    "only the small state table shuffles",
+    tags=("streaming", "incremental"),
+)
+def q28(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.streaming.incremental import (
+        high_water_marks,
+        newer_than_hwm,
+    )
+
+    ev = t(spark, sf, "events")
+    existing = ev.filter(F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
+    hwm = high_water_marks(existing, ["user_id"], "ts")
+    fresh = newer_than_hwm(ev, hwm, ["user_id"], "ts")
+    return fresh.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.min("ts").alias("first_new"),
+        F.max("ts").alias("last_new"),
+    )

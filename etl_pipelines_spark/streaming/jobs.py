@@ -1,0 +1,115 @@
+"""Structured Streaming jobs mirroring the reference's ingest semantics.
+
+- daily_event_rollup: watermarked tumbling 1-day aggregation (I4) —
+  the streaming twin of the batch daily-net kernel (SURVEY.md §2.5 A2).
+  Late rows inside the watermark update their day; beyond it they drop,
+  which is exactly the reference's "closed day" discipline (I2).
+- dedupe_upsert_sink: foreachBatch sink that dedupes at-least-once
+  input on (keys, ts) before appending (I3) — the A6
+  row_number-keep-latest pattern applied per micro-batch.
+- running_balance_stateful: applyInPandasWithState custom operator —
+  per-key running balance carried in explicit state across micro-
+  batches (I6); the streaming twin of the W1 running-sum window.
+
+All jobs take a DataFrame (batch or streaming bounds-agnostic) so unit
+tests drive them with availableNow triggers over file sources.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from etl_pipelines_spark.operators.dedupe import dedupe_keep_first
+
+
+def daily_event_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Per-(day, key) event counts and exact value sums with a 1-day
+    event-time watermark. DECIMAL accumulation keeps the sum order-
+    independent so streaming and batch answers are bit-identical."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), "1 day").alias("win"),
+            F.col(key_col),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(38,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.to_date(F.col("win.start")).alias("date"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedupe_upsert_sink(output_path: str, keys: list[str], order_col: str):
+    """foreachBatch function: keep the latest row per key within the
+    micro-batch, then append. At-least-once input + dedupe-on-read
+    downstream (A6) = effectively-once, matching the reference's
+    streaming-insert tolerance (dbt_dreamsdata/models/schema.yml:214-217).
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        deduped = dedupe_keep_first(batch_df, keys, [F.col(order_col).desc()])
+        deduped.write.mode("append").parquet(output_path)
+
+    return write_batch
+
+
+BALANCE_STATE_SCHEMA = "balance double"
+BALANCE_OUT_SCHEMA = "user_id bigint, ts timestamp, balance double"
+
+
+def _update_balance(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold each micro-batch's rows (ts-ordered) onto the carried
+    balance; emit one output row per input row."""
+    (balance,) = state.get if state.exists else (0.0,)
+    outs = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        running = pdf["value"].cumsum() + balance
+        balance = float(running.iloc[-1]) if len(running) else balance
+        outs.append(
+            pd.DataFrame(
+                {"user_id": pdf["user_id"], "ts": pdf["ts"], "balance": running}
+            )
+        )
+    state.update((balance,))
+    yield from outs
+
+
+def running_balance_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running balance across micro-
+    batches via applyInPandasWithState. State is one double per key —
+    the minimal spill-proof footprint — and partitioning is by user_id,
+    so scale-out is linear in keys."""
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_balance,
+            outputStructType=BALANCE_OUT_SCHEMA,
+            stateStructType=BALANCE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,155 @@
+"""Streaming & incremental layer tests (SURVEY.md §2.9).
+
+Structured Streaming jobs are driven with availableNow triggers over a
+file source built from the sf0.001 events table, then compared against
+their batch twins — the engine's invariant is batch/stream equivalence.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipelines_spark.sources.registry import load_table
+from etl_pipelines_spark.streaming.incremental import (
+    drop_open_day,
+    high_water_marks,
+    incremental_pull,
+    newer_than_hwm,
+    save_watermark_state,
+)
+from etl_pipelines_spark.streaming.jobs import (
+    _update_balance,
+    daily_event_rollup,
+    dedupe_upsert_sink,
+    running_balance_stateful,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_src(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    load_table(spark, SF_DIR, "events").coalesce(1).write.parquet(path)
+    return path
+
+
+def _stream(spark, path):
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def test_daily_rollup_stream_matches_batch(spark, events_src):
+    out = daily_event_rollup(_stream(spark, events_src))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rollup")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["date"], r["user_id"]): (r["n_events"], r["total_value"])
+        for r in spark.table("rollup").collect()
+    }
+    batch = {
+        (r["date"], r["user_id"]): (r["n_events"], r["total_value"])
+        for r in daily_event_rollup(load_table(spark, SF_DIR, "events")).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
+
+
+def test_stateful_running_balance(spark, events_src):
+    out = running_balance_stateful(_stream(spark, events_src))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("balances")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("balances")
+    ev = load_table(spark, SF_DIR, "events")
+    assert got.count() == ev.count()
+    final = (
+        got.groupBy("user_id")
+        .agg(F.max_by("balance", "ts").alias("balance"))
+        .collect()
+    )
+    expected = {
+        r["user_id"]: r["total"]
+        for r in ev.groupBy("user_id").agg(F.sum("value").alias("total")).collect()
+    }
+    for row in final:
+        assert row["balance"] == pytest.approx(expected[row["user_id"]], abs=1e-6)
+
+
+def test_stateful_state_carries_across_batches():
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.exists, self._v = True, v
+
+        @property
+        def get(self):
+            return self._v
+
+    state = FakeState()
+    b1 = pd.DataFrame(
+        {"user_id": [1, 1], "ts": pd.to_datetime(["2024-01-01", "2024-01-02"]), "value": [1.0, 2.0]}
+    )
+    out1 = pd.concat(_update_balance((1,), iter([b1]), state))
+    assert list(out1["balance"]) == [1.0, 3.0]
+    b2 = pd.DataFrame(
+        {"user_id": [1], "ts": pd.to_datetime(["2024-01-03"]), "value": [4.0]}
+    )
+    out2 = pd.concat(_update_balance((1,), iter([b2]), state))
+    assert list(out2["balance"]) == [7.0]  # carried 3.0 + 4.0
+
+
+def test_dedupe_upsert_sink(spark, tmp_path):
+    out_path = str(tmp_path / "sink")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (1, "2024-01-02", 20.0), (2, "2024-01-01", 5.0)],
+        "id long, updated_at string, v double",
+    )
+    dedupe_upsert_sink(out_path, ["id"], "updated_at")(df, 0)
+    got = {r["id"]: r["v"] for r in spark.read.parquet(out_path).collect()}
+    assert got == {1: 20.0, 2: 5.0}
+
+
+def test_incremental_pull_rounds(spark, tmp_path):
+    state_path = str(tmp_path / "wm")
+    ev = load_table(spark, SF_DIR, "events")
+
+    first = incremental_pull(ev, spark, state_path, ["user_id"], "ts")
+    assert first.count() == ev.count()  # no state yet: full pull
+    save_watermark_state(high_water_marks(first, ["user_id"], "ts"), state_path)
+
+    second = incremental_pull(ev, spark, state_path, ["user_id"], "ts")
+    assert second.count() == 0  # nothing newer
+
+    newer = ev.withColumn("ts", F.col("ts") + F.expr("interval 90 days"))
+    third = incremental_pull(newer, spark, state_path, ["user_id"], "ts")
+    assert third.count() == ev.count()
+
+
+def test_newer_than_hwm_unseen_keys_pass(spark):
+    inc = spark.createDataFrame(
+        [(1, 10), (2, 5), (3, 99)], "k long, ts long"
+    )
+    hwm = spark.createDataFrame([(1, 7), (2, 5)], "k long, hwm long")
+    got = sorted(r["k"] for r in newer_than_hwm(inc, hwm, ["k"], "ts").collect())
+    assert got == [1, 3]  # 1: newer; 2: not newer; 3: unseen key passes
+
+
+def test_drop_open_day(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 10:00:00",), ("2024-01-02 01:00:00",)], "ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    kept = drop_open_day(df, "ts", now_col=F.lit("2024-01-02 12:00:00").cast("timestamp"))
+    assert [r["ts"].day for r in kept.collect()] == [1]
