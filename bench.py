@@ -42,6 +42,9 @@ def main() -> None:
         t0 = time.time()
         spec.spark_fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # LSH queries persist their signature/bucket tables (read from
+        # multiple join branches); free them so queries stay isolated
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

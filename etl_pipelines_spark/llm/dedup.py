@@ -53,12 +53,51 @@ def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     return df.select(id_col, F.explode(tris).alias("shingle")).distinct()
 
 
+def salted_self_pairs(
+    keyed: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    groups: int = 16,
+) -> DataFrame:
+    """All (a < b) pairs of ids sharing `key_cols`, skew-split.
+
+    A plain self-join on a bucket key collapses a hot bucket with n
+    members into one task doing n^2/2 work — the dominant failure mode
+    of LSH banding at scale. Salting splits it: the left side carries
+    hash(id) % G, the right side is replicated G times (one copy per
+    salt), and the join key gains the salt — a hot bucket now spreads
+    over G tasks at the cost of a G-times-larger (still tiny) build
+    side. Every pair is still produced exactly once per key.
+    """
+    left = keyed.select(
+        F.col(id_col).alias("_ida"),
+        *[F.col(c) for c in key_cols],
+        F.pmod(F.hash(id_col), F.lit(groups)).alias("_g"),
+    )
+    right = keyed.select(
+        F.col(id_col).alias("_idb"),
+        *[F.col(c) for c in key_cols],
+        F.explode(F.sequence(F.lit(0), F.lit(groups - 1))).alias("_g"),
+    )
+    return (
+        left.join(right, [*key_cols, "_g"])
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select(F.col("_ida").alias("doc_a"), F.col("_idb").alias("doc_b"))
+    )
+
+
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = N_MINHASHES
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = N_MINHASHES,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature over trigram shingles:
-    mh_j = min(md5('j:' || shingle))."""
-    sh = doc_shingles(df, text_col, id_col)
+    mh_j = min(md5('j:' || shingle)). Pass a persisted `shingles`
+    frame when the caller also feeds shingles to the verify stage —
+    shingling is the pipeline's one expensive scan."""
+    sh = shingles if shingles is not None else doc_shingles(df, text_col, id_col)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh_{j}")
         for j in range(k)
@@ -71,27 +110,28 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Docs sharing any band of their signature -> (doc_a, doc_b) pairs,
     a < b, distinct across bands. Default 4 bands of 1 hash: loose,
-    recall-oriented banding; the exact Jaccard verify pass prunes."""
-    pair_frames = []
-    for b in range(bands):
-        cols = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
-        banded = signatures.select(
-            F.col(id_col), F.concat_ws("|", *cols).alias("band_key")
+    recall-oriented banding; the exact Jaccard verify pass prunes.
+
+    One salted self-join over all bands at once: band id is part of the
+    join key, and hot buckets are salt-split (see salted_self_pairs)."""
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|", *[f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
+            ).alias("band_key"),
         )
-        left = banded.alias("l")
-        right = banded.alias("r")
-        pairs = (
-            left.join(right, F.col("l.band_key") == F.col("r.band_key"))
-            .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-            .select(
-                F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b")
-            )
-        )
-        pair_frames.append(pairs)
-    out = pair_frames[0]
-    for p in pair_frames[1:]:
-        out = out.unionByName(p)
-    return out.distinct()
+        for b in range(bands)
+    ]
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+    # not persisted: both join sides recompute the signature agg, but
+    # when the caller passes signatures built over persisted shingles
+    # that re-agg is cheaper than an extra materialization action
+    return salted_self_pairs(banded, ["band", "band_key"], id_col).distinct()
 
 
 N_SIMHASH_BITS = 64  # 16 md5 hex chars x 4 bits
@@ -112,28 +152,62 @@ def _simhash_bit_sql(i: int, h: str = "_h") -> str:
     )
 
 
+def _simhash_votes(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-doc bit votes: v_i = sum over distinct tokens of
+    (2*bit_i(md5(token)) - 1). One shuffle on doc_id; the 64 votes are
+    plain sum aggregates, fully map-side-combinable, so the shuffle
+    carries 64 ints per doc — not the token stream.
+
+    Hot path: the first 16 md5 hex chars are parsed ONCE per row into
+    four 16-bit words (conv), and each of the 64 vote terms is an
+    integer shift+mask — not a per-bit string probe. Bit numbering is
+    identical to `_simhash_bit_sql` (used by the DuckDB oracle):
+    bit i = (digit value of hex char i//4) >> (i%4) & 1, and hex char
+    j of word k is that word's (3-j)th nibble.
+    """
+    toks = doc_tokens(df, text_col, id_col).withColumn("_h", F.md5("token"))
+    for k in range(N_SIMHASH_BITS // 16):
+        toks = toks.withColumn(
+            f"_w{k}",
+            F.expr(f"CAST(conv(substring(_h, {4 * k + 1}, 4), 16, 10) AS BIGINT)"),
+        )
+    aggs = []
+    for i in range(N_SIMHASH_BITS):
+        k, j, s = i // 16, (i // 4) % 4, i % 4
+        shift = 4 * (3 - j) + s
+        aggs.append(
+            F.sum(
+                F.expr(f"2 * CAST(shiftrightunsigned(_w{k}, {shift}) & 1 AS INT) - 1")
+            ).alias(f"v_{i}")
+        )
+    return toks.groupBy(id_col).agg(*aggs)
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Per-doc 64-bit SimHash as a '0'/'1' string column `simhash`.
-
-    bit_i = sign of sum over distinct tokens of (2*bit_i(md5(token))-1).
-    One shuffle on doc_id; the 64 votes are plain sum aggregates, fully
-    map-side-combinable, so the shuffle carries 64 ints per doc — not
-    the token stream.
-    """
-    toks = doc_tokens(df, text_col, id_col).withColumn("_h", F.md5("token"))
-    votes = toks.groupBy(id_col).agg(
-        *[
-            F.sum(F.expr(f"2 * ({_simhash_bit_sql(i)}) - 1")).alias(f"v_{i}")
-            for i in range(N_SIMHASH_BITS)
-        ]
-    )
+    """Per-doc 64-bit SimHash as a '0'/'1' string column `simhash`
+    (human-inspectable form; the join path uses the packed variant)."""
+    votes = _simhash_votes(df, text_col, id_col)
     chars = [
         F.when(F.col(f"v_{i}") >= 0, F.lit("1")).otherwise(F.lit("0"))
         for i in range(N_SIMHASH_BITS)
     ]
     return votes.select(id_col, F.concat(*chars).alias("simhash"))
+
+
+def simhash_signatures_bits(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc SimHash packed into one BIGINT `sig` (bit i = vote_i>=0).
+    Bit order matches position i+1 of the string form, so chunk c of the
+    string equals (sig >> 16c) & 0xFFFF."""
+    votes = _simhash_votes(df, text_col, id_col)
+    packed = " | ".join(
+        f"shiftleft(CAST(CASE WHEN v_{i} >= 0 THEN 1 ELSE 0 END AS BIGINT), {i})"
+        for i in range(N_SIMHASH_BITS)
+    )
+    return votes.select(id_col, F.expr(packed).alias("sig"))
 
 
 def simhash_near_dups(
@@ -147,45 +221,52 @@ def simhash_near_dups(
     Scale path: the signature is split into 4 16-bit chunks; by
     pigeonhole any pair within hamming<=3 agrees on at least one whole
     chunk, so candidates come from 4 equi-joins on chunk values — never
-    an all-pairs comparison. The exact hamming check then prunes.
-    """
-    sigs = simhash_signatures(df, text_col, id_col)
-    chunk_len = N_SIMHASH_BITS // SIMHASH_CHUNKS
-    frames = []
-    for c in range(SIMHASH_CHUNKS):
-        chunked = sigs.select(
-            F.col(id_col),
-            F.concat(
-                F.lit(f"{c}|"), F.substring("simhash", c * chunk_len + 1, chunk_len)
-            ).alias("chunk_key"),
-        )
-        left, right = chunked.alias("l"), chunked.alias("r")
-        frames.append(
-            left.join(right, F.col("l.chunk_key") == F.col("r.chunk_key"))
-            .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-            .select(
-                F.col(f"l.{id_col}").alias("doc_a"),
-                F.col(f"r.{id_col}").alias("doc_b"),
-            )
-        )
-    cands = frames[0]
-    for fr in frames[1:]:
-        cands = cands.unionByName(fr)
-    cands = cands.distinct()
+    an all-pairs comparison. The exact hamming check (one XOR +
+    bit_count on packed BIGINT signatures) then prunes.
 
-    sig_a = sigs.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"))
-    sig_b = sigs.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"))
-    hamming = F.expr(
-        f"aggregate(transform(sequence(1, {N_SIMHASH_BITS}), i -> "
-        "CASE WHEN substring(sh_a, i, 1) <> substring(sh_b, i, 1) THEN 1 ELSE 0 END), "
-        "0, (acc, v) -> acc + v)"
+    The signature table (one long per doc) is persisted: it feeds the
+    4 chunk self-joins and both sides of the verify join, and without
+    materialization Catalyst would re-run the 64-vote aggregation for
+    every branch.
+    """
+    sigs = simhash_signatures_bits(df, text_col, id_col).persist()
+    # Eagerly materialize: the downstream plan references sigs from
+    # several broadcast subqueries that the driver launches
+    # concurrently; with a lazy persist they race and each recomputes
+    # the 64-vote aggregation.
+    sigs.count()
+    chunk_bits = N_SIMHASH_BITS // SIMHASH_CHUNKS
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("chunk_no"),
+            F.expr(
+                f"shiftrightunsigned(sig, {c * chunk_bits}) & {(1 << chunk_bits) - 1}"
+            ).alias("chunk_val"),
+        )
+        for c in range(SIMHASH_CHUNKS)
+    ]
+    chunked = sigs.select(
+        F.col(id_col), F.explode(F.array(*chunk_structs)).alias("ck")
+    ).select(
+        id_col, F.col("ck.chunk_no").alias("chunk_no"), F.col("ck.chunk_val").alias("chunk_val")
     )
+    cands = salted_self_pairs(chunked, ["chunk_no", "chunk_val"], id_col)
+
+    sig_a = sigs.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"))
+    # no broadcast hint: the sig table is small per-doc but grows with
+    # the corpus; AQE picks broadcast below threshold, shuffle-hash above.
+    # Candidates arrive with cross-band duplicates; the XOR+bit_count
+    # filter is far cheaper than a distinct, so dedupe AFTER pruning —
+    # the distinct shuffle then carries the survivors, not the 4x
+    # banded candidate stream.
     return (
         cands.join(sig_a, "doc_a")
         .join(sig_b, "doc_b")
-        .withColumn("hamming", hamming.cast("int"))
+        .withColumn("hamming", F.expr("bit_count(sig_a ^ sig_b)").cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
@@ -194,10 +275,15 @@ def token_jaccard(
     pairs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact trigram-shingle-set Jaccard for the given (doc_a, doc_b)
-    pairs."""
-    toks = doc_shingles(df, text_col, id_col).withColumnRenamed("shingle", "token")
+    pairs. Pass a persisted `shingles` frame to share the shingle scan
+    with signature generation."""
+    if shingles is None:
+        shingles = doc_shingles(df, text_col, id_col).persist()
+        shingles.count()  # feeds both intersection sides and the size agg
+    toks = shingles.withColumnRenamed("shingle", "token")
     sizes = toks.groupBy(id_col).agg(F.count("token").alias("n"))
     inter = (
         pairs.join(toks.withColumnRenamed(id_col, "doc_a"), "doc_a")

@@ -35,6 +35,30 @@ def _dot_scaled(a: Column, b: Column) -> Column:
     )
 
 
+def _dot_scaled_pandas() -> Column:
+    """Arrow-vectorized twin of `_dot_scaled` for high-volume pair
+    verification: zip_with/aggregate HOFs are interpreted per element
+    (~boxed lambda per component), which dominates once candidate pairs
+    reach the hundreds of thousands. numpy does the identical IEEE
+    double multiply + floor + exact int64 sum at SIMD speed, so results
+    are bit-identical to the JVM path and the DuckDB oracle."""
+    import numpy as np
+    import pandas as pd
+
+    @F.pandas_udf("double")
+    def dot(a, b):  # (pd.Series, pd.Series) -> pd.Series; hints omitted:
+        # `from __future__ import annotations` stringifies them and
+        # pyspark's signature inference then fails to resolve pd.*
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        av = np.vstack(a.to_numpy()).astype("float64")
+        bv = np.vstack(b.to_numpy()).astype("float64")
+        scaled = np.floor(av * bv * SCALE).astype("int64").sum(axis=1)
+        return pd.Series(scaled / SCALE)
+
+    return dot
+
+
 def _norm(a: Column) -> Column:
     sq = F.transform(
         a, lambda x: F.floor(x.cast("double") * x.cast("double") * F.lit(SCALE)).cast("long")
@@ -59,17 +83,20 @@ def brute_force_topk(
     (query_id, neighbor_id, rank, cosine).
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        _norm(F.col(vec_col)).alias("_qn"),
     )
-    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        _norm(F.col(vec_col)).alias("_cn"),
+    )
+    dot = _dot_scaled_pandas()
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            _dot_scaled(F.col("_qvec"), F.col("_cvec"))
-            / (_norm(F.col("_qvec")) * _norm(F.col("_cvec"))),
-        )
+        .withColumn("cosine", dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn")))
     )
     from pyspark.sql import Window
 
@@ -112,34 +139,39 @@ def cosine_near_dups(
     corpus is never all-pairs joined. Exact cosine then prunes. Recall
     is tunable by band count; precision is exact.
     """
+    from etl_pipelines_spark.llm.dedup import salted_self_pairs
+
     frames = []
     for b, planes in enumerate(plane_bands):
-        bucketed = hyperplane_lsh_buckets(embeddings, planes, id_col, vec_col).select(
-            F.col(id_col), F.concat(F.lit(f"{b}|"), F.col("bucket")).alias("bucket")
-        )
-        left, right = bucketed.alias("l"), bucketed.alias("r")
-        frames.append(
-            left.join(right, F.col("l.bucket") == F.col("r.bucket"))
-            .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        bucketed = (
+            hyperplane_lsh_buckets(embeddings, planes, id_col, vec_col)
             .select(
-                F.col(f"l.{id_col}").alias("vec_a"), F.col(f"r.{id_col}").alias("vec_b")
+                F.col(id_col), F.concat(F.lit(f"{b}|"), F.col("bucket")).alias("bucket")
             )
+            .persist()
         )
+        bucketed.count()  # both sides of the salted self-join read this
+        frames.append(salted_self_pairs(bucketed, ["bucket"], id_col))
     cands = frames[0]
     for fr in frames[1:]:
         cands = cands.unionByName(fr)
-    cands = cands.distinct()
+    cands = cands.distinct().select(
+        F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
+    )
 
     va = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"))
     vb = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"))
+    norms = embeddings.select(
+        F.col(id_col).alias("_nid"), _norm(F.col(vec_col)).alias("_nrm")
+    )
+    dot = _dot_scaled_pandas()
     return (
         cands.join(va, "vec_a")
         .join(vb, "vec_b")
-        .withColumn(
-            "cosine",
-            _dot_scaled(F.col("_va"), F.col("_vb"))
-            / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
-        )
+        .withColumn("_dot", dot(F.col("_va"), F.col("_vb")))
+        .join(norms.withColumnRenamed("_nid", "vec_a").withColumnRenamed("_nrm", "_na"), "vec_a")
+        .join(norms.withColumnRenamed("_nid", "vec_b").withColumnRenamed("_nrm", "_nb"), "vec_b")
+        .withColumn("cosine", F.col("_dot") / (F.col("_na") * F.col("_nb")))
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
@@ -166,21 +198,20 @@ def bucketed_topk(
     q = bucketed.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
+        _norm(F.col(vec_col)).alias("_qn"),
         F.col("bucket").alias("_qbucket"),
     )
     c = bucketed.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
+        _norm(F.col(vec_col)).alias("_cn"),
         F.col("bucket"),
     )
+    dot = _dot_scaled_pandas()
     scored = (
         c.join(F.broadcast(q), F.col("bucket") == F.col("_qbucket"))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            _dot_scaled(F.col("_qvec"), F.col("_cvec"))
-            / (_norm(F.col("_qvec")) * _norm(F.col("_cvec"))),
-        )
+        .withColumn("cosine", dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn")))
     )
     from pyspark.sql import Window
 

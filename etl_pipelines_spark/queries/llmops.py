@@ -173,10 +173,14 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
     tags=("dedup",),
 )
 def q34(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.llm.dedup import doc_shingles
+
     docs = t(spark, sf, "documents")
-    sigs = minhash_signatures(docs)
+    sh = doc_shingles(docs).persist()
+    sh.count()  # one shingle scan feeds signatures AND the Jaccard verify
+    sigs = minhash_signatures(docs, shingles=sh)
     pairs = lsh_candidate_pairs(sigs)
-    return token_jaccard(docs, pairs)
+    return token_jaccard(docs, pairs, shingles=sh)
 
 
 # --------------------------------------------------------------------- q35
