@@ -471,3 +471,177 @@ def q16(spark: SparkSession, sf: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("long").alias("k_value"),
     ).filter(F.col("k_value").isNotNull())
+
+
+# --------------------------------------------------------------------- q17
+@register(
+    "q17_outlier_rules",
+    """
+    WITH transfers AS (
+        SELECT l.l_partkey AS coin_id, o.o_custkey AS wallet_address,
+               CAST(l.l_shipdate AS DATE) AS date,
+               CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN -l.l_quantity
+                             ELSE l.l_quantity END) AS DOUBLE) AS net_transfers
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2, 3
+    ),
+    balances AS (
+        SELECT *, SUM(net_transfers) OVER (
+                   PARTITION BY coin_id, wallet_address ORDER BY date
+                   ROWS UNBOUNDED PRECEDING) AS balance
+        FROM transfers
+    ),
+    mins AS (
+        SELECT coin_id, wallet_address, MIN(balance) AS lowest
+        FROM balances GROUP BY 1, 2
+    ),
+    coin_census AS (
+        SELECT coin_id,
+               COUNT(CASE WHEN lowest < -0.1 THEN 1 END) AS neg_wallets
+        FROM mins GROUP BY coin_id
+    ),
+    q1 AS (
+        SELECT b.* FROM balances b
+        JOIN mins m ON m.coin_id = b.coin_id
+                   AND m.wallet_address = b.wallet_address AND m.lowest > -0.1
+        JOIN coin_census c ON c.coin_id = b.coin_id AND c.neg_wallets < 10
+    ),
+    supply AS (
+        SELECT p_partkey AS coin_id,
+               CAST(p_size AS DOUBLE) * 40.0 AS total_supply
+        FROM part
+    ),
+    overage_pairs AS (
+        SELECT DISTINCT q.coin_id, q.wallet_address
+        FROM q1 q JOIN supply s ON s.coin_id = q.coin_id
+        WHERE q.balance > s.total_supply
+    ),
+    overage_coins AS (
+        SELECT coin_id FROM overage_pairs
+        GROUP BY coin_id HAVING COUNT(wallet_address) >= 5
+    ),
+    q2 AS (
+        SELECT q.* FROM q1 q
+        LEFT JOIN overage_pairs op ON op.coin_id = q.coin_id
+                                  AND op.wallet_address = q.wallet_address
+        WHERE op.coin_id IS NULL
+          AND q.coin_id NOT IN (SELECT coin_id FROM overage_coins)
+    )
+    SELECT coin_id, wallet_address,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(balance) AS DOUBLE) AS peak_balance
+    FROM q2 GROUP BY coin_id, wallet_address
+    """,
+    description="Q1+Q2 outlier rules: drop wallets with min(balance) <= "
+    "-0.1 (whole coin at >=10 such), drop supply-overage wallets via "
+    "theta join (whole coin at >=5). Thresholds and order are the spec "
+    "(core_coin_wallet_transfers.py:306-385)",
+    tags=("quality",),
+)
+def q17(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.operators.outliers import (
+        remove_negative_balance_wallets,
+        remove_supply_overage_wallets,
+    )
+    from etl_pipelines_spark.operators.windows import cumulative_window
+    from etl_pipelines_spark.queries.timeseries import transfers as transfers_fn
+
+    tr = transfers_fn(spark, sf)
+    balances = tr.withColumn(
+        "balance",
+        F.sum("net_transfers").over(
+            cumulative_window(["coin_id", "wallet_address"], ["date"])
+        ),
+    )
+    coins = t(spark, sf, "part").select(
+        F.col("p_partkey").alias("coin_id"),
+        (F.col("p_size").cast("double") * 40.0).alias("total_supply"),
+    )
+    cleaned = remove_supply_overage_wallets(
+        remove_negative_balance_wallets(balances), coins
+    )
+    return cleaned.groupBy("coin_id", "wallet_address").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("balance").cast("double").alias("peak_balance"),
+    )
+
+
+# --------------------------------------------------------------------- q18
+@register(
+    "q18_array_aggregation",
+    """
+    SELECT o_custkey AS customer,
+           CAST(len(list_distinct(list(o_orderpriority))) AS INT) AS n_priorities,
+           array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',')
+               AS priorities_csv,
+           list_sort(list_distinct(list(o_orderpriority)))[1] AS first_priority,
+           CAST(len(list(o_orderkey)) AS INT) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    description="F4 array ops: ARRAY_AGG DISTINCT + sort + element "
+    "access + length (reference categories agg "
+    "core_coin_facts_coingecko.py:94-100, websites[OFFSET(0)] "
+    "core_coin_facts_metadata.py:46-50)",
+    tags=("array",),
+)
+def q18(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    arr = F.array_sort(F.array_distinct(F.collect_list("o_orderpriority")))
+    return o.groupBy(F.col("o_custkey").alias("customer")).agg(
+        F.size(arr).alias("n_priorities"),
+        F.array_join(arr, ",").alias("priorities_csv"),
+        F.element_at(arr, 1).alias("first_priority"),
+        F.size(F.collect_list("o_orderkey")).alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------- q19
+@register(
+    "q19_scalar_combine_joins",
+    """
+    WITH most_recent_order AS (
+        SELECT MAX(CAST(o_orderdate AS DATE)) AS max_order_date FROM orders
+    ),
+    max_price AS (
+        SELECT CAST(MAX(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS max_retail FROM part
+    ),
+    freshness AS (
+        SELECT max_order_date, max_retail
+        FROM most_recent_order CROSS JOIN max_price
+    )
+    SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
+           f.max_order_date, f.max_retail
+    FROM orders o
+    JOIN freshness f ON f.max_order_date > CAST(o.o_orderdate AS DATE)
+    WHERE o.o_orderkey % 100 = 0
+    """,
+    description="J10 cross join of 1-row aggregates + J9 range-predicate "
+    "join against the combined scalar row (reference freshness gate "
+    "test_cCoinWalletProfits_transfers_and_profits_math.sql:30-41,73-74)",
+    tags=("join",),
+)
+def q19(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    p = t(spark, sf, "part")
+    most_recent = o.agg(F.max(F.to_date("o_orderdate")).alias("max_order_date"))
+    max_price = p.agg(
+        F.max(F.col("p_retailprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("max_retail")
+    )
+    freshness = most_recent.crossJoin(max_price)
+    return (
+        o.filter(F.col("o_orderkey") % 100 == 0)
+        .join(
+            F.broadcast(freshness),
+            F.col("max_order_date") > F.to_date("o_orderdate"),
+        )
+        .select(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "max_order_date",
+            "max_retail",
+        )
+    )
