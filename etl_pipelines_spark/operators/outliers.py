@@ -99,14 +99,17 @@ def remove_single_day_dips(
     price/prev < 0.8 AND next/prev > 0.9, or where price == 0 between
     positive neighbors that recover past 0.9."""
     df = with_lag_lead(df, list(keys), [date_col], price_col, "_prev", "_next")
-    pct_dip = (F.col(price_col) / F.col("_prev") < dip_threshold) & (
-        F.col("_next") / F.col("_prev") > recovery_threshold
+    # try_divide: ANSI mode raises on x/0, but a zero prev price must
+    # behave like the reference's pandas inf/NaN (comparison False ->
+    # row kept); NULL ratios coalesce to keep below
+    pct_dip = (F.try_divide(F.col(price_col), F.col("_prev")) < dip_threshold) & (
+        F.try_divide(F.col("_next"), F.col("_prev")) > recovery_threshold
     )
     zero_dip = (
         (F.col(price_col) == 0)
         & (F.col("_prev") > 0)
         & (F.col("_next") > 0)
-        & (F.col("_next") / F.col("_prev") > recovery_threshold)
+        & (F.try_divide(F.col("_next"), F.col("_prev")) > recovery_threshold)
     )
     # null prev/next make the comparisons null -> coalesce to keep (same
     # as pandas NaN comparisons evaluating False in the reference mask)
