@@ -149,3 +149,71 @@ def build_wallet_profits(transfers: DataFrame, prices: DataFrame) -> DataFrame:
     spliced = splice_imputed_records(with_first, imputed)
     trimmed = filter_pre_inflow_records(spliced)
     return calculate_wallet_profitability(trimmed)
+
+
+def recomputation_audit(
+    profits: DataFrame,
+    transfers: DataFrame,
+    prices: DataFrame,
+    n_coins: int = 300,
+    seed: str = "seed42",
+    abs_tol: float = 1.0,
+    rel_tol: float = 0.01,
+) -> DataFrame:
+    """The reference's flagship data-quality audit
+    (dbt test_cCoinWalletProfits_transfers_and_profits_math.sql:1-125):
+    deterministically sample coins, independently re-derive
+    profits_change and usd_balance from transfers x prices with lag
+    windows, and flag rows off by more than $1 AND more than 1%.
+
+    Sampling uses xxhash64('seed42'||coin_id) standing in for BigQuery
+    farm_fingerprint (same determinism role, different sampled set —
+    SURVEY.md §7.3). Returns the violations frame (empty = audit green).
+    """
+    sampled = (
+        profits.select("coin_id")
+        .distinct()
+        .orderBy(F.xxhash64(F.concat(F.lit(seed), F.col("coin_id").cast("string"))))
+        .limit(n_coins)
+    )
+    p = profits.join(F.broadcast(sampled), "coin_id", "left_semi")
+
+    joined = (
+        p.join(
+            transfers.select("coin_id", "wallet_address", "date", "balance"),
+            ["coin_id", "wallet_address", "date"],
+            "left",
+        )
+        .join(prices.select("coin_id", "date", "price"), ["coin_id", "date"], "left")
+        # imputed rows have no transfer row; reconstruct their balance
+        # from the USD valuation so lag chains stay intact
+        .withColumn(
+            "_bal", F.coalesce(F.col("balance"), F.try_divide("usd_balance", "price"))
+        )
+    )
+    w = ordered_window(PAIR, ["date"])
+    prev_price = F.coalesce(F.lag("price").over(w), F.col("price"))
+    prev_balance = F.coalesce(F.lag("_bal").over(w), F.lit(0.0))
+    checked = (
+        joined.withColumn("_expected_change", (F.col("price") - prev_price) * prev_balance)
+        .withColumn("_expected_usd_balance", F.col("_bal") * F.col("price"))
+    )
+
+    def mismatch(actual: str, expected: str):
+        diff = F.abs(F.col(actual) - F.col(expected))
+        return (diff > abs_tol) & (
+            F.try_divide(diff, F.abs(F.col(expected))) > rel_tol
+        )
+
+    return checked.filter(
+        mismatch("profits_change", "_expected_change")
+        | mismatch("usd_balance", "_expected_usd_balance")
+    ).select(
+        "coin_id",
+        "wallet_address",
+        "date",
+        "profits_change",
+        "_expected_change",
+        "usd_balance",
+        "_expected_usd_balance",
+    )

@@ -1,0 +1,129 @@
+"""Data-quality expectations (SURVEY.md §5.3): the reference's dbt test
+suite re-expressed as post-write DataFrame assertions.
+
+Each expectation returns an ExpectationResult carrying a violations
+frame (limited sample) instead of raising, so a table build can run the
+whole suite and report every failure at once — `assert_all` converts to
+a hard failure for tests/CI. All checks are single-pass aggregations or
+anti-joins; nothing collects the table to the driver.
+
+dbt sources mirrored (dbt_dreamsdata/):
+- unique/not_null schema tests        -> expect_unique / expect_not_null
+- test_cCoinMarketData_no_date_gaps   -> expect_no_date_gaps
+- *_is_negative tolerance tests       -> expect_non_negative
+- usd_inflows_increasing              -> expect_monotone
+- transfer_sequence                   -> expect_dense_sequence
+- cCoins_address_lower_case           -> expect_lowercase
+- cCoinMarketData_coin_ids            -> expect_referential_integrity
+- transfers_and_profits_math audit    -> recomputation_audit (plans/
+  wallet_profits.audit; the seeded-sample re-derivation)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+@dataclass
+class ExpectationResult:
+    name: str
+    passed: bool
+    n_violations: int
+    sample: list
+
+    def __bool__(self) -> bool:
+        return self.passed
+
+
+def _result(name: str, violations: DataFrame, sample_n: int = 5) -> ExpectationResult:
+    n = violations.count()
+    sample = violations.limit(sample_n).collect() if n else []
+    return ExpectationResult(name, n == 0, n, sample)
+
+
+def expect_unique(df: DataFrame, keys: list[str]) -> ExpectationResult:
+    dupes = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)
+    return _result(f"unique({', '.join(keys)})", dupes)
+
+
+def expect_not_null(df: DataFrame, cols: list[str]) -> ExpectationResult:
+    cond = None
+    for c in cols:
+        cc = F.col(c).isNull()
+        cond = cc if cond is None else (cond | cc)
+    return _result(f"not_null({', '.join(cols)})", df.filter(cond))
+
+
+def expect_no_date_gaps(
+    df: DataFrame, keys: list[str], date_col: str = "date"
+) -> ExpectationResult:
+    """Per key: row count must equal datediff(max,min)+1 (dbt
+    test_cCoinMarketData_no_date_gaps.sql:12-16)."""
+    stats = df.groupBy(*keys).agg(
+        F.countDistinct(date_col).alias("_n"),
+        (F.datediff(F.max(date_col), F.min(date_col)) + 1).alias("_span"),
+    )
+    return _result("no_date_gaps", stats.filter(F.col("_n") != F.col("_span")))
+
+
+def expect_non_negative(
+    df: DataFrame, col: str, tolerance: float = 0.0
+) -> ExpectationResult:
+    """Values >= -tolerance (the reference's float-tolerance discipline,
+    e.g. balance >= -0.1 in test_cCoinWalletTransfers_balance_is_negative)."""
+    return _result(
+        f"non_negative({col}, tol={tolerance})", df.filter(F.col(col) < -tolerance)
+    )
+
+
+def expect_monotone(
+    df: DataFrame, keys: list[str], order_col: str, col: str
+) -> ExpectationResult:
+    """col never decreases along order_col within each key (dbt
+    usd_inflows_increasing: lag-compare)."""
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    lagged = df.withColumn("_prev", F.lag(col).over(w))
+    return _result(
+        f"monotone({col})",
+        lagged.filter(F.col("_prev").isNotNull() & (F.col(col) < F.col("_prev"))),
+    )
+
+
+def expect_dense_sequence(
+    df: DataFrame, keys: list[str], order_col: str, col: str
+) -> ExpectationResult:
+    """col increments by exactly 1 along order_col within each key (dbt
+    transfer_sequence test: lag + 1 comparison)."""
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    lagged = df.withColumn("_prev", F.lag(col).over(w))
+    return _result(
+        f"dense_sequence({col})",
+        lagged.filter(F.col("_prev").isNotNull() & (F.col(col) != F.col("_prev") + 1)),
+    )
+
+
+def expect_lowercase(df: DataFrame, col: str) -> ExpectationResult:
+    return _result(f"lowercase({col})", df.filter(F.col(col) != F.lower(F.col(col))))
+
+
+def expect_referential_integrity(
+    child: DataFrame, parent: DataFrame, keys: list[str]
+) -> ExpectationResult:
+    """Every child key exists in parent (dbt relationships /
+    test_cCoinMarketData_coin_ids NOT IN form, as a left-anti join)."""
+    orphans = child.select(*keys).distinct().join(
+        parent.select(*keys).distinct(), keys, "left_anti"
+    )
+    return _result(f"referential({', '.join(keys)})", orphans)
+
+
+def assert_all(*results: ExpectationResult) -> None:
+    failed = [r for r in results if not r.passed]
+    if failed:
+        lines = [
+            f"{r.name}: {r.n_violations} violations, sample {r.sample}" for r in failed
+        ]
+        raise AssertionError("expectations failed:\n" + "\n".join(lines))

@@ -1,0 +1,141 @@
+"""Expectation-suite tests + the recomputation audit run end-to-end on
+the sf0.001 testdata (the dbt layer's Spark equivalent, SURVEY.md §5.3)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipelines_spark.operators.windows import cumulative_window
+from etl_pipelines_spark.plans.wallet_profits import recomputation_audit
+from etl_pipelines_spark.quality import (
+    assert_all,
+    expect_dense_sequence,
+    expect_lowercase,
+    expect_monotone,
+    expect_no_date_gaps,
+    expect_non_negative,
+    expect_not_null,
+    expect_referential_integrity,
+    expect_unique,
+)
+
+D = dt.date
+
+
+class TestExpectations:
+    def test_unique(self, spark):
+        ok = spark.createDataFrame([(1, "a"), (2, "a")], "id long, v string")
+        dup = spark.createDataFrame([(1, "a"), (1, "b")], "id long, v string")
+        assert expect_unique(ok, ["id"]).passed
+        r = expect_unique(dup, ["id"])
+        assert not r.passed and r.n_violations == 1
+
+    def test_not_null(self, spark):
+        df = spark.createDataFrame([(1, "a"), (None, "b")], "id long, v string")
+        assert not expect_not_null(df, ["id"]).passed
+        assert expect_not_null(df, ["v"]).passed
+
+    def test_no_date_gaps(self, spark):
+        ok = spark.createDataFrame(
+            [("c", D(2024, 1, 1)), ("c", D(2024, 1, 2))], "k string, date date"
+        )
+        gap = spark.createDataFrame(
+            [("c", D(2024, 1, 1)), ("c", D(2024, 1, 3))], "k string, date date"
+        )
+        assert expect_no_date_gaps(ok, ["k"]).passed
+        assert not expect_no_date_gaps(gap, ["k"]).passed
+
+    def test_non_negative_with_tolerance(self, spark):
+        df = spark.createDataFrame([(-0.05,), (5.0,)], "v double")
+        assert expect_non_negative(df, "v", tolerance=0.1).passed
+        assert not expect_non_negative(df, "v").passed
+
+    def test_monotone(self, spark):
+        ok = spark.createDataFrame(
+            [("k", 1, 10.0), ("k", 2, 10.0), ("k", 3, 12.0)],
+            "k string, seq int, v double",
+        )
+        bad = spark.createDataFrame(
+            [("k", 1, 10.0), ("k", 2, 9.0)], "k string, seq int, v double"
+        )
+        assert expect_monotone(ok, ["k"], "seq", "v").passed
+        assert not expect_monotone(bad, ["k"], "seq", "v").passed
+
+    def test_dense_sequence(self, spark):
+        ok = spark.createDataFrame(
+            [("k", D(2024, 1, 1), 1), ("k", D(2024, 1, 5), 2)],
+            "k string, date date, seq int",
+        )
+        bad = spark.createDataFrame(
+            [("k", D(2024, 1, 1), 1), ("k", D(2024, 1, 5), 3)],
+            "k string, date date, seq int",
+        )
+        assert expect_dense_sequence(ok, ["k"], "date", "seq").passed
+        assert not expect_dense_sequence(bad, ["k"], "date", "seq").passed
+
+    def test_lowercase(self, spark):
+        df = spark.createDataFrame([("0xAbC",), ("0xdef",)], "addr string")
+        r = expect_lowercase(df, "addr")
+        assert not r.passed and r.n_violations == 1
+
+    def test_referential_integrity(self, spark):
+        child = spark.createDataFrame([("a",), ("zzz",)], "coin_id string")
+        parent = spark.createDataFrame([("a",), ("b",)], "coin_id string")
+        r = expect_referential_integrity(child, parent, ["coin_id"])
+        assert not r.passed and r.n_violations == 1
+
+    def test_assert_all_raises_with_details(self, spark):
+        df = spark.createDataFrame([(1,), (1,)], "id long")
+        with pytest.raises(AssertionError, match="unique"):
+            assert_all(expect_unique(df, ["id"]), expect_not_null(df, ["id"]))
+
+
+class TestPipelineInvariants:
+    """Run the dbt-equivalent suite + recomputation audit against the
+    engine's own kernel output on sf0.001 — the reference's test
+    topology (build table, then audit it)."""
+
+    @pytest.fixture(scope="class")
+    def frames(self, spark):
+        from etl_pipelines_spark.queries.timeseries import daily_prices, transfers
+
+        sf = "/root/testdata/sf0.001"
+        x = transfers(spark, sf)
+        x = x.withColumn(
+            "balance",
+            F.sum("net_transfers")
+            .over(cumulative_window(["coin_id", "wallet_address"], ["date"]))
+            .cast("double"),
+        )
+        p = daily_prices(spark, sf)
+        from etl_pipelines_spark.queries import QUERIES
+
+        profits = QUERIES["q22_wallet_profits_kernel"].spark_fn(spark, sf)
+        return profits.cache(), x.cache(), p.cache()
+
+    def test_kernel_invariants(self, frames):
+        profits, _, _ = frames
+        assert_all(
+            expect_unique(profits, ["coin_id", "wallet_address", "date"]),
+            expect_not_null(profits, ["coin_id", "wallet_address", "date"]),
+            expect_monotone(
+                profits, ["coin_id", "wallet_address"], "date", "usd_inflows_cumulative"
+            ),
+            expect_non_negative(profits, "usd_inflows"),
+        )
+
+    def test_recomputation_audit_green(self, frames):
+        profits, x, p = frames
+        violations = recomputation_audit(profits, x, p, n_coins=300)
+        assert violations.count() == 0
+
+    def test_recomputation_audit_catches_corruption(self, frames):
+        profits, x, p = frames
+        corrupted = profits.withColumn(
+            "profits_change",
+            F.when(
+                F.col("profits_change") != 0, F.col("profits_change") * 10 + 100
+            ).otherwise(F.col("profits_change")),
+        )
+        assert recomputation_audit(corrupted, x, p, n_coins=300).count() > 0
