@@ -65,6 +65,11 @@ def transfers(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
+        # one shuffle serves the whole downstream pipeline: partitioning
+        # by (coin, wallet) satisfies this groupBy's (coin, wallet, date)
+        # clustering AND every later (coin, wallet) window/groupBy, so
+        # Catalyst inserts no further exchanges (verified via explain)
+        .repartition(F.col("l_partkey"), F.col("o_custkey"))
         .groupBy(
             F.col("l_partkey").alias("coin_id"),
             F.col("o_custkey").alias("wallet_address"),
