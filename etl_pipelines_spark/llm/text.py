@@ -70,3 +70,57 @@ def with_predicted_lang(df: DataFrame, text_col: str = "text") -> DataFrame:
         .when(F.col("score_de") >= F.col("score_es"), F.lit("de"))
         .otherwise(F.lit("es")),
     )
+
+
+# Gopher/C4-style quality-filter thresholds (arbitrary but fixed; the
+# operator structure, not the constants, is the point).
+QUALITY_STOPWORDS = ("the", "a", "of", "to", "and", "data", "row", "value")
+MIN_TOKENS, MAX_TOKENS = 5, 1000
+MIN_MEAN_TOKEN_LEN, MAX_MEAN_TOKEN_LEN = 2.0, 12.0
+MIN_STOPWORD_RATIO = 0.02
+
+FP_SEED, FP_BASE, FP_MOD = 7, 31, 1_000_000_007
+
+
+def with_quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/C4-shaped document quality gate: mean token length,
+    stopword ratio, token-count bounds -> quality_pass flag. Pure
+    codegen expressions; at scale this is a map-only stage fused into
+    the scan."""
+    toks = f"split({text_col}, ' ')"
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS) + ")"
+    mean_len = F.expr(
+        f"CAST(aggregate(transform({toks}, t -> length(t)), 0L, (a, x) -> a + x) AS DOUBLE)"
+        f" / size({toks})"
+    )
+    stop_ratio = F.expr(
+        f"CAST(size(filter({toks}, t -> array_contains({stop_arr}, t))) AS DOUBLE)"
+        f" / size({toks})"
+    )
+    n_tokens = F.expr(f"size({toks})").cast("long")
+    out = (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("mean_token_len", mean_len)
+        .withColumn("stopword_ratio", stop_ratio)
+    )
+    return out.withColumn(
+        "quality_pass",
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("n_tokens") <= MAX_TOKENS)
+        & (F.col("mean_token_len") >= MIN_MEAN_TOKEN_LEN)
+        & (F.col("mean_token_len") <= MAX_MEAN_TOKEN_LEN)
+        & (F.col("stopword_ratio") >= MIN_STOPWORD_RATIO),
+    )
+
+
+def with_rolling_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-level polynomial rolling hash:
+    h = fold(chars, seed, (acc, c) -> (acc*BASE + code(c)) mod MOD).
+    Order-sensitive (unlike md5-of-text it survives as a streamable
+    per-chunk fold) and engine-portable: plain modular BIGINT math.
+    """
+    expr = (
+        f"aggregate(transform(split({text_col}, ''), c -> CAST(ascii(c) AS BIGINT)), "
+        f"CAST({FP_SEED} AS BIGINT), (acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD})"
+    )
+    return df.withColumn("rolling_fp", F.expr(expr))

@@ -448,3 +448,59 @@ def q40(spark: SparkSession, sf: str) -> DataFrame:
     from etl_pipelines_spark.llm.multimodal import attach_fake_payload, sample_frames
 
     return sample_frames(attach_fake_payload(t(spark, sf, "documents")))
+
+
+# --------------------------------------------------------------------- q41
+from etl_pipelines_spark.llm.text import (  # noqa: E402
+    FP_BASE,
+    FP_MOD,
+    FP_SEED,
+    MAX_MEAN_TOKEN_LEN,
+    MAX_TOKENS,
+    MIN_MEAN_TOKEN_LEN,
+    MIN_STOPWORD_RATIO,
+    MIN_TOKENS,
+    QUALITY_STOPWORDS,
+    with_quality_filter,
+    with_rolling_fingerprint,
+)
+
+_STOP_LIST = "[" + ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS) + "]"
+
+
+@register(
+    "q41_quality_filter_fingerprint",
+    f"""
+    WITH sig AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(list_sum(list_transform(string_split(text, ' '),
+                    t -> length(t))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS mean_token_len,
+               CAST(len(list_filter(string_split(text, ' '),
+                    t -> list_contains({_STOP_LIST}, t))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS stopword_ratio,
+               list_reduce(
+                   list_prepend(CAST({FP_SEED} AS BIGINT),
+                       list_transform(string_split(text, ''),
+                           c -> CAST(unicode(c) AS BIGINT))),
+                   (acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD}) AS rolling_fp
+        FROM documents
+    )
+    SELECT doc_id, n_tokens, mean_token_len, stopword_ratio, rolling_fp,
+           (n_tokens >= {MIN_TOKENS} AND n_tokens <= {MAX_TOKENS}
+            AND mean_token_len >= {MIN_MEAN_TOKEN_LEN}
+            AND mean_token_len <= {MAX_MEAN_TOKEN_LEN}
+            AND stopword_ratio >= {MIN_STOPWORD_RATIO}) AS quality_pass
+    FROM sig
+    """,
+    description="Gopher/C4-style quality gate (token bounds, mean token "
+    "length, stopword ratio) + order-sensitive polynomial rolling-hash "
+    "fingerprint - all codegen expressions fused into the scan",
+    tags=("text", "quality"),
+)
+def q41(spark: SparkSession, sf: str) -> DataFrame:
+    out = with_rolling_fingerprint(with_quality_filter(t(spark, sf, "documents")))
+    return out.select(
+        "doc_id", "n_tokens", "mean_token_len", "stopword_ratio", "rolling_fp", "quality_pass"
+    )
