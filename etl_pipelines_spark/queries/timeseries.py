@@ -485,3 +485,51 @@ def q28(spark: SparkSession, sf: str) -> DataFrame:
         F.min("ts").alias("first_new"),
         F.max("ts").alias("last_new"),
     )
+
+
+# --------------------------------------------------------------------- q42
+_STREAM_SEQ = [0]
+
+
+@register(
+    "q42_streaming_daily_rollup",
+    """
+    SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS date, user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description="Structured Streaming watermarked tumbling daily rollup "
+    "(I4) run with an availableNow trigger and verified against the "
+    "batch SQL oracle - stream and batch answers are bit-identical "
+    "because the aggregation is decimal-exact",
+    tags=("streaming",),
+)
+def q42(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from etl_pipelines_spark.streaming.jobs import daily_event_rollup
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf, "events.parquet")
+    # the file stream source requires a directory; stage a symlink
+    stage = tempfile.mkdtemp(prefix="q42_stream_")
+    os.symlink(path, os.path.join(stage, "events.parquet"))
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(stage)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _STREAM_SEQ[0] += 1
+    name = f"q42_rollup_{_STREAM_SEQ[0]}"
+    q = (
+        daily_event_rollup(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
