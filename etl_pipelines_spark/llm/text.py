@@ -34,8 +34,15 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = F.split(F.col(text_col), " ")
     n_tokens = F.regexp_count(F.col(text_col), F.lit(r"\S+")).cast("long")
     n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    # BPE-ish proxy count: letter runs, digit runs, and single
+    # non-alphanumeric marks each count as one subword unit — the
+    # regex family GPT-2-style tokenizers pre-split on
+    n_bpe = F.regexp_count(
+        F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    ).cast("long")
     return (
         df.withColumn("n_tokens", n_tokens)
+        .withColumn("n_bpe_tokens", n_bpe)
         .withColumn("n_distinct_tokens", n_distinct)
         .withColumn(
             "quality_score",

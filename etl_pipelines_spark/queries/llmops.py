@@ -74,6 +74,8 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
     r"""
     SELECT doc_id,
            CAST(length(regexp_replace(text, '\S+\s*', 'x', 'g')) AS BIGINT) AS n_tokens,
+           CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+               AS BIGINT) AS n_bpe_tokens,
            CAST(length(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
            CAST(CAST(length(list_distinct(string_split(text, ' '))) AS DOUBLE)
                 / CAST(length(regexp_replace(text, '\S+\s*', 'x', 'g')) AS DOUBLE) AS DOUBLE)
@@ -87,7 +89,7 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q31(spark: SparkSession, sf: str) -> DataFrame:
     return with_token_stats(t(spark, sf, "documents")).select(
-        "doc_id", "n_tokens", "n_distinct_tokens", "quality_score", "fingerprint"
+        "doc_id", "n_tokens", "n_bpe_tokens", "n_distinct_tokens", "quality_score", "fingerprint"
     )
 
 
