@@ -533,3 +533,32 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+# --------------------------------------------------------------------- q43
+@register(
+    "q43_asof_price_join",
+    f"""
+    WITH daily AS ({DAILY_PRICES_SQL}),
+    quotes AS (SELECT * FROM daily WHERE day(date) % 3 = 0),
+    probes AS (SELECT DISTINCT coin_id, date FROM daily WHERE coin_id < 30)
+    SELECT p.coin_id, p.date, q.price AS asof_price
+    FROM probes p ASOF LEFT JOIN quotes q
+      ON p.coin_id = q.coin_id AND p.date >= q.date
+    """,
+    description="As-of backward join (J13): most recent quote on or "
+    "before each probe date, via union + tagged forward-fill window - "
+    "one shuffle, no densified scaffold, no range-join blowup. Oracle "
+    "is DuckDB's native ASOF JOIN",
+    tags=("join", "timeseries"),
+)
+def q43(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.operators.asof import asof_join_backward
+
+    daily = daily_prices(spark, sf)
+    quotes = daily.filter(F.dayofmonth("date") % 3 == 0)
+    probes = daily.filter(F.col("coin_id") < 30).select("coin_id", "date").distinct()
+    out = asof_join_backward(
+        probes, quotes.select("coin_id", "date", "price"), ["coin_id"], "date", ["price"]
+    )
+    return out.select("coin_id", "date", F.col("price").alias("asof_price"))
