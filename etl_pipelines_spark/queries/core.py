@@ -645,3 +645,36 @@ def q19(spark: SparkSession, sf: str) -> DataFrame:
             "max_retail",
         )
     )
+
+
+# --------------------------------------------------------------------- q46
+@register(
+    "q46_rollup_totals",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    description="A12 grouping sets: ROLLUP subtotals + grand total "
+    "(absent in the reference, free in Spark - partial aggregation "
+    "covers all grouping sets in one shuffle)",
+    tags=("agg",),
+)
+def q46(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )

@@ -506,3 +506,41 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "doc_id", "n_tokens", "mean_token_len", "stopword_ratio", "rolling_fp", "quality_pass"
     )
+
+
+# --------------------------------------------------------------------- q44
+@register(
+    "q44_label_centroids",
+    """
+    WITH comps AS (
+        SELECT label, CAST(UNNEST(embedding) AS DOUBLE) AS val,
+               generate_subscripts(embedding, 1) AS idx
+        FROM embeddings
+    )
+    SELECT label, CAST(idx AS INT) AS dim,
+           CAST(CAST(SUM(CAST(FLOOR(val * 1000000000000.0) AS BIGINT)) AS DOUBLE)
+                / 1000000000000.0 / COUNT(*) AS DOUBLE) AS centroid_val
+    FROM comps
+    GROUP BY label, idx
+    """,
+    description="Per-label embedding centroids: posexplode to "
+    "(label, dim, val), floor-scaled exact sums, one shuffle on "
+    "(label, dim) - the IVF training step (centroid = coarse quantizer "
+    "codebook) expressed relationally",
+    tags=("similarity", "array"),
+)
+def q44(spark: SparkSession, sf: str) -> DataFrame:
+    emb = t(spark, sf, "embeddings")
+    comps = emb.select(
+        "label", F.posexplode("embedding").alias("idx0", "val_f")
+    ).select(
+        "label",
+        (F.col("idx0") + 1).cast("int").alias("dim"),
+        F.col("val_f").cast("double").alias("val"),
+    )
+    scaled = F.floor(F.col("val") * F.lit(1e12)).cast("long")
+    return comps.groupBy("label", "dim").agg(
+        (
+            (F.sum(scaled).cast("double") / F.lit(1e12)) / F.count(F.lit(1))
+        ).cast("double").alias("centroid_val")
+    )

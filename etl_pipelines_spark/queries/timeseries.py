@@ -562,3 +562,43 @@ def q43(spark: SparkSession, sf: str) -> DataFrame:
         probes, quotes.select("coin_id", "date", "price"), ["coin_id"], "date", ["price"]
     )
     return out.select("coin_id", "date", F.col("price").alias("asof_price"))
+
+
+# --------------------------------------------------------------------- q45
+@register(
+    "q45_trailing_window_frames",
+    f"""
+    WITH daily AS ({DAILY_PRICES_SQL})
+    SELECT coin_id, date,
+           CAST(CAST(SUM(CAST(FLOOR(price * 1000000.0) AS BIGINT)) OVER w7
+                AS DOUBLE) / 1000000.0
+                / COUNT(*) OVER w7 AS DOUBLE) AS avg_price_7d,
+           CAST(COUNT(*) OVER w7 AS BIGINT) AS n_obs_7d
+    FROM daily
+    WINDOW w7 AS (
+        PARTITION BY coin_id ORDER BY date
+        RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+    """,
+    description="W13 extension: explicit RANGE frame - trailing 7-day "
+    "average price per coin (event-time range frame, not row frame, so "
+    "gaps in the series shrink the window correctly)",
+    tags=("window",),
+)
+def q45(spark: SparkSession, sf: str) -> DataFrame:
+    daily = daily_prices(spark, sf)
+    # Spark rangeBetween needs a numeric ordering column: days since epoch
+    days = F.datediff(F.col("date"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("coin_id")
+        .orderBy(days)
+        .rangeBetween(-6, 0)
+    )
+    scaled = F.floor(F.col("price") * F.lit(1e6)).cast("long")
+    return daily.select(
+        "coin_id",
+        "date",
+        ((F.sum(scaled).over(w).cast("double") / F.lit(1e6)) / F.count(F.lit(1)).over(w))
+        .cast("double")
+        .alias("avg_price_7d"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_obs_7d"),
+    )
