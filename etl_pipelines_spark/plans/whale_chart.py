@@ -52,3 +52,25 @@ def whale_counts(
         .agg(F.count(F.lit(1)))
         .na.fill(0, list(BUCKETS))
     )
+
+
+def derive_whale_thresholds(
+    price: float,
+    fdv: float,
+    whale_threshold_usd: float | None = None,
+    whale_threshold_tokens: float | None = None,
+) -> tuple[float, float]:
+    """Threshold derivation (reference dreambot_whale_chart.py:932-952):
+    whale threshold capped at 1% of FDV (microcaps need tiny numbers);
+    shrimp threshold is whale/20 capped at $1000 USD. Returns
+    (shrimp_threshold_tokens, whale_threshold_tokens)."""
+    if whale_threshold_tokens is not None:
+        whale_threshold_usd = whale_threshold_tokens * price
+    if whale_threshold_usd is None:
+        raise ValueError("one of whale_threshold_usd/_tokens is required")
+    if whale_threshold_usd > 0.01 * fdv:
+        whale_threshold_usd = 0.01 * fdv
+    whale_tokens = whale_threshold_usd / price
+    shrimp_usd = 1000.0 if whale_threshold_usd > 20000 else whale_threshold_usd / 20
+    shrimp_tokens = shrimp_usd / whale_threshold_usd * whale_tokens
+    return shrimp_tokens, whale_tokens

@@ -139,3 +139,33 @@ class TestPipelineInvariants:
             ).otherwise(F.col("profits_change")),
         )
         assert recomputation_audit(corrupted, x, p, n_coins=300).count() > 0
+
+
+class TestWhaleThresholds:
+    def test_fdv_ceiling_applies(self):
+        from etl_pipelines_spark.plans.whale_chart import derive_whale_thresholds
+
+        # $50k request against a $1M-FDV microcap -> capped at $10k
+        shrimp, whale = derive_whale_thresholds(
+            price=2.0, fdv=1_000_000, whale_threshold_usd=50_000
+        )
+        assert whale == 10_000 / 2.0  # 1% FDV in tokens
+        assert shrimp == (10_000 / 20) / 2.0  # whale/20 (under $20k)
+
+    def test_shrimp_cap_at_1000_usd(self):
+        from etl_pipelines_spark.plans.whale_chart import derive_whale_thresholds
+
+        shrimp, whale = derive_whale_thresholds(
+            price=1.0, fdv=100_000_000, whale_threshold_usd=100_000
+        )
+        assert whale == 100_000
+        assert shrimp == 1000.0  # capped, not whale/20
+
+    def test_token_input_converts_to_usd(self):
+        from etl_pipelines_spark.plans.whale_chart import derive_whale_thresholds
+
+        shrimp, whale = derive_whale_thresholds(
+            price=4.0, fdv=100_000_000, whale_threshold_tokens=2500
+        )
+        assert whale == 2500  # 2500 tokens * $4 = $10k, under both caps
+        assert shrimp == 125  # $500 / $4
