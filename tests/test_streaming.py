@@ -153,3 +153,63 @@ def test_drop_open_day(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     kept = drop_open_day(df, "ts", now_col=F.lit("2024-01-02 12:00:00").cast("timestamp"))
     assert [r["ts"].day for r in kept.collect()] == [1]
+
+
+def test_append_mode_window_lifecycle(spark, tmp_path):
+    """I2 semantics as Spark actually guarantees them: append mode
+    emits a window exactly once, when the watermark passes its end;
+    still-open windows are withheld. Data arriving after the watermark
+    is NOT guaranteed to be dropped (Spark's documented caveat) — a
+    too-late row may surface as its own immediately-finalized window,
+    which the at-least-once + dedupe-on-read discipline (I3/A6)
+    absorbs downstream, exactly like the reference's streaming-insert
+    dupes."""
+    import os
+    import time
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    recent = spark.createDataFrame(
+        [(i, f"2024-02-{10 + d} 12:00:00", 1, 1.0) for i, d in enumerate([0, 1, 2, 3, 4])],
+        "event_id long, ts string, user_id long, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ancient = spark.createDataFrame(
+        [(99, "2024-01-01 12:00:00", 1, 1.0)],
+        "event_id long, ts string, user_id long, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    recent.coalesce(1).write.parquet(str(src / "f1"))
+    ancient.coalesce(1).write.parquet(str(src / "f2"))
+    # order micro-batches: recent first, ancient second
+    now = time.time()
+    for i, d in enumerate(["f1", "f2"]):
+        for f in (src / d).glob("*.parquet"):
+            os.utime(f, (now + i, now + i))
+
+    schema = recent.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    from etl_pipelines_spark.streaming.jobs import daily_event_rollup
+
+    q = (
+        daily_event_rollup(stream)
+        .writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("late_test").collect()
+    dates = sorted(str(r["date"]) for r in rows)
+    # closed windows (watermark = 2024-02-13 12:00 after the final
+    # batch) emitted exactly once; open Feb 13/14 windows withheld;
+    # the too-late Jan 1 row surfaced as its own finalized window
+    # (downstream dedupe territory), not merged into anything
+    assert dates == ["2024-01-01", "2024-02-10", "2024-02-11", "2024-02-12"]
+    assert len(dates) == len(set(dates))  # exactly-once per window
+    jan = next(r for r in rows if str(r["date"]) == "2024-01-01")
+    assert jan["n_events"] == 1
