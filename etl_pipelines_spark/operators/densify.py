@@ -76,3 +76,52 @@ def with_days_imputed(
         F.when(~present, F.row_number().over(streak_w).cast("long")),
     )
     return df.drop("_grp")
+
+
+def fill_gaps_applyinpandas(
+    df: DataFrame,
+    keys: Sequence[str],
+    date_col: str = "date",
+    ffill_cols: Sequence[str] = ("price",),
+    end_date=None,
+) -> DataFrame:
+    """Literal applyInPandas port of the reference's per-coin loop
+    (core_coin_market_data.py:224-270): pandas reindex to a daily range
+    + ffill + imputation-streak counter, one pandas group per key.
+
+    Kept alongside the set-based densify (the preferred path) to
+    demonstrate the custom-operator escape hatch and to cross-check the
+    two implementations against each other. The set-based path wins at
+    scale: no Python boundary, no per-group pandas materialization, and
+    groups larger than memory can't OOM an executor.
+    """
+    import pandas as pd
+
+    keys = list(keys)
+    if end_date is None:
+        end_date = df.agg(F.max(date_col)).first()[0]
+
+    out_fields = [f"{k} string" for k in keys]
+    out_fields += [f"{date_col} date"] + [f"{c} double" for c in ffill_cols]
+    out_fields += ["days_imputed bigint"]
+    schema = ", ".join(out_fields)
+
+    def fill(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(date_col)
+        key_vals = {k: pdf[k].iloc[0] for k in keys}
+        full = pd.date_range(pdf[date_col].min(), end_date, freq="D").date
+        idx = pdf.set_index(date_col).reindex(full)
+        imputed = idx[ffill_cols[0]].isna()
+        idx[list(ffill_cols)] = idx[list(ffill_cols)].ffill()
+        # gaps-and-islands streak counter (reference :241-250)
+        grp = (~imputed).cumsum()
+        days = imputed.groupby(grp).cumsum()
+        out = idx.reset_index(names=date_col)
+        for k, v in key_vals.items():
+            out[k] = v
+        out["days_imputed"] = pd.array(
+            [int(d) if m else None for d, m in zip(days, imputed)], dtype="Int64"
+        )
+        return out[keys + [date_col] + list(ffill_cols) + ["days_imputed"]]
+
+    return df.groupBy(*keys).applyInPandas(fill, schema=schema)

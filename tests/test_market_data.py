@@ -143,3 +143,41 @@ class TestNormalizeAndUnion:
             for r in union_with_source_priority(primary, secondary).collect()
         }
         assert got == {D(2024, 1, 1): (10.0, "gecko"), D(2024, 1, 2): (20.0, "terminal")}
+
+
+class TestApplyInPandasParity:
+    def test_pandas_port_matches_set_based_densify(self, spark):
+        """The applyInPandas literal port (SURVEY §2.12) and the
+        set-based sequence/explode densify must agree exactly."""
+        from etl_pipelines_spark.operators.densify import (
+            densify_daily,
+            fill_gaps_applyinpandas,
+            with_days_imputed,
+        )
+        from etl_pipelines_spark.operators.windows import forward_fill
+        from etl_pipelines_spark.queries.timeseries import daily_prices
+
+        daily = daily_prices(spark, "/root/testdata/sf0.001").filter(
+            F.col("coin_id") < 15
+        ).withColumn("coin_id", F.col("coin_id").cast("string"))
+
+        set_based = forward_fill(
+            with_days_imputed(
+                densify_daily(daily, ["coin_id"], "date"),
+                ["coin_id"],
+                presence_col="price",
+                date_col="date",
+            ),
+            ["coin_id"],
+            ["date"],
+            ["price"],
+        ).select("coin_id", "date", "price", "days_imputed")
+
+        pandas_port = fill_gaps_applyinpandas(
+            daily, ["coin_id"], "date", ["price"]
+        ).select("coin_id", "date", "price", "days_imputed")
+
+        a = {(r["coin_id"], r["date"]): (r["price"], r["days_imputed"]) for r in set_based.collect()}
+        b = {(r["coin_id"], r["date"]): (r["price"], r["days_imputed"]) for r in pandas_port.collect()}
+        assert a == b
+        assert len(a) > 0
