@@ -1,0 +1,129 @@
+"""Full warehouse refresh — SURVEY.md §3.1 as one Spark driver program.
+
+The reference sequences this through GCP Workflow YAMLs with an HTTP
+hop per step (workflows/core_tables_all.yaml) and hand-rolls the
+§3.2 profits rebuild through batch fan-out + temp tables. Here the
+whole refresh is a single lazy DAG: each curated table is a DataFrame
+stage, dependencies are plain data dependencies, Catalyst plans the
+lot, and the only materialization points are the partitioned writes.
+Post-write, every table runs its dbt-equivalent expectation suite —
+the reference's `run_all_tests.sh` topology (build, then audit).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipelines_spark.operators.windows import cumulative_window
+from etl_pipelines_spark.quality import (
+    ExpectationResult,
+    expect_monotone,
+    expect_no_date_gaps,
+    expect_not_null,
+    expect_unique,
+)
+from etl_pipelines_spark.sources.registry import write_partitioned
+
+
+@dataclass
+class RefreshReport:
+    tables: dict[str, int] = field(default_factory=dict)  # rows written
+    expectations: list[ExpectationResult] = field(default_factory=list)
+
+    @property
+    def passed(self) -> bool:
+        return all(r.passed for r in self.expectations)
+
+
+def refresh_warehouse(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    coin_limit: int | None = None,
+    since: str | None = None,
+) -> RefreshReport:
+    """Rebuild the curated layer from the raw testdata star schema:
+    coin_market_data (densified daily prices), coin_wallet_transfers
+    (running balances), coin_wallet_profits (the §3.2 kernel) — each
+    written PARTITION BY date and then audited. `coin_limit` scopes the
+    coin universe (the reference's dev_core sandbox pattern,
+    dev_core_tables/create_reference_dev_coins.sql)."""
+    from etl_pipelines_spark.operators.densify import densify_daily, with_days_imputed
+    from etl_pipelines_spark.operators.windows import forward_fill
+    from etl_pipelines_spark.queries import QUERIES
+    from etl_pipelines_spark.queries.timeseries import daily_prices, transfers
+
+    report = RefreshReport()
+
+    def land(name: str, df: DataFrame, checks) -> DataFrame:
+        path = os.path.join(out_dir, name)
+        write_partitioned(df, path)
+        back = spark.read.parquet(path)
+        report.tables[name] = back.count()
+        report.expectations.extend(checks(back))
+        return back
+
+    # 1. market data: densify + ffill (D1/D2) over daily prices
+    def scope(df):
+        if coin_limit is not None:
+            df = df.filter(F.col("coin_id") < coin_limit)
+        if since is not None:
+            df = df.filter(F.col("date") >= F.lit(since).cast("date"))
+        return df
+
+    md = scope(daily_prices(spark, sf_dir))
+    dense = forward_fill(
+        with_days_imputed(
+            densify_daily(md, ["coin_id"], "date"),
+            ["coin_id"],
+            presence_col="price",
+            date_col="date",
+        ),
+        ["coin_id"],
+        ["date"],
+        ["price"],
+    )
+    land(
+        "coin_market_data",
+        dense.select("coin_id", "date", "price", "days_imputed"),
+        lambda t: [
+            expect_unique(t, ["coin_id", "date"]),
+            expect_not_null(t, ["coin_id", "date", "price"]),
+            expect_no_date_gaps(t, ["coin_id"]),
+        ],
+    )
+
+    # 2. wallet transfers: daily net + running balance (W1/W2)
+    x = scope(transfers(spark, sf_dir))
+    balances = x.withColumn(
+        "balance",
+        F.sum("net_transfers")
+        .over(cumulative_window(["coin_id", "wallet_address"], ["date"]))
+        .cast("double"),
+    )
+    land(
+        "coin_wallet_transfers",
+        balances,
+        lambda t: [
+            expect_unique(t, ["coin_id", "wallet_address", "date"]),
+            expect_not_null(t, ["coin_id", "wallet_address", "date", "balance"]),
+        ],
+    )
+
+    # 3. wallet profits: the flagship kernel (§3.2 in one job)
+    profits = scope(QUERIES["q22_wallet_profits_kernel"].spark_fn(spark, sf_dir))
+    land(
+        "coin_wallet_profits",
+        profits,
+        lambda t: [
+            expect_unique(t, ["coin_id", "wallet_address", "date"]),
+            expect_monotone(
+                t, ["coin_id", "wallet_address"], "date", "usd_inflows_cumulative"
+            ),
+        ],
+    )
+    return report
