@@ -32,10 +32,12 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def doc_tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, token) distinct pairs."""
-    return (
-        df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("token"))
-        .distinct()
+    """(doc_id, token) distinct pairs. Deduped map-side via
+    array_distinct BEFORE exploding — distinctness is per-doc, so a
+    cluster-wide distinct() shuffle would be pure waste."""
+    return df.select(
+        id_col,
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token"),
     )
 
 
@@ -50,7 +52,8 @@ def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - 2, 1)),"
         f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, 3)))"
     )
-    return df.select(id_col, F.explode(tris).alias("shingle")).distinct()
+    # per-doc dedupe happens map-side (array_distinct) — no shuffle
+    return df.select(id_col, F.explode(F.array_distinct(tris)).alias("shingle"))
 
 
 def salted_self_pairs(
