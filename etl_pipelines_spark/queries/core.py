@@ -678,3 +678,53 @@ def q46(spark: SparkSession, sf: str) -> DataFrame:
             "n_rows",
         )
     )
+
+
+# --------------------------------------------------------------------- q47
+@register(
+    "q47_stratified_dev_sample",
+    """
+    WITH coins AS (
+        SELECT p_partkey AS coin_id,
+               p_partkey % 3 = 0 AS has_orders
+        FROM part
+    ),
+    with_data AS (
+        SELECT coin_id, 'with_data' AS stratum,
+               ROW_NUMBER() OVER (ORDER BY MD5(CONCAT('seed42', CAST(coin_id AS VARCHAR)))) AS rn
+        FROM coins WHERE has_orders
+    ),
+    without_data AS (
+        SELECT coin_id, 'without_data' AS stratum,
+               ROW_NUMBER() OVER (ORDER BY MD5(CONCAT('seed42', CAST(coin_id AS VARCHAR)))) AS rn
+        FROM coins WHERE NOT has_orders
+    )
+    SELECT coin_id, stratum FROM with_data WHERE rn <= 200
+    UNION ALL
+    SELECT coin_id, stratum FROM without_data WHERE rn <= 50
+    """,
+    description="O3 stratified deterministic dev sample: 200 + 50 coins "
+    "per stratum ordered by seeded hash (reference dev_core sandbox, "
+    "dev_core_tables/create_reference_dev_coins.sql:1-28; md5 stands "
+    "in for farm_fingerprint - same determinism, different sample set)",
+    tags=("sample",),
+)
+def q47(spark: SparkSession, sf: str) -> DataFrame:
+    coins = t(spark, sf, "part").select(
+        F.col("p_partkey").alias("coin_id"),
+        (F.col("p_partkey") % 3 == 0).alias("has_orders"),
+    )
+    seed_hash = F.md5(F.concat(F.lit("seed42"), F.col("coin_id").cast("string")))
+
+    def stratum(flag, name, n):
+        w = Window.orderBy(seed_hash)
+        return (
+            coins.filter(flag)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n)
+            .select("coin_id", F.lit(name).alias("stratum"))
+        )
+
+    return stratum(F.col("has_orders"), "with_data", 200).unionByName(
+        stratum(~F.col("has_orders"), "without_data", 50)
+    )
