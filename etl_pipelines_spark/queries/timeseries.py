@@ -602,3 +602,44 @@ def q45(spark: SparkSession, sf: str) -> DataFrame:
         .alias("avg_price_7d"),
         F.count(F.lit(1)).over(w).cast("long").alias("n_obs_7d"),
     )
+
+
+# --------------------------------------------------------------------- q48
+@register(
+    "q48_range_bucket_join",
+    f"""
+    WITH daily AS ({DAILY_PRICES_SQL}),
+    points AS (SELECT DISTINCT coin_id, date FROM daily WHERE coin_id < 40),
+    intervals AS (
+        SELECT l_partkey AS coin_id, CAST(l_shipdate AS DATE) AS lo,
+               CAST(l_shipdate AS DATE)
+                   + ((l_linenumber % 7) + 1) * INTERVAL 1 DAY AS hi
+        FROM lineitem WHERE l_partkey < 40
+    )
+    SELECT p.coin_id, p.date, CAST(COUNT(*) AS BIGINT) AS n_in_flight
+    FROM points p
+    JOIN intervals i ON i.coin_id = p.coin_id AND p.date BETWEEN i.lo AND i.hi
+    GROUP BY p.coin_id, p.date
+    """,
+    description="Range join (point-in-interval) via interval "
+    "bucketization: explode bounded [ship, ship+k] windows into day "
+    "buckets -> plain equi join, no broadcast-nested-loop. Counts "
+    "in-flight shipments per (part, day)",
+    tags=("join", "timeseries"),
+)
+def q48(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.operators.range_join import point_in_interval_join
+
+    li = t(spark, sf, "lineitem").filter(F.col("l_partkey") < 40)
+    intervals = li.select(
+        F.col("l_partkey").alias("coin_id"),
+        F.to_date("l_shipdate").alias("lo"),
+        F.date_add(F.to_date("l_shipdate"), (F.col("l_linenumber") % 7) + 1).alias("hi"),
+    )
+    points = (
+        daily_prices(spark, sf).filter(F.col("coin_id") < 40).select("coin_id", "date").distinct()
+    )
+    joined = point_in_interval_join(points, intervals, ["coin_id"], "date", "lo", "hi")
+    return joined.groupBy("coin_id", "date").agg(
+        F.count(F.lit(1)).alias("n_in_flight")
+    )
