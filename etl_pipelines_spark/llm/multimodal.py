@@ -109,3 +109,44 @@ def sample_frames(
         )
         .select(id_col, "sample_no", "frame_idx")
     )
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, src_w int, src_h int, dst_w int, dst_h int, "
+    "scale_x double, scale_y double, n_bytes_out long"
+)
+
+
+def resize_media(
+    df: DataFrame,
+    dst_w: int,
+    dst_h: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize plumbing over mapInPandas: metadata (synthetic source
+    dims derived deterministically from the payload) plus the scale
+    factors a real resampler would apply. The pixel resample itself
+    belongs in `decode_media` (stubbed — no imaging libs in this
+    container); n_bytes_out models the dst_w*dst_h*3 RGB buffer so
+    downstream sizing logic is testable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf[payload_col].map(len)
+            src_w = (n % 640 + 1).astype("int32")
+            src_h = (n % 480 + 1).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "src_w": src_w,
+                    "src_h": src_h,
+                    "dst_w": dst_w,
+                    "dst_h": dst_h,
+                    "scale_x": dst_w / src_w,
+                    "scale_y": dst_h / src_h,
+                    "n_bytes_out": [dst_w * dst_h * 3] * len(pdf),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=RESIZE_SCHEMA)

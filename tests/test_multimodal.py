@@ -55,3 +55,14 @@ def test_sample_frames_even_spacing(media):
 def test_decode_media_is_stub():
     with pytest.raises(NotImplementedError):
         decode_media(b"\x00", "image/png")
+
+
+def test_resize_media_scale_factors(media):
+    from etl_pipelines_spark.llm.multimodal import resize_media
+
+    rows = {r["doc_id"]: r for r in resize_media(media, 224, 224).collect()}
+    r = rows[1]  # "hello world" -> 11 bytes -> src 12x12
+    assert (r["src_w"], r["src_h"]) == (12, 12)
+    assert r["scale_x"] == 224 / 12 and r["scale_y"] == 224 / 12
+    assert r["n_bytes_out"] == 224 * 224 * 3
+    assert set(rows) == {1, 2, 3}
