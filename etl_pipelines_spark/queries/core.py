@@ -728,3 +728,79 @@ def q47(spark: SparkSession, sf: str) -> DataFrame:
     return stratum(F.col("has_orders"), "with_data", 200).unionByName(
         stratum(~F.col("has_orders"), "without_data", 50)
     )
+
+
+# --------------------------------------------------------------------- q49
+@register(
+    "q49_or_condition_join",
+    """
+    WITH exclusions AS (
+        SELECT 'EUROPE' AS region_scope, 'audit' AS reason
+        UNION ALL SELECT 'all', 'global_hold'
+    )
+    SELECT r.r_name AS region, e.reason
+    FROM region r
+    JOIN exclusions e ON e.region_scope = r.r_name OR e.region_scope = 'all'
+    ORDER BY region, reason
+    """,
+    description="J11 OR-condition join (reference chains x exclusions "
+    "on source = chain OR source = 'all', "
+    "core_coin_wallet_transfers.py:233-236). Spark executes the OR as "
+    "BNLJ; the union-of-equi-cases rewrite keeps it a hash join",
+    tags=("join",),
+)
+def q49(spark: SparkSession, sf: str) -> DataFrame:
+    r = t(spark, sf, "region")
+    exclusions = spark.createDataFrame(
+        [("EUROPE", "audit"), ("all", "global_hold")], "region_scope string, reason string"
+    )
+    # union-of-equi-cases: the targeted case joins on the key, the
+    # 'all' wildcard case cross-joins the (tiny) wildcard rows — both
+    # hash-joinable, no boolean-OR nested loop
+    targeted = r.join(
+        F.broadcast(exclusions.filter(F.col("region_scope") != "all")),
+        F.col("region_scope") == F.col("r_name"),
+    ).select(F.col("r_name").alias("region"), "reason")
+    wildcard = r.crossJoin(
+        F.broadcast(exclusions.filter(F.col("region_scope") == "all"))
+    ).select(F.col("r_name").alias("region"), "reason")
+    return targeted.unionByName(wildcard)
+
+
+# --------------------------------------------------------------------- q50
+@register(
+    "q50_sql_view_union",
+    """
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM (
+        SELECT * FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT * FROM orders WHERE o_orderstatus = 'O'
+    )
+    GROUP BY o_orderpriority
+    """,
+    description="S6 view-over-union via the SQL surface: temp views + "
+    "spark.sql text (the reference's dynamic cohort-union view, "
+    "ethereum_transfers_updates.py:330-396 - here one partitioned "
+    "table makes the dynamic union unnecessary, but the SQL API is a "
+    "first-class entry point)",
+    tags=("sql", "setop"),
+)
+def q50(spark: SparkSession, sf: str) -> DataFrame:
+    t(spark, sf, "orders").createOrReplaceTempView("q50_orders")
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW q50_union AS "
+        "SELECT * FROM q50_orders WHERE o_orderstatus = 'F' "
+        "UNION ALL SELECT * FROM q50_orders WHERE o_orderstatus = 'O'"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS priority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM q50_union
+        GROUP BY o_orderpriority
+        """
+    )
