@@ -587,12 +587,19 @@ def q17(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q18(spark: SparkSession, sf: str) -> DataFrame:
     o = t(spark, sf, "orders")
-    arr = F.array_sort(F.array_distinct(F.collect_list("o_orderpriority")))
-    return o.groupBy(F.col("o_custkey").alias("customer")).agg(
-        F.size(arr).alias("n_priorities"),
-        F.array_join(arr, ",").alias("priorities_csv"),
-        F.element_at(arr, 1).alias("first_priority"),
-        F.size(F.collect_list("o_orderkey")).alias("n_orders"),
+    # ONE collect buffer per group: referencing the sorted-distinct
+    # array inside several agg expressions would give each its own
+    # collect_list aggregate; aggregate once, derive in the projection
+    grouped = o.groupBy(F.col("o_custkey").alias("customer")).agg(
+        F.array_sort(F.array_distinct(F.collect_list("o_orderpriority"))).alias("_arr"),
+        F.count(F.lit(1)).cast("int").alias("n_orders"),
+    )
+    return grouped.select(
+        "customer",
+        F.size("_arr").alias("n_priorities"),
+        F.array_join("_arr", ",").alias("priorities_csv"),
+        F.element_at("_arr", 1).alias("first_priority"),
+        "n_orders",
     )
 
 
