@@ -1,0 +1,121 @@
+"""Unit tests for operator building blocks with only indirect catalog
+coverage: salted pair enumeration, the daily-net kernel, dedupe,
+window helpers — including empty/edge inputs."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from etl_pipelines_spark.llm.dedup import salted_self_pairs
+from etl_pipelines_spark.operators.daily_net import daily_net_transfers
+from etl_pipelines_spark.operators.dedupe import dedupe_keep_first, dedupe_keep_latest
+from etl_pipelines_spark.operators.densify import densify_daily
+from etl_pipelines_spark.operators.windows import forward_fill, with_lag_lead
+
+D = dt.date
+
+
+class TestSaltedSelfPairs:
+    def _naive(self, rows):
+        out = set()
+        for i, (id_a, k_a) in enumerate(rows):
+            for id_b, k_b in rows:
+                if k_a == k_b and id_a < id_b:
+                    out.add((id_a, id_b))
+        return out
+
+    def test_matches_naive_self_join_all_group_counts(self, spark):
+        # 40 ids over 5 keys, deliberately skewed (key 'hot' gets 25)
+        rows = [(i, "hot") for i in range(25)] + [
+            (100 + i, f"k{i % 4}") for i in range(15)
+        ]
+        df = spark.createDataFrame(rows, "id long, bucket string")
+        for groups in (1, 2, 16, 64):
+            got = {
+                (r["doc_a"], r["doc_b"])
+                for r in salted_self_pairs(df, ["bucket"], "id", groups=groups).collect()
+            }
+            assert got == self._naive(rows), f"groups={groups}"
+
+    def test_pairs_generated_once_per_key(self, spark):
+        df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "a")], "id long, bucket string")
+        got = [
+            (r["doc_a"], r["doc_b"])
+            for r in salted_self_pairs(df, ["bucket"], "id").collect()
+        ]
+        assert sorted(got) == [(1, 2), (1, 3), (2, 3)]
+        assert len(got) == len(set(got))  # no duplicates, no distinct needed
+
+    def test_empty_input(self, spark):
+        df = spark.createDataFrame([], "id long, bucket string")
+        assert salted_self_pairs(df, ["bucket"], "id").count() == 0
+
+
+class TestDailyNet:
+    def test_explode_sign_and_zero_net_drop(self, spark):
+        raw = spark.createDataFrame(
+            [
+                # wallet A sends 10 to B, then B sends 10 back same day:
+                # both net to zero and must drop (HAVING SUM <> 0)
+                (dt.datetime(2024, 1, 1, 5), "tok", "A", "B", 10.0),
+                (dt.datetime(2024, 1, 1, 9), "tok", "B", "A", 10.0),
+                # C receives 7 on day 2
+                (dt.datetime(2024, 1, 2, 1), "tok", "A", "C", 7.0),
+            ],
+            "block_timestamp timestamp, token_address string, "
+            "from_address string, to_address string, value double",
+        )
+        got = {
+            (r["date"], r["wallet_address"]): r["amount"]
+            for r in daily_net_transfers(raw).collect()
+        }
+        assert got == {
+            (D(2024, 1, 2), "C"): 7.0,
+            (D(2024, 1, 2), "A"): -7.0,
+        }
+
+
+class TestDedupe:
+    def test_keep_first_and_latest(self, spark):
+        df = spark.createDataFrame(
+            [("k", 1, "old"), ("k", 2, "new"), ("j", 5, "only")],
+            "id string, updated_at long, v string",
+        )
+        first = {r["id"]: r["v"] for r in dedupe_keep_first(df, ["id"], [F.col("updated_at").asc()]).collect()}
+        latest = {r["id"]: r["v"] for r in dedupe_keep_latest(df, ["id"], "updated_at").collect()}
+        assert first == {"k": "old", "j": "only"}
+        assert latest == {"k": "new", "j": "only"}
+
+
+class TestWindowHelpers:
+    def test_forward_fill_multiple_columns(self, spark):
+        df = spark.createDataFrame(
+            [("k", 1, 10.0, "a"), ("k", 2, None, None), ("k", 3, 30.0, None)],
+            "k string, seq int, x double, s string",
+        )
+        got = sorted(
+            (r["seq"], r["x"], r["s"])
+            for r in forward_fill(df, ["k"], ["seq"], ["x", "s"]).collect()
+        )
+        assert got == [(1, 10.0, "a"), (2, 10.0, "a"), (3, 30.0, "a")]
+
+    def test_lag_lead_edges_null(self, spark):
+        df = spark.createDataFrame(
+            [("k", 1, 1.0), ("k", 2, 2.0)], "k string, seq int, v double"
+        )
+        rows = {
+            r["seq"]: (r["_prev"], r["_next"])
+            for r in with_lag_lead(df, ["k"], ["seq"], "v", "_prev", "_next").collect()
+        }
+        assert rows == {1: (None, 2.0), 2: (1.0, None)}
+
+    def test_densify_single_row_key(self, spark):
+        df = spark.createDataFrame(
+            [("a", D(2024, 1, 5), 1.0), ("b", D(2024, 1, 7), 2.0)],
+            "k string, date date, v double",
+        )
+        got = densify_daily(df, ["k"], "date").collect()
+        # a: Jan 5..7 (global max), b: Jan 7 only
+        assert sorted((r["k"], r["date"].day) for r in got) == [
+            ("a", 5), ("a", 6), ("a", 7), ("b", 7),
+        ]
