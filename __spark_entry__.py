@@ -1,12 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry(spark): flagship wallet-profits kernel on sf0.001.
-queries(): 47 entries — the SURVEY.md §2 operator inventory (scans,
+queries(): 50 entries — the SURVEY.md §2 operator inventory (scans,
   filters, scalar fns, every join type incl. as-of and range, aggs,
   windows incl. RANGE frames and rollup, densify/impute, set ops,
   incremental/streaming, outlier rules) + the LLM-data operators
-  (exact/MinHash-LSH/SimHash/cosine dedup, ANN, text quality,
-  multimodal features).
+  (exact/MinHash-LSH/SimHash/cosine dedup + canonical clustering,
+  ANN, text quality, multimodal features).
 oracle_sql(): DuckDB-runnable ANSI SQL twins for ALL entries —
   including the Structured Streaming rollup, which is verified against
   its batch oracle.

@@ -273,6 +273,65 @@ def simhash_near_dups(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(node, label) per node appearing in `pairs`; label = the minimum
+    id in the node's connected component.
+
+    Min-label propagation: every round each node adopts the smallest
+    label among itself and its neighbors — one equi-join keyed on node
+    id plus one min-aggregation per round, both map-side combinable.
+    Converges in O(graph diameter) rounds; LSH near-dup clusters are
+    near-cliques, so the diameter (and round count) is tiny in the
+    intended workload. Lineage is truncated every round with an eager
+    localCheckpoint, so the plan size stays constant across
+    iterations instead of growing a join per round.
+
+    Scale note: for adversarial graphs (long chains, 100 TB corpora)
+    swap the propagation body for the large-star/small-star rewrite
+    (O(log n) rounds, same per-round DataFrame skeleton); the simple
+    propagation is kept here because it is the right trade for the
+    near-clique cluster shapes dedup actually produces.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_nbr"))
+        .select(F.col("src").alias("node"), F.least("src", "_nbr").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.select(F.col("node").alias("dst"), "label"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("_nbr_label"))
+            .withColumnRenamed("src", "node")
+        )
+        stepped = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least("label", F.coalesce("_nbr_label", "label")).alias("label"),
+                (F.col("_nbr_label") < F.col("label")).alias("_chg"),
+            )
+            .localCheckpoint()
+        )
+        labels = stepped.drop("_chg")
+        if stepped.filter("_chg").limit(1).count() == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def token_jaccard(
     df: DataFrame,
     pairs: DataFrame,

@@ -11,6 +11,8 @@ from etl_pipelines_spark.llm.dedup import (
     N_SIMHASH_BITS,
     SIMHASH_CHUNKS,
     _simhash_bit_sql,
+    connected_components,
+    doc_shingles,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -46,6 +48,81 @@ MINHASH_SQL = f"""
     FROM toks
     GROUP BY doc_id
 """
+
+
+# --------------------------------------------------------------------- q29
+@register(
+    "q29_dedup_canonical_clusters",
+    f"""
+    WITH RECURSIVE sigs AS ({MINHASH_SQL}),
+    banded AS (
+        SELECT doc_id, CONCAT('0|', mh_0) AS band_key FROM sigs
+        UNION ALL SELECT doc_id, CONCAT('1|', mh_1) FROM sigs
+        UNION ALL SELECT doc_id, CONCAT('2|', mh_2) FROM sigs
+        UNION ALL SELECT doc_id, CONCAT('3|', mh_3) FROM sigs
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM banded l JOIN banded r ON l.band_key = r.band_key
+        WHERE l.doc_id < r.doc_id
+    ),
+    toks AS ({SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, COUNT(token) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT p.doc_a, p.doc_b, COUNT(*) AS n_intersect
+        FROM cand p
+        JOIN toks ta ON ta.doc_id = p.doc_a
+        JOIN toks tb ON tb.doc_id = p.doc_b AND tb.token = ta.token
+        GROUP BY p.doc_a, p.doc_b
+    ),
+    dup AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.n_intersect AS DOUBLE)
+              / CAST(sa.n + sb.n - i.n_intersect AS DOUBLE) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM dup
+        UNION ALL SELECT doc_b, doc_a FROM dup
+    ),
+    reach(node, lbl) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.node = e.d
+    ),
+    labels AS (SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(l.lbl, d.doc_id) AS canonical_id,
+           d.doc_id = COALESCE(l.lbl, d.doc_id) AS is_canonical
+    FROM documents d
+    LEFT JOIN labels l ON l.node = d.doc_id
+    """,
+    description="Dedup clustering: LSH candidates -> exact-Jaccard "
+    "verify (>=0.5) -> connected components (iterative min-label "
+    "propagation; recursive CTE in the oracle) -> one canonical doc "
+    "per near-dup cluster. The keep/drop decision a training-data "
+    "dedup pass actually emits — pairs alone (q34) don't dedupe.",
+    tags=("dedup", "iterative"),
+)
+def q29(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    sh = doc_shingles(docs).persist()
+    sh.count()  # one shingle scan feeds signatures AND the Jaccard verify
+    sigs = minhash_signatures(docs, shingles=sh)
+    pairs = lsh_candidate_pairs(sigs)
+    dup = token_jaccard(docs, pairs, shingles=sh).filter(F.col("jaccard") >= 0.5)
+    labels = connected_components(dup)
+    return (
+        docs.select("doc_id")
+        .join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", "doc_id").alias("canonical_id"),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("canonical_id"))
+    )
 
 
 # --------------------------------------------------------------------- q30

@@ -6,7 +6,7 @@ import datetime as dt
 
 from pyspark.sql import functions as F
 
-from etl_pipelines_spark.llm.dedup import salted_self_pairs
+from etl_pipelines_spark.llm.dedup import connected_components, salted_self_pairs
 from etl_pipelines_spark.operators.daily_net import daily_net_transfers
 from etl_pipelines_spark.operators.dedupe import dedupe_keep_first, dedupe_keep_latest
 from etl_pipelines_spark.operators.densify import densify_daily
@@ -49,6 +49,29 @@ class TestSaltedSelfPairs:
     def test_empty_input(self, spark):
         df = spark.createDataFrame([], "id long, bucket string")
         assert salted_self_pairs(df, ["bucket"], "id").count() == 0
+
+
+class TestConnectedComponents:
+    def _labels(self, spark, pairs):
+        df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        return {r["node"]: r["label"] for r in connected_components(df).collect()}
+
+    def test_chain_needs_multiple_rounds(self, spark):
+        # path 1-2-3-4-5: label 1 must propagate 4 hops
+        got = self._labels(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+    def test_two_components_and_clique(self, spark):
+        got = self._labels(spark, [(1, 2), (2, 3), (1, 3), (10, 11)])
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_label_flows_uphill_through_reversed_edges(self, spark):
+        # edge given high->low: undirectedness must still pull 9 down to 1
+        got = self._labels(spark, [(9, 1), (5, 9)])
+        assert got == {1: 1, 9: 1, 5: 1}
+
+    def test_empty_pairs(self, spark):
+        assert self._labels(spark, []) == {}
 
 
 class TestDailyNet:
