@@ -1,0 +1,78 @@
+"""Approximate-aggregate sketches (SURVEY.md §2.5 A13).
+
+The reference is exact-only; at 100 TB a cardinality pass over
+(key -> distinct members) is a sketch job. Two tiers:
+
+- Production path: Spark's built-in `approx_count_distinct` (HLL++):
+  partial-aggregable, one shuffle of fixed-size sketch bytes per key.
+  Nothing to build — use it directly when the answer only has to be
+  approximately right.
+- Oracle-checkable path (here): K-minimum-values over md5, expressed
+  purely in portable column expressions. Unlike HLL, the estimate is
+  bit-identical across engines (same hashes -> same k-th minimum ->
+  same division), so the correctness gate can diff it against DuckDB.
+
+KMV estimator: hash every member to (0, 2^48) via the first 12 hex
+chars of md5; for each key keep the k smallest distinct hashes. If
+fewer than k exist the count is exact; otherwise the k-th minimum
+h_k estimates density and distinct ~= (k-1) / (h_k / 2^48).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_HEX_DIGITS = 12
+HASH_SPACE = float(1 << (4 * HASH_HEX_DIGITS))  # 2^48
+
+
+def kmv_hash(value_expr: F.Column) -> F.Column:
+    """48-bit integer hash of a string column: first 12 hex chars of
+    md5. conv() parses hex on the JVM; the DuckDB oracle mirrors it
+    with a digit-expansion polynomial (`kmv_hash_sql`)."""
+    return F.conv(F.substring(F.md5(value_expr), 1, HASH_HEX_DIGITS), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_hash_sql(str_expr: str) -> str:
+    """Engine-portable SQL for `kmv_hash` (DuckDB has no conv():
+    expand hex digits positionally via instr over the hex alphabet)."""
+    terms = [
+        f"(CAST(instr('0123456789abcdef', substring(md5({str_expr}), {i + 1}, 1)) "
+        f"AS BIGINT) - 1) * {16 ** (HASH_HEX_DIGITS - 1 - i)}"
+        for i in range(HASH_HEX_DIGITS)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def kmv_distinct(
+    df: DataFrame, group_cols: list[str], value_col: str, k: int = 16
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate: (group_cols..., n_min,
+    kmv_estimate). n_min = |kept hashes| (= exact count when < k).
+
+    Two shuffles at this altitude (distinct on (key, hash), then the
+    per-key rank) — acceptable because the distinct output is already
+    the sketch-sized stream. The one-shuffle formulation is a custom
+    Aggregator keeping a k-array per partition; Spark ships that
+    built-in as approx_count_distinct, which is what production runs —
+    this operator exists for cross-engine-deterministic verification.
+    """
+    hashed = df.select(
+        *group_cols, kmv_hash(F.col(value_col).cast("string")).alias("_h")
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    topk = hashed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    est = F.when(
+        F.col("n_min") < k, F.col("n_min").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) / (F.col("_hk").cast("double") / F.lit(HASH_SPACE))
+    )
+    return (
+        topk.groupBy(*group_cols)
+        .agg(F.count("_h").alias("n_min"), F.max("_h").alias("_hk"))
+        .withColumn("kmv_estimate", est.cast("double"))
+        .drop("_hk")
+    )

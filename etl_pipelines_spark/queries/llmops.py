@@ -621,3 +621,62 @@ def q44(spark: SparkSession, sf: str) -> DataFrame:
             (F.sum(scaled).cast("double") / F.lit(1e12)) / F.count(F.lit(1))
         ).cast("double").alias("centroid_val")
     )
+
+
+# --------------------------------------------------------------------- q52
+@register(
+    "q52_tfidf_top_terms",
+    """
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT t.doc_id, t.token, t.tf,
+               CAST(CAST(t.tf AS DOUBLE)
+                    * ((CAST(n.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                       / (CAST(d.df AS DOUBLE) + 0.5)) AS DOUBLE) AS score
+        FROM tf t JOIN dfreq d USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, score
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, token) AS rn FROM scored)
+    WHERE rn <= 3
+    """,
+    description="TF-IDF top-3 terms per doc with a BM25-style RATIONAL "
+    "idf (N - df + 0.5)/(df + 0.5): same ranking as log-idf (monotone "
+    "transform) but bit-identical across engines — ln() is not. "
+    "df table is tiny (vocabulary) -> broadcast join against the "
+    "token stream; the top-k is one per-doc window",
+    tags=("text", "window"),
+)
+def q52(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (
+                F.col("tf").cast("double")
+                * (
+                    (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+                    / (F.col("df").cast("double") + F.lit(0.5))
+                )
+            ).cast("double"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tf", "score")
+    )

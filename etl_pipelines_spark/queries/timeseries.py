@@ -643,3 +643,44 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
     return joined.groupBy("coin_id", "date").agg(
         F.count(F.lit(1)).alias("n_in_flight")
     )
+
+
+# --------------------------------------------------------------------- q51
+from etl_pipelines_spark.operators.sketches import kmv_distinct, kmv_hash_sql  # noqa: E402
+
+_KMV_K = 16
+
+@register(
+    "q51_kmv_distinct_sketch",
+    f"""
+    WITH x AS ({TRANSFERS_SQL}),
+    hashed AS (
+        SELECT DISTINCT coin_id,
+               {kmv_hash_sql("CAST(wallet_address AS VARCHAR)")} AS h
+        FROM x
+    ),
+    ranked AS (
+        SELECT coin_id, h,
+               ROW_NUMBER() OVER (PARTITION BY coin_id ORDER BY h) AS rn
+        FROM hashed
+    ),
+    sketch AS (
+        SELECT coin_id, CAST(COUNT(*) AS BIGINT) AS n_min, MAX(h) AS hk
+        FROM ranked WHERE rn <= {_KMV_K} GROUP BY coin_id
+    )
+    SELECT coin_id, n_min,
+           CAST(CASE WHEN n_min < {_KMV_K} THEN CAST(n_min AS DOUBLE)
+                ELSE {float(_KMV_K - 1)} / (CAST(hk AS DOUBLE) / 281474976710656.0)
+           END AS DOUBLE) AS kmv_estimate
+    FROM sketch
+    """,
+    description="A13 approximate aggregates: K-minimum-values distinct "
+    "wallets per coin. Deliberately engine-portable (md5-based, exact "
+    "division) so the estimate itself is oracle-diffable — the "
+    "production path at 100 TB is the built-in HLL++ "
+    "approx_count_distinct (see operators/sketches.py)",
+    tags=("agg", "sketch"),
+)
+def q51(spark: SparkSession, sf: str) -> DataFrame:
+    x = transfers(spark, sf)
+    return kmv_distinct(x, ["coin_id"], "wallet_address", k=_KMV_K)

@@ -98,6 +98,38 @@ class TestDailyNet:
         }
 
 
+class TestKmvDistinct:
+    def test_exact_branch_below_k(self, spark):
+        from etl_pipelines_spark.operators.sketches import kmv_distinct
+
+        df = spark.createDataFrame(
+            [("g", f"v{i % 5}") for i in range(50)], "grp string, val string"
+        )
+        row = kmv_distinct(df, ["grp"], "val", k=16).collect()[0]
+        assert row["n_min"] == 5
+        assert row["kmv_estimate"] == 5.0
+
+    def test_estimator_branch_tracks_cardinality(self, spark):
+        from etl_pipelines_spark.operators.sketches import kmv_distinct
+
+        df = spark.createDataFrame(
+            [("g", f"v{i}") for i in range(1000)], "grp string, val string"
+        )
+        row = kmv_distinct(df, ["grp"], "val", k=64).collect()[0]
+        assert row["n_min"] == 64
+        # KMV relative error ~ 1/sqrt(k-2) ~ 13%; allow 3 sigma
+        assert 600 < row["kmv_estimate"] < 1400
+
+    def test_hash_matches_sql_polynomial(self, spark):
+        from etl_pipelines_spark.operators.sketches import kmv_hash, kmv_hash_sql
+
+        df = spark.createDataFrame([(str(i),) for i in range(100)], "s string")
+        got = df.select(
+            kmv_hash(F.col("s")).alias("a"), F.expr(kmv_hash_sql("s")).alias("b")
+        ).filter("a <> b")
+        assert got.count() == 0
+
+
 class TestDedupe:
     def test_keep_first_and_latest(self, spark):
         df = spark.createDataFrame(
