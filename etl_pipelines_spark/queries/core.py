@@ -539,12 +539,22 @@ def q16(spark: SparkSession, sf: str) -> DataFrame:
     tags=("quality",),
 )
 def q17(spark: SparkSession, sf: str) -> DataFrame:
-    from etl_pipelines_spark.operators.outliers import (
-        remove_negative_balance_wallets,
-        remove_supply_overage_wallets,
-    )
+    # Single-pass evaluation of the Q1+Q2 rule stack. The row-preserving
+    # operators in operators/outliers.py read their input from five
+    # branches (mins, census, theta join, semi/anti join-backs) — the
+    # right shape when downstream needs the surviving ROWS (see
+    # plans/transfers.py). This query only emits per-pair aggregates, so
+    # every rule collapses onto one pair-level frame:
+    #   - min/max/count of balance per pair in ONE aggregation
+    #   - the row-level theta join `balance > total_supply` == the
+    #     per-pair predicate `max(balance) > total_supply`
+    #   - both coin-level censuses become windows over the tiny
+    #     pair-stats frame instead of groupBy + join-back branches
+    # Plan: scan -> (coin,wallet,date) agg -> balance window -> pair agg
+    # -> coin windows -> filters. No recomputed subtree, no persist.
     from etl_pipelines_spark.operators.windows import cumulative_window
     from etl_pipelines_spark.queries.timeseries import transfers as transfers_fn
+    from pyspark.sql import Window
 
     tr = transfers_fn(spark, sf)
     balances = tr.withColumn(
@@ -553,16 +563,41 @@ def q17(spark: SparkSession, sf: str) -> DataFrame:
             cumulative_window(["coin_id", "wallet_address"], ["date"])
         ),
     )
-    coins = t(spark, sf, "part").select(
+    supply = t(spark, sf, "part").select(
         F.col("p_partkey").alias("coin_id"),
         (F.col("p_size").cast("double") * 40.0).alias("total_supply"),
     )
-    cleaned = remove_supply_overage_wallets(
-        remove_negative_balance_wallets(balances), coins
+    pair_stats = (
+        balances.groupBy("coin_id", "wallet_address")
+        .agg(
+            F.min("balance").alias("_lowest"),
+            F.count(F.lit(1)).alias("n_days"),
+            F.max("balance").alias("_peak"),
+        )
+        .join(F.broadcast(supply), "coin_id")
     )
-    return cleaned.groupBy("coin_id", "wallet_address").agg(
-        F.count(F.lit(1)).alias("n_days"),
-        F.max("balance").cast("double").alias("peak_balance"),
+    coin_w = Window.partitionBy("coin_id")
+    # Q1: drop pairs with min(balance) <= -0.1; drop the coin at >= 10
+    q1 = (
+        pair_stats.withColumn(
+            "_neg_wallets",
+            F.sum(F.when(F.col("_lowest") < -0.1, 1).otherwise(0)).over(coin_w),
+        )
+        .filter((F.col("_lowest") > -0.1) & (F.col("_neg_wallets") < 10))
+    )
+    # Q2 over Q1 survivors: drop supply-overage pairs; drop the coin at >= 5
+    q2 = (
+        q1.withColumn("_over", F.col("_peak") > F.col("total_supply"))
+        .withColumn(
+            "_over_wallets", F.sum(F.col("_over").cast("int")).over(coin_w)
+        )
+        .filter(~F.col("_over") & (F.col("_over_wallets") < 5))
+    )
+    return q2.select(
+        "coin_id",
+        "wallet_address",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("_peak").cast("double").alias("peak_balance"),
     )
 
 
