@@ -846,3 +846,98 @@ def q50(spark: SparkSession, sf: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+# --------------------------------------------------------------------- q54
+@register(
+    "q54_column_profile",
+    """
+    WITH a AS (
+        SELECT COUNT(*) AS n,
+               SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nn_ok,
+               COUNT(DISTINCT o_orderkey) AS nd_ok,
+               CAST(MIN(o_orderkey) AS DOUBLE) AS mn_ok, CAST(MAX(o_orderkey) AS DOUBLE) AS mx_ok,
+               SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn_ck,
+               COUNT(DISTINCT o_custkey) AS nd_ck,
+               CAST(MIN(o_custkey) AS DOUBLE) AS mn_ck, CAST(MAX(o_custkey) AS DOUBLE) AS mx_ck,
+               SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nn_tp,
+               COUNT(DISTINCT o_totalprice) AS nd_tp,
+               MIN(o_totalprice) AS mn_tp, MAX(o_totalprice) AS mx_tp,
+               SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nn_os,
+               COUNT(DISTINCT o_orderstatus) AS nd_os,
+               MIN(o_orderstatus) AS mn_os, MAX(o_orderstatus) AS mx_os,
+               SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nn_op,
+               COUNT(DISTINCT o_orderpriority) AS nd_op,
+               MIN(o_orderpriority) AS mn_op, MAX(o_orderpriority) AS mx_op,
+               SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS nn_od,
+               COUNT(DISTINCT o_orderdate) AS nd_od,
+               CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR) AS mn_od,
+               CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR) AS mx_od
+        FROM orders
+    )
+    SELECT 'o_orderkey' AS col_name, n AS n_rows, CAST(nn_ok AS BIGINT) AS n_null,
+           CAST(nd_ok AS BIGINT) AS n_distinct, mn_ok AS min_num, mx_ok AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM a
+    UNION ALL SELECT 'o_custkey', n, CAST(nn_ck AS BIGINT), CAST(nd_ck AS BIGINT),
+           mn_ck, mx_ck, NULL, NULL FROM a
+    UNION ALL SELECT 'o_totalprice', n, CAST(nn_tp AS BIGINT), CAST(nd_tp AS BIGINT),
+           mn_tp, mx_tp, NULL, NULL FROM a
+    UNION ALL SELECT 'o_orderstatus', n, CAST(nn_os AS BIGINT), CAST(nd_os AS BIGINT),
+           NULL, NULL, mn_os, mx_os FROM a
+    UNION ALL SELECT 'o_orderpriority', n, CAST(nn_op AS BIGINT), CAST(nd_op AS BIGINT),
+           NULL, NULL, mn_op, mx_op FROM a
+    UNION ALL SELECT 'o_orderdate', n, CAST(nn_od AS BIGINT), CAST(nd_od AS BIGINT),
+           NULL, NULL, mn_od, mx_od FROM a
+    """,
+    description="One-pass table profile (null count, distinct count, "
+    "typed min/max per column) pivoted to one row per column via "
+    "stack() — the data-quality census a pipeline runs before "
+    "training ingestion. Single scan + single agg; numeric and "
+    "string extrema carried in separate typed columns (double->string "
+    "formatting is not engine-portable)",
+    tags=("profiling", "agg"),
+)
+def q54(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+
+    def nn(c):
+        return F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long")
+
+    a = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[x for c, s in [("o_orderkey", "ok"), ("o_custkey", "ck")] for x in (
+            nn(c).alias(f"nn_{s}"),
+            F.countDistinct(c).alias(f"nd_{s}"),
+            F.min(c).cast("double").alias(f"mn_{s}"),
+            F.max(c).cast("double").alias(f"mx_{s}"),
+        )],
+        nn("o_totalprice").alias("nn_tp"),
+        F.countDistinct("o_totalprice").alias("nd_tp"),
+        F.min("o_totalprice").alias("mn_tp"),
+        F.max("o_totalprice").alias("mx_tp"),
+        *[x for c, s in [("o_orderstatus", "os"), ("o_orderpriority", "op")] for x in (
+            nn(c).alias(f"nn_{s}"),
+            F.countDistinct(c).alias(f"nd_{s}"),
+            F.min(c).alias(f"mn_{s}"),
+            F.max(c).alias(f"mx_{s}"),
+        )],
+        nn("o_orderdate").alias("nn_od"),
+        F.countDistinct("o_orderdate").alias("nd_od"),
+        F.min("o_orderdate").cast("date").cast("string").alias("mn_od"),
+        F.max("o_orderdate").cast("date").cast("string").alias("mx_od"),
+    )
+    stacked = a.selectExpr(
+        "n AS n_rows",
+        "stack(6,"
+        " 'o_orderkey', nn_ok, nd_ok, mn_ok, mx_ok, CAST(NULL AS STRING), CAST(NULL AS STRING),"
+        " 'o_custkey', nn_ck, nd_ck, mn_ck, mx_ck, CAST(NULL AS STRING), CAST(NULL AS STRING),"
+        " 'o_totalprice', nn_tp, nd_tp, mn_tp, mx_tp, CAST(NULL AS STRING), CAST(NULL AS STRING),"
+        " 'o_orderstatus', nn_os, nd_os, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_os, mx_os,"
+        " 'o_orderpriority', nn_op, nd_op, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_op, mx_op,"
+        " 'o_orderdate', nn_od, nd_od, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_od, mx_od"
+        ") AS (col_name, n_null, n_distinct, min_num, max_num, min_str, max_str)",
+    )
+    return stacked.select(
+        "col_name", "n_rows", "n_null", "n_distinct",
+        "min_num", "max_num", "min_str", "max_str",
+    )

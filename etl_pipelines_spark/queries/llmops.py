@@ -680,3 +680,53 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "token", "tf", "score")
     )
+
+
+# --------------------------------------------------------------------- q53
+@register(
+    "q53_group_quantiles",
+    """
+    WITH ranked AS (
+        SELECT source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    )
+    SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+           MAX(CASE WHEN rn = CEIL(0.5 * n) THEN n_chars END) AS p50_chars,
+           MAX(CASE WHEN rn = CEIL(0.9 * n) THEN n_chars END) AS p90_chars,
+           MAX(CASE WHEN rn = CEIL(0.99 * n) THEN n_chars END) AS p99_chars
+    FROM ranked GROUP BY source
+    """,
+    description="Exact per-group percentile_disc (p50/p90/p99 doc "
+    "length per source) via rank-position selection — engine-portable "
+    "where approx_percentile sketches are not. The value at rank "
+    "ceil(q*n) is deterministic under ties. At 100 TB swap in the "
+    "built-in approx_percentile (t-digest, partial-aggregable) when "
+    "the answer can be approximate",
+    tags=("profiling", "window"),
+)
+def q53(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars")
+    cw = Window.partitionBy("source")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("n"),
+    )
+
+    def at_q(q: float, name: str):
+        return F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("n")), F.col("n_chars"))
+        ).alias(name)
+
+    return ranked.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        at_q(0.5, "p50_chars"),
+        at_q(0.9, "p90_chars"),
+        at_q(0.99, "p99_chars"),
+    )
