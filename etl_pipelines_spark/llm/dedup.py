@@ -34,8 +34,13 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def doc_tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, token) distinct pairs. Deduped map-side via
     array_distinct BEFORE exploding — distinctness is per-doc, so a
-    cluster-wide distinct() shuffle would be pure waste."""
-    return df.select(
+    cluster-wide distinct() shuffle would be pure waste.
+
+    Repartition by doc first: a document corpus often arrives in few
+    fat files, and the hash/explode work downstream is per-doc CPU —
+    without the spread it single-threads on the scan partitioning.
+    The shuffle moves raw text once, before it fans out to tokens."""
+    return df.repartition(id_col).select(
         id_col,
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token"),
     )
@@ -48,12 +53,19 @@ def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     vocabularies — with unigram tokens every same-domain doc pair looks
     near-identical and LSH degenerates to an all-pairs join.
     """
-    tris = F.expr(
-        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - 2, 1)),"
-        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, 3)))"
+    # Materialize the word array ONCE per row before the lambda: an
+    # expression inside transform() re-evaluates per element, so
+    # inlining split() there costs O(words^2) splitting per doc.
+    words = df.repartition(id_col).select(
+        id_col, F.split(F.col(text_col), " ").alias("_w")
     )
-    # per-doc dedupe happens map-side (array_distinct) — no shuffle
-    return df.select(id_col, F.explode(F.array_distinct(tris)).alias("shingle"))
+    tris = F.expr(
+        "transform(sequence(1, greatest(size(_w) - 2, 1)),"
+        " i -> concat_ws(' ', slice(_w, i, 3)))"
+    )
+    # per-doc dedupe happens map-side (array_distinct); repartition by
+    # doc spreads the shingle+digest CPU across cores (see doc_tokens)
+    return words.select(id_col, F.explode(F.array_distinct(tris)).alias("shingle"))
 
 
 def salted_self_pairs(
@@ -96,14 +108,21 @@ def minhash_signatures(
     k: int = N_MINHASHES,
     shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """Per-doc MinHash signature over trigram shingles:
-    mh_j = min(md5('j:' || shingle)). Pass a persisted `shingles`
-    frame when the caller also feeds shingles to the verify stage —
-    shingling is the pipeline's one expensive scan."""
+    """Per-doc MinHash signature over trigram shingles.
+
+    The k "independent" hash functions are k disjoint 8-hex-char
+    slices of ONE md5 per shingle: mh_j = min(substr(md5(s), 8j, 8)).
+    One digest instead of k seeded digests — hashing dominates this
+    pipeline, so that is a kx saving — and md5 slices are independent
+    uniform bits. 32 bits per slice is plenty for banding: random
+    band collisions at corpus scale are pruned by the exact verify
+    stage. Pass a persisted `shingles` frame when the caller also
+    feeds shingles to the verify stage — shingling is the pipeline's
+    one expensive scan."""
     sh = shingles if shingles is not None else doc_shingles(df, text_col, id_col)
+    base = F.md5(F.col("shingle"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh_{j}")
-        for j in range(k)
+        F.min(F.substring(base, 8 * j + 1, 8)).alias(f"mh_{j}") for j in range(k)
     ]
     return sh.groupBy(id_col).agg(*aggs)
 

@@ -41,10 +41,10 @@ SHINGLE_SQL = """
 MINHASH_SQL = f"""
     WITH toks AS ({SHINGLE_SQL})
     SELECT doc_id,
-           MIN(MD5(CONCAT('0:', token))) AS mh_0,
-           MIN(MD5(CONCAT('1:', token))) AS mh_1,
-           MIN(MD5(CONCAT('2:', token))) AS mh_2,
-           MIN(MD5(CONCAT('3:', token))) AS mh_3
+           MIN(SUBSTRING(MD5(token), 1, 8)) AS mh_0,
+           MIN(SUBSTRING(MD5(token), 9, 8)) AS mh_1,
+           MIN(SUBSTRING(MD5(token), 17, 8)) AS mh_2,
+           MIN(SUBSTRING(MD5(token), 25, 8)) AS mh_3
     FROM toks
     GROUP BY doc_id
 """
@@ -204,8 +204,9 @@ def q32(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q33_minhash_signatures",
     MINHASH_SQL,
-    description="MinHash signatures: k=4 md5-seeded min-hashes over "
-    "distinct tokens (shuffle on doc_id only, never the text body)",
+    description="MinHash signatures: k=4 min-hashes as disjoint slices "
+    "of one md5 per shingle (shuffle on doc_id only, never the text "
+    "body; one digest serves all k hash functions)",
     tags=("dedup",),
 )
 def q33(spark: SparkSession, sf: str) -> DataFrame:
