@@ -94,21 +94,25 @@ def with_quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
     stopword ratio, token-count bounds -> quality_pass flag. Pure
     codegen expressions; at scale this is a map-only stage fused into
     the scan."""
-    toks = f"split({text_col}, ' ')"
+    # Split ONCE into a named column. Lambda-bearing expressions
+    # (aggregate/transform/filter) are opaque to Catalyst's common-
+    # subexpression elimination, so inlining split() into each metric
+    # would re-tokenize the document five times per row.
     stop_arr = "array(" + ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS) + ")"
     mean_len = F.expr(
-        f"CAST(aggregate(transform({toks}, t -> length(t)), 0L, (a, x) -> a + x) AS DOUBLE)"
-        f" / size({toks})"
+        "CAST(aggregate(transform(_toks, t -> length(t)), 0L, (a, x) -> a + x) AS DOUBLE)"
+        " / size(_toks)"
     )
     stop_ratio = F.expr(
-        f"CAST(size(filter({toks}, t -> array_contains({stop_arr}, t))) AS DOUBLE)"
-        f" / size({toks})"
+        f"CAST(size(filter(_toks, t -> array_contains({stop_arr}, t))) AS DOUBLE)"
+        " / size(_toks)"
     )
-    n_tokens = F.expr(f"size({toks})").cast("long")
     out = (
-        df.withColumn("n_tokens", n_tokens)
+        df.withColumn("_toks", F.split(F.col(text_col), " "))
+        .withColumn("n_tokens", F.size("_toks").cast("long"))
         .withColumn("mean_token_len", mean_len)
         .withColumn("stopword_ratio", stop_ratio)
+        .drop("_toks")
     )
     return out.withColumn(
         "quality_pass",

@@ -580,7 +580,12 @@ _STOP_LIST = "[" + ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS) + "]"
     tags=("text", "quality"),
 )
 def q41(spark: SparkSession, sf: str) -> DataFrame:
-    out = with_rolling_fingerprint(with_quality_filter(t(spark, sf, "documents")))
+    # Map-only text crunching inherits the scan's partitioning; a small
+    # corpus arrives as one fat file, single-threading the per-char
+    # rolling hash. Repartition spreads the CPU; at cluster scale the
+    # many-file scan already provides the spread and AQE can elide this.
+    docs = t(spark, sf, "documents").repartition("doc_id")
+    out = with_rolling_fingerprint(with_quality_filter(docs))
     return out.select(
         "doc_id", "n_tokens", "mean_token_len", "stopword_ratio", "rolling_fp", "quality_pass"
     )
