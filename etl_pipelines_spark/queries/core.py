@@ -889,55 +889,66 @@ def q50(spark: SparkSession, sf: str) -> DataFrame:
     UNION ALL SELECT 'o_orderdate', n, CAST(nn_od AS BIGINT), CAST(nd_od AS BIGINT),
            NULL, NULL, mn_od, mx_od FROM a
     """,
-    description="One-pass table profile (null count, distinct count, "
-    "typed min/max per column) pivoted to one row per column via "
-    "stack() — the data-quality census a pipeline runs before "
-    "training ingestion. Single scan + single agg; numeric and "
-    "string extrema carried in separate typed columns (double->string "
-    "formatting is not engine-portable)",
+    description="Table profile (null count, distinct count, typed "
+    "min/max per column), one row per column — the data-quality "
+    "census a pipeline runs before training ingestion. One branch "
+    "per column: a column-pruned scan feeding groupBy(value).count "
+    "(map-side combinable; the shuffle carries distinct values, not "
+    "rows) then a 1-row rollup. This sidesteps Spark's multi-"
+    "countDistinct Expand rewrite, which multiplies every input row "
+    "by the number of DISTINCT aggregates before shuffling. Numeric "
+    "and string extrema carried in separate typed columns "
+    "(double->string formatting is not engine-portable)",
     tags=("profiling", "agg"),
 )
 def q54(spark: SparkSession, sf: str) -> DataFrame:
     o = t(spark, sf, "orders")
 
-    def nn(c):
-        return F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long")
+    def profile(col: str, kind: str) -> DataFrame:
+        # distinct-by-grouping: n_distinct = count of non-null group
+        # keys; null count and n_rows recovered from the group sizes,
+        # so one narrow shuffle serves every statistic
+        g = o.select(col).groupBy(col).agg(F.count(F.lit(1)).alias("_cnt"))
+        if kind == "num":
+            mn = F.min(col).cast("double").alias("min_num")
+            mx = F.max(col).cast("double").alias("max_num")
+            ms = F.lit(None).cast("string").alias("min_str")
+            xs = F.lit(None).cast("string").alias("max_str")
+        elif kind == "date":
+            mn = F.lit(None).cast("double").alias("min_num")
+            mx = F.lit(None).cast("double").alias("max_num")
+            ms = F.min(col).cast("date").cast("string").alias("min_str")
+            xs = F.max(col).cast("date").cast("string").alias("max_str")
+        else:
+            mn = F.lit(None).cast("double").alias("min_num")
+            mx = F.lit(None).cast("double").alias("max_num")
+            ms = F.min(col).alias("min_str")
+            xs = F.max(col).alias("max_str")
+        return g.agg(
+            F.lit(col).alias("col_name"),
+            F.sum("_cnt").alias("n_rows"),
+            F.sum(F.when(F.col(col).isNull(), F.col("_cnt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_null"),
+            F.count(col).cast("long").alias("n_distinct"),
+            mn,
+            mx,
+            ms,
+            xs,
+        )
 
-    a = o.agg(
-        F.count(F.lit(1)).alias("n"),
-        *[x for c, s in [("o_orderkey", "ok"), ("o_custkey", "ck")] for x in (
-            nn(c).alias(f"nn_{s}"),
-            F.countDistinct(c).alias(f"nd_{s}"),
-            F.min(c).cast("double").alias(f"mn_{s}"),
-            F.max(c).cast("double").alias(f"mx_{s}"),
-        )],
-        nn("o_totalprice").alias("nn_tp"),
-        F.countDistinct("o_totalprice").alias("nd_tp"),
-        F.min("o_totalprice").alias("mn_tp"),
-        F.max("o_totalprice").alias("mx_tp"),
-        *[x for c, s in [("o_orderstatus", "os"), ("o_orderpriority", "op")] for x in (
-            nn(c).alias(f"nn_{s}"),
-            F.countDistinct(c).alias(f"nd_{s}"),
-            F.min(c).alias(f"mn_{s}"),
-            F.max(c).alias(f"mx_{s}"),
-        )],
-        nn("o_orderdate").alias("nn_od"),
-        F.countDistinct("o_orderdate").alias("nd_od"),
-        F.min("o_orderdate").cast("date").cast("string").alias("mn_od"),
-        F.max("o_orderdate").cast("date").cast("string").alias("mx_od"),
-    )
-    stacked = a.selectExpr(
-        "n AS n_rows",
-        "stack(6,"
-        " 'o_orderkey', nn_ok, nd_ok, mn_ok, mx_ok, CAST(NULL AS STRING), CAST(NULL AS STRING),"
-        " 'o_custkey', nn_ck, nd_ck, mn_ck, mx_ck, CAST(NULL AS STRING), CAST(NULL AS STRING),"
-        " 'o_totalprice', nn_tp, nd_tp, mn_tp, mx_tp, CAST(NULL AS STRING), CAST(NULL AS STRING),"
-        " 'o_orderstatus', nn_os, nd_os, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_os, mx_os,"
-        " 'o_orderpriority', nn_op, nd_op, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_op, mx_op,"
-        " 'o_orderdate', nn_od, nd_od, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_od, mx_od"
-        ") AS (col_name, n_null, n_distinct, min_num, max_num, min_str, max_str)",
-    )
-    return stacked.select(
+    cols = [
+        ("o_orderkey", "num"),
+        ("o_custkey", "num"),
+        ("o_totalprice", "num"),
+        ("o_orderstatus", "str"),
+        ("o_orderpriority", "str"),
+        ("o_orderdate", "date"),
+    ]
+    out = profile(*cols[0])
+    for c, kind in cols[1:]:
+        out = out.unionByName(profile(c, kind))
+    return out.select(
         "col_name", "n_rows", "n_null", "n_distinct",
         "min_num", "max_num", "min_str", "max_str",
     )

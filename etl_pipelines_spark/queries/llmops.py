@@ -41,12 +41,25 @@ SHINGLE_SQL = """
 MINHASH_SQL = f"""
     WITH toks AS ({SHINGLE_SQL})
     SELECT doc_id,
-           MIN(SUBSTRING(MD5(token), 1, 8)) AS mh_0,
-           MIN(SUBSTRING(MD5(token), 9, 8)) AS mh_1,
-           MIN(SUBSTRING(MD5(token), 17, 8)) AS mh_2,
-           MIN(SUBSTRING(MD5(token), 25, 8)) AS mh_3
+           MIN(SUBSTRING(MD5(token), 1, 4)) AS mh_0,
+           MIN(SUBSTRING(MD5(token), 5, 4)) AS mh_1,
+           MIN(SUBSTRING(MD5(token), 9, 4)) AS mh_2,
+           MIN(SUBSTRING(MD5(token), 13, 4)) AS mh_3,
+           MIN(SUBSTRING(MD5(token), 17, 4)) AS mh_4,
+           MIN(SUBSTRING(MD5(token), 21, 4)) AS mh_5,
+           MIN(SUBSTRING(MD5(token), 25, 4)) AS mh_6,
+           MIN(SUBSTRING(MD5(token), 29, 4)) AS mh_7
     FROM toks
     GROUP BY doc_id
+"""
+
+# 4 bands x 2 rows (AND-amplified band keys) — must mirror
+# lsh_candidate_pairs' concat_ws("|", mh_{2b}, mh_{2b+1}) exactly
+BANDED_SQL = """
+        SELECT doc_id, CONCAT('0|', mh_0, '|', mh_1) AS band_key FROM sigs
+        UNION ALL SELECT doc_id, CONCAT('1|', mh_2, '|', mh_3) FROM sigs
+        UNION ALL SELECT doc_id, CONCAT('2|', mh_4, '|', mh_5) FROM sigs
+        UNION ALL SELECT doc_id, CONCAT('3|', mh_6, '|', mh_7) FROM sigs
 """
 
 
@@ -55,12 +68,7 @@ MINHASH_SQL = f"""
     "q29_dedup_canonical_clusters",
     f"""
     WITH RECURSIVE sigs AS ({MINHASH_SQL}),
-    banded AS (
-        SELECT doc_id, CONCAT('0|', mh_0) AS band_key FROM sigs
-        UNION ALL SELECT doc_id, CONCAT('1|', mh_1) FROM sigs
-        UNION ALL SELECT doc_id, CONCAT('2|', mh_2) FROM sigs
-        UNION ALL SELECT doc_id, CONCAT('3|', mh_3) FROM sigs
-    ),
+    banded AS ({BANDED_SQL}),
     cand AS (
         SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
         FROM banded l JOIN banded r ON l.band_key = r.band_key
@@ -204,9 +212,9 @@ def q32(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q33_minhash_signatures",
     MINHASH_SQL,
-    description="MinHash signatures: k=4 min-hashes as disjoint slices "
-    "of one md5 per shingle (shuffle on doc_id only, never the text "
-    "body; one digest serves all k hash functions)",
+    description="MinHash signatures: k=8 min-hashes as disjoint 4-hex "
+    "slices of one md5 per shingle (shuffle on doc_id only, never the "
+    "text body; one digest serves all k hash functions)",
     tags=("dedup",),
 )
 def q33(spark: SparkSession, sf: str) -> DataFrame:
@@ -218,12 +226,7 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
     "q34_lsh_jaccard_pairs",
     f"""
     WITH sigs AS ({MINHASH_SQL}),
-    banded AS (
-        SELECT doc_id, CONCAT('0|', mh_0) AS band_key FROM sigs
-        UNION ALL SELECT doc_id, CONCAT('1|', mh_1) FROM sigs
-        UNION ALL SELECT doc_id, CONCAT('2|', mh_2) FROM sigs
-        UNION ALL SELECT doc_id, CONCAT('3|', mh_3) FROM sigs
-    ),
+    banded AS ({BANDED_SQL}),
     pairs AS (
         SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
         FROM banded l JOIN banded r ON l.band_key = r.band_key

@@ -42,8 +42,17 @@ TRANSFERS_SQL = """
 
 
 def daily_prices(spark: SparkSession, sf: str) -> DataFrame:
-    """Daily quantity-weighted average unit price per part."""
-    li = t(spark, sf, "lineitem")
+    """Daily quantity-weighted average unit price per part.
+
+    One explicit shuffle on coin_id serves the whole family of
+    consumers: hash(coin_id) satisfies the (coin_id, date) groupBy
+    clustering here AND every downstream per-coin window (dip
+    removal, ffill, trailing frames), so Catalyst inserts no further
+    exchanges — two implicit shuffles collapse into one, and the
+    single-file scan fans out across cores before the heavy agg."""
+    li = t(spark, sf, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_quantity"
+    ).repartition("l_partkey")
     return li.groupBy(
         F.col("l_partkey").alias("coin_id"), F.to_date("l_shipdate").alias("date")
     ).agg(
