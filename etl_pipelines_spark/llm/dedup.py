@@ -301,6 +301,78 @@ def simhash_near_dups(
     )
 
 
+CHUNK_TOKENS = 8
+
+
+def doc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = CHUNK_TOKENS,
+) -> DataFrame:
+    """(doc_id, ord, chunk, digest): the document cut into
+    non-overlapping `chunk_tokens`-token windows in order (the "line"
+    unit for corpus-level boilerplate removal when the corpus has no
+    newlines; a sentence splitter would slot in identically). digest =
+    md5(chunk) so downstream joins/shuffles move a fixed 32-char key,
+    never the chunk text."""
+    words = df.repartition(id_col).select(
+        id_col, F.split(F.col(text_col), " ").alias("_w")
+    )
+    k = int(chunk_tokens)
+    chunks = F.expr(
+        f"transform(sequence(0, CAST(ceil(size(_w) / {k}.0) AS INT) - 1),"
+        f" i -> struct(i AS ord, concat_ws(' ', slice(_w, i * {k} + 1, {k})) AS chunk))"
+    )
+    return words.select(id_col, F.inline(chunks)).withColumn(
+        "digest", F.md5("chunk")
+    )
+
+
+def chunk_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4-style corpus-level boilerplate removal: drop every chunk
+    ("line") that occurs in more than one distinct document, then
+    reassemble each document from its surviving chunks in original
+    order. Returns (doc_id, n_chunks, n_kept, clean_text) — clean_text
+    is '' when everything was boilerplate; within-doc repeats of a
+    chunk survive (the rule targets cross-document boilerplate).
+
+    Scale shape: chunk frequency is a groupBy on the md5 digest (the
+    chunk vocabulary — far too big to broadcast at corpus scale), and
+    the keep-filter is a left-semi join back on that digest, so both
+    shuffles carry 32-char keys. Reassembly is one per-doc
+    collect_list over (ord, chunk) structs — bounded by document
+    size, the same invariant every per-doc text op here relies on.
+    """
+    ch = doc_chunks(df, text_col, id_col).persist()
+    unique_digests = (
+        ch.groupBy("digest")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") == 1)
+        .select("digest")
+    )
+    kept = ch.join(unique_digests, "digest", "left_semi")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.expr("transform(array_sort(collect_list(struct(ord, chunk))), s -> s.chunk)"),
+        ).alias("clean_text"),
+    )
+    totals = ch.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_chunks"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "doc_a",

@@ -124,6 +124,54 @@ def with_quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signal: the share of all trigram
+    occurrences taken by the single most frequent trigram per doc
+    (high share = boilerplate/generated text).
+
+    Unlike the dedup shingle path this counts occurrences WITHOUT
+    per-doc dedupe — repetition is exactly what array_distinct would
+    erase. One shuffle on (doc, gram): the input is pre-partitioned by
+    doc, so partial aggregation collapses every within-doc repeat
+    map-side and the exchange carries per-doc gram counts only. The
+    per-doc total and the top gram both come from the same counted
+    frame (window sum + row_number), not a second scan.
+    """
+    from pyspark.sql import Window
+
+    words = df.repartition(id_col).select(
+        id_col, F.split(F.col(text_col), " ").alias("_w")
+    )
+    tris = F.expr(
+        "transform(sequence(1, greatest(size(_w) - 2, 1)),"
+        " i -> concat_ws(' ', slice(_w, i, 3)))"
+    )
+    counts = (
+        words.select(id_col, F.explode(tris).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    total_w = Window.partitionBy(id_col)
+    rank_w = Window.partitionBy(id_col).orderBy(
+        F.col("_cnt").desc(), F.col("gram").desc()
+    )
+    return (
+        counts.withColumn("n_trigrams", F.sum("_cnt").over(total_w))
+        .withColumn("_rn", F.row_number().over(rank_w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            id_col,
+            F.col("n_trigrams").cast("long").alias("n_trigrams"),
+            F.col("gram").alias("top_trigram"),
+            (F.col("_cnt").cast("double") / F.col("n_trigrams").cast("double")).alias(
+                "top_trigram_share"
+            ),
+        )
+    )
+
+
 def with_rolling_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Character-level polynomial rolling hash:
     h = fold(chars, seed, (acc, c) -> (acc*BASE + code(c)) mod MOD).

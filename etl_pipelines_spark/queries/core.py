@@ -253,7 +253,11 @@ def q07(spark: SparkSession, sf: str) -> DataFrame:
     tags=("join",),
 )
 def q08(spark: SparkSession, sf: str) -> DataFrame:
-    li = t(spark, sf, "lineitem")
+    # one shuffle on partkey feeds both agg branches and co-partitions
+    # the full-outer join, so neither branch adds its own exchange
+    li = t(spark, sf, "lineitem").select(
+        "l_partkey", "l_returnflag", "l_quantity"
+    ).repartition("l_partkey")
     ship = (
         li.filter(F.col("l_returnflag") != "R")
         .groupBy(F.col("l_partkey").alias("partkey"))

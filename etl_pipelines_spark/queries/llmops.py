@@ -739,3 +739,145 @@ def q53(spark: SparkSession, sf: str) -> DataFrame:
         at_q(0.9, "p90_chars"),
         at_q(0.99, "p99_chars"),
     )
+
+
+# --------------------------------------------------------------------- q55
+@register(
+    "q55_repetition_ratio",
+    """
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                   range(1, greatest(len(w) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(w, i, i + 2), ' ')
+               )) AS gram
+        FROM words
+    ),
+    counted AS (
+        SELECT doc_id, gram, COUNT(*) AS cnt FROM grams GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT doc_id, gram, cnt,
+               SUM(cnt) OVER (PARTITION BY doc_id) AS total,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, gram DESC) AS rn
+        FROM counted
+    )
+    SELECT doc_id, CAST(total AS BIGINT) AS n_trigrams, gram AS top_trigram,
+           CAST(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS DOUBLE)
+               AS top_trigram_share
+    FROM ranked WHERE rn = 1
+    """,
+    description="Gopher-style repetition signal: share of all trigram "
+    "occurrences taken by the most frequent trigram per doc (counts "
+    "WITHOUT per-doc dedupe — repetition is what dedupe would erase). "
+    "One (doc, gram) shuffle, pre-collapsed map-side because the input "
+    "is partitioned by doc",
+    tags=("text", "quality"),
+)
+def q55(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.llm.text import repetition_stats
+
+    return repetition_stats(t(spark, sf, "documents"))
+
+
+# --------------------------------------------------------------------- q56
+@register(
+    "q56_chunk_dedup",
+    """
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               UNNEST(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS ord,
+               UNNEST(list_transform(
+                   range(0, CAST(ceil(len(w) / 8.0) AS BIGINT)),
+                   i -> array_to_string(list_slice(w, i * 8 + 1, i * 8 + 8), ' ')
+               )) AS chunk
+        FROM words
+    ),
+    uniq AS (
+        SELECT chunk FROM chunks GROUP BY chunk
+        HAVING COUNT(DISTINCT doc_id) = 1
+    ),
+    kept AS (
+        SELECT c.doc_id, c.ord, c.chunk
+        FROM chunks c JOIN uniq u ON u.chunk = c.chunk
+    ),
+    rebuilt AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               string_agg(chunk, ' ' ORDER BY ord) AS clean_text
+        FROM kept GROUP BY doc_id
+    ),
+    totals AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+        FROM chunks GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_chunks,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           COALESCE(r.clean_text, '') AS clean_text
+    FROM totals t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+    """,
+    description="C4-style corpus-level boilerplate removal: cut each "
+    "doc into 8-token chunks (the no-newline stand-in for lines), drop "
+    "chunks occurring in >1 distinct doc, reassemble survivors in "
+    "order. Chunk frequency + keep-filter shuffle md5 digests, never "
+    "chunk text (llm/dedup.py chunk_dedup)",
+    tags=("dedup", "text"),
+)
+def q56(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.llm.dedup import chunk_dedup
+
+    return chunk_dedup(t(spark, sf, "documents"))
+
+
+# --------------------------------------------------------------------- q57
+from etl_pipelines_spark.operators.sketches import kmv_hash_sql  # noqa: E402
+
+_MIX_BUDGET = 0.5
+
+
+@register(
+    "q57_mixture_sampling",
+    f"""
+    WITH strata AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_stratum_docs,
+               CAST(FLOOR(sqrt(COUNT(*)) * 1000000) AS BIGINT) AS mass
+        FROM documents GROUP BY lang
+    ),
+    totals AS (
+        SELECT SUM(mass) AS total_mass, SUM(n_stratum_docs) AS total_docs
+        FROM strata
+    ),
+    rates AS (
+        SELECT s.lang, s.n_stratum_docs,
+               least(1.0, {_MIX_BUDGET} * CAST(t.total_docs AS DOUBLE)
+                     * (CAST(s.mass AS DOUBLE) / CAST(t.total_mass AS DOUBLE))
+                     / CAST(s.n_stratum_docs AS DOUBLE)) AS sample_rate
+        FROM strata s CROSS JOIN totals t
+    )
+    SELECT d.doc_id, d.lang, r.n_stratum_docs,
+           CAST(r.sample_rate AS DOUBLE) AS sample_rate,
+           CAST({kmv_hash_sql("CAST(d.doc_id AS VARCHAR)")} AS DOUBLE)
+               / 281474976710656.0 < r.sample_rate AS keep
+    FROM documents d JOIN rates r ON r.lang = d.lang
+    """,
+    description="Temperature-sampled source mixing (p ~ count^0.5, the "
+    "mT5/XLM-R multilingual mix rule) under a 50%-of-corpus budget: "
+    "tiny strata table broadcast back, deterministic md5-Bernoulli "
+    "keep per doc. Stratum masses quantized to BIGINT before the "
+    "global sum so the normalizer is exact in any summation order "
+    "(llm/mixing.py temperature_sample)",
+    tags=("text", "sampling"),
+)
+def q57(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.llm.mixing import temperature_sample
+
+    out = temperature_sample(
+        t(spark, sf, "documents"), ["lang"], budget_frac=_MIX_BUDGET
+    )
+    return out.select("doc_id", "lang", "n_stratum_docs", "sample_rate", "keep")
