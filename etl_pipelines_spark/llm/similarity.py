@@ -124,6 +124,31 @@ def lcg_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]
     return planes
 
 
+def _plane_projections_pandas(planes: list[list[float]]) -> Column:
+    """Arrow-vectorized projection pass: for each vector, an
+    array<long> of the floor-scaled dot products against every plane,
+    with the floor-scaled squared norm appended as the final element.
+    One matrix multiply replaces n_planes interpreted zip_with/
+    aggregate evaluations per row; every scalar op (IEEE double
+    multiply, floor, exact int64 sum) is identical to `_dot_scaled` /
+    `_norm`, so results are bit-equal to the JVM path and the oracle."""
+    import numpy as np
+    import pandas as pd
+
+    P = np.array(planes, dtype="float64").T  # dim x n_planes
+
+    @F.pandas_udf("array<long>")
+    def proj(v):
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        A = np.vstack(v.to_numpy()).astype("float64")
+        scaled = np.floor(A[:, :, None] * P[None, :, :] * SCALE).astype("int64").sum(axis=1)
+        normsq = np.floor(A * A * SCALE).astype("int64").sum(axis=1)
+        return pd.Series(list(np.concatenate([scaled, normsq[:, None]], axis=1)))
+
+    return proj
+
+
 def cosine_near_dups(
     embeddings: DataFrame,
     plane_bands: list[list[list[float]]],
@@ -138,20 +163,36 @@ def cosine_near_dups(
     candidate pairs come from equi-self-joins on (band, bucket) — the
     corpus is never all-pairs joined. Exact cosine then prunes. Recall
     is tunable by band count; precision is exact.
+
+    One persisted projection frame serves everything: all bands' plane
+    dots AND the norm come from a single Arrow pass over the corpus
+    (`_plane_projections_pandas`), then each band's bucket key is a
+    sign-pattern read off that frame, and the verify stage's norms are
+    element lookups — the embedding column is scanned once, not
+    2 x bands + 1 times.
     """
     from etl_pipelines_spark.llm.dedup import salted_self_pairs
 
+    flat_planes = [p for band in plane_bands for p in band]
+    proj = embeddings.repartition(id_col).select(
+        id_col,
+        F.col(vec_col).alias("_vec"),
+        _plane_projections_pandas(flat_planes)(F.col(vec_col)).alias("_d"),
+    ).persist()
+    proj.count()  # every band self-join and the verify joins read this
+
     frames = []
+    offset = 0
     for b, planes in enumerate(plane_bands):
-        bucketed = (
-            hyperplane_lsh_buckets(embeddings, planes, id_col, vec_col)
-            .select(
-                F.col(id_col), F.concat(F.lit(f"{b}|"), F.col("bucket")).alias("bucket")
-            )
-            .persist()
+        bits = [
+            F.when(F.element_at("_d", offset + j + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(len(planes))
+        ]
+        keyed = proj.select(
+            F.col(id_col), F.concat(F.lit(f"{b}|"), *bits).alias("bucket")
         )
-        bucketed.count()  # both sides of the salted self-join read this
-        frames.append(salted_self_pairs(bucketed, ["bucket"], id_col))
+        frames.append(salted_self_pairs(keyed, ["bucket"], id_col))
+        offset += len(planes)
     cands = frames[0]
     for fr in frames[1:]:
         cands = cands.unionByName(fr)
@@ -159,19 +200,18 @@ def cosine_near_dups(
         F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
     )
 
-    va = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"))
-    vb = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"))
-    norms = embeddings.select(
-        F.col(id_col).alias("_nid"), _norm(F.col(vec_col)).alias("_nrm")
+    nrm = F.sqrt(F.element_at("_d", len(flat_planes) + 1).cast("double") / F.lit(SCALE))
+    va = proj.select(
+        F.col(id_col).alias("vec_a"), F.col("_vec").alias("_va"), nrm.alias("_na")
+    )
+    vb = proj.select(
+        F.col(id_col).alias("vec_b"), F.col("_vec").alias("_vb"), nrm.alias("_nb")
     )
     dot = _dot_scaled_pandas()
     return (
         cands.join(va, "vec_a")
         .join(vb, "vec_b")
-        .withColumn("_dot", dot(F.col("_va"), F.col("_vb")))
-        .join(norms.withColumnRenamed("_nid", "vec_a").withColumnRenamed("_nrm", "_na"), "vec_a")
-        .join(norms.withColumnRenamed("_nid", "vec_b").withColumnRenamed("_nrm", "_nb"), "vec_b")
-        .withColumn("cosine", F.col("_dot") / (F.col("_na") * F.col("_nb")))
+        .withColumn("cosine", dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
