@@ -1,0 +1,108 @@
+"""Physical-plan regression audits.
+
+These tests pin the *scale* properties the engine claims, not result
+values: filters reach the parquet scan, scans prune to the referenced
+columns, small dimensions broadcast, explicitly-repartitioned
+pipelines introduce no further shuffles, and rewrites that exist to
+avoid a pathological operator (q54 vs Expand) stay avoided. A perf
+regression that silently adds an exchange or un-pushes a filter fails
+here long before a benchmark would catch it.
+"""
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from etl_pipelines_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES[name].spark_fn(spark, SF).explain("formatted")
+    return buf.getvalue()
+
+
+def shuffle_exchanges(plan: str) -> int:
+    """Count distinct shuffle-exchange nodes (detail headers like
+    '(3) Exchange'; BroadcastExchange intentionally excluded)."""
+    return len(re.findall(r"^\(\d+\) Exchange$", plan, flags=re.M))
+
+
+class TestScanPushdown:
+    def test_q01_filter_reaches_parquet_scan(self, spark):
+        plan = plan_of(spark, "q01_pricing_summary")
+        pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+        assert pushed and "LessThan(l_shipdate" in pushed[0]
+
+    def test_q01_scan_prunes_columns(self, spark):
+        plan = plan_of(spark, "q01_pricing_summary")
+        schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+        # 6 referenced columns, none of the other 10 lineitem columns
+        assert schema.count(":") == 6 + 1  # 6 fields + the line's own colon
+        assert "l_orderkey" not in schema and "l_comment" not in schema
+
+    def test_q07_semi_join_prunes_to_join_key(self, spark):
+        plan = plan_of(spark, "q07_semi_join_priced_coins")
+        li_schemas = [
+            l for l in plan.splitlines()
+            if "ReadSchema" in l and "l_partkey" in l
+        ]
+        # the lineitem side of a semi join needs the key + filter col only
+        assert li_schemas and all(s.count(":") <= 2 + 1 for s in li_schemas)
+
+
+class TestJoinStrategy:
+    def test_q02_dims_broadcast(self, spark):
+        plan = plan_of(spark, "q02_region_customer_revenue")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_q06_anti_join_no_cartesian(self, spark):
+        plan = plan_of(spark, "q06_anti_join_exclusions")
+        assert "LeftAnti" in plan
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+class TestShuffleBudget:
+    def test_q20_single_exchange_serves_agg_and_window(self, spark):
+        # daily_prices repartitions on coin_id once; the (coin, date)
+        # groupBy and the per-coin lag/lead window must both reuse it
+        assert shuffle_exchanges(plan_of(spark, "q20_lag_lead_dip_removal")) == 1
+
+    def test_q08_two_filtered_half_exchanges(self, spark):
+        # Catalyst pushes each branch's returnflag predicate below the
+        # shared repartition, so the branches shuffle disjoint halves
+        # (2 half-size exchanges = 1 full-size, with scan-level
+        # filtering); the join itself must not add a third
+        plan = plan_of(spark, "q08_full_outer_coalesce")
+        assert shuffle_exchanges(plan) == 2
+        assert "EqualTo(l_returnflag,R)" in plan
+
+    def test_q22_kernel_two_exchanges(self, spark):
+        # one per base stream (prices by coin, transfers by coin+wallet);
+        # every window and the merge join ride those two
+        assert shuffle_exchanges(plan_of(spark, "q22_wallet_profits_kernel")) <= 2
+
+
+class TestRewritesStayAvoided:
+    def test_q54_profile_avoids_expand(self, spark):
+        # the multi-countDistinct formulation rewrites to Expand
+        # (input x N_distinct row blowup); the per-column-branch
+        # formulation must never reintroduce it
+        assert "Expand" not in plan_of(spark, "q54_column_profile")
+
+    def test_q30_dedup_shuffles_digest_not_text(self, spark):
+        plan = plan_of(spark, "q30_exact_dedup")
+        m = re.search(r"^\(\d+\) Exchange\s*$.*?Arguments: hashpartitioning\(([^,]+)", plan, re.M | re.S)
+        assert m and "_digest" in m.group(1)
+
+
+@pytest.fixture(autouse=True)
+def _quiet(spark):
+    spark.sparkContext.setLogLevel("ERROR")
+    yield
