@@ -172,8 +172,14 @@ def q04(spark: SparkSession, sf: str) -> DataFrame:
     tags=("agg", "explode"),
 )
 def q05(spark: SparkSession, sf: str) -> DataFrame:
-    li = t(spark, sf, "lineitem")
-    o = t(spark, sf, "orders")
+    # spread the single-file scan on the join key before the heavy
+    # explode+agg (a many-file scan at cluster scale provides this
+    # spread for free); the orders side broadcasts under AQE here and
+    # degrades gracefully to a co-partitioned shuffle join at scale
+    li = t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_partkey", "l_suppkey", "l_quantity"
+    ).repartition("l_orderkey")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
     raw = li.join(o, li.l_orderkey == o.o_orderkey).select(
         F.col("l_shipdate").alias("block_timestamp"),
         F.col("l_partkey").alias("token_address"),

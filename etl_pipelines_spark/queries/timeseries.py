@@ -66,19 +66,27 @@ def daily_prices(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def transfers(spark: SparkSession, sf: str) -> DataFrame:
-    """Daily signed net transfers per (part, customer)."""
-    li = t(spark, sf, "lineitem")
-    o = t(spark, sf, "orders")
+    """Daily signed net transfers per (part, customer).
+
+    One shuffle, placed BEFORE the join, serves the whole downstream
+    pipeline: hash(coin_id) satisfies this groupBy's (coin, wallet,
+    date) clustering, every later (coin, wallet) window/groupBy, and
+    co-partitions the (coin, date) join against daily_prices — no
+    further exchanges (pinned by test_plan_audits). Repartitioning the
+    scan side first also fans a single-file test corpus out across
+    cores before the join+agg CPU; the orders side broadcasts under
+    AQE at this size and falls back to a shuffle join at scale. Hot
+    coins are the skew risk of keying on coin alone — AQE skew-join
+    handles them (session default)."""
+    li = t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_shipdate", "l_returnflag", "l_quantity"
+    ).repartition("l_partkey")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
     signed = F.when(F.col("l_returnflag") == "R", -F.col("l_quantity")).otherwise(
         F.col("l_quantity")
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        # one shuffle serves the whole downstream pipeline: partitioning
-        # by (coin, wallet) satisfies this groupBy's (coin, wallet, date)
-        # clustering AND every later (coin, wallet) window/groupBy, so
-        # Catalyst inserts no further exchanges (verified via explain)
-        .repartition(F.col("l_partkey"), F.col("o_custkey"))
         .groupBy(
             F.col("l_partkey").alias("coin_id"),
             F.col("o_custkey").alias("wallet_address"),
