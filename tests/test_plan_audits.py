@@ -89,6 +89,32 @@ class TestShuffleBudget:
         assert shuffle_exchanges(plan_of(spark, "q22_wallet_profits_kernel")) <= 2
 
 
+class TestLLMPipelineShapes:
+    def test_q34_jaccard_intersection_is_equi_join(self, spark):
+        # token_jaccard writes the token-equality as a filter above the
+        # doc_b join; Catalyst must fold it into the join condition —
+        # if that ever breaks, the verify stage becomes a nested-loop
+        # cross of every pair against every token
+        plan = plan_of(spark, "q34_lsh_jaccard_pairs")
+        assert "BroadcastNestedLoop" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q05_explode_fused_two_exchanges(self, spark):
+        # the ±explode must stay a codegen Generate (not a shuffle),
+        # the orders dim broadcasts, and only the scan-spread and the
+        # daily-net groupBy exchange remain
+        plan = plan_of(spark, "q05_daily_net_kernel")
+        assert "Generate" in plan and "BroadcastHashJoin" in plan
+        assert shuffle_exchanges(plan) == 2
+
+    def test_q37_python_boundary_is_arrow_only(self, spark):
+        # pandas UDFs surface as ArrowEvalPython; BatchEvalPython would
+        # mean a row-at-a-time Python UDF crept into the hot path
+        plan = plan_of(spark, "q37_cosine_near_dup")
+        assert "ArrowEvalPython" in plan
+        assert "BatchEvalPython" not in plan
+
+
 class TestRewritesStayAvoided:
     def test_q54_profile_avoids_expand(self, spark):
         # the multi-countDistinct formulation rewrites to Expand
