@@ -1,0 +1,127 @@
+"""Training-corpus preparation — the LLM-data operators composed into
+one driver program, the way `plans/refresh.py` composes the warehouse.
+
+Pipeline (each stage only ever shrinks the corpus):
+
+    raw documents
+      -> quality gate          (Gopher/C4 thresholds, map-only)
+      -> exact dedup           (md5 digest groupBy, keep lowest id)
+      -> near-dup canonical    (MinHash 4x2 LSH -> Jaccard>=0.5 verify
+                                -> connected components, keep one doc
+                                per cluster)
+      -> boilerplate removal   (cross-doc 8-token chunk dedup, drop
+                                docs left empty)
+      -> mixture sample        (count^0.5 temperature by lang, budget
+                                frac of survivors, deterministic keep)
+      -> parquet partitioned by lang
+
+One shingle scan is persisted and feeds both the MinHash signatures
+and the Jaccard verify; everything else is a single lazy DAG whose
+only actions are the per-stage survivor counts (the report is the
+product — same build-then-audit topology as the warehouse refresh)
+and the final write.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipelines_spark.llm.dedup import (
+    chunk_dedup,
+    connected_components,
+    doc_shingles,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    token_jaccard,
+)
+from etl_pipelines_spark.llm.mixing import temperature_sample
+from etl_pipelines_spark.llm.text import with_quality_filter
+
+
+@dataclass
+class CorpusReport:
+    stage_counts: dict[str, int] = field(default_factory=dict)
+    out_rows: int = 0
+
+    @property
+    def monotone(self) -> bool:
+        counts = list(self.stage_counts.values())
+        return all(a >= b for a, b in zip(counts, counts[1:]))
+
+
+def prepare_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    budget_frac: float = 0.5,
+    jaccard_threshold: float = 0.5,
+) -> CorpusReport:
+    """Run the full preparation pipeline over `sf_dir/documents.parquet`
+    and write the sampled clean corpus to `out_dir`, partitioned by
+    lang (the downstream mixture consumer's natural read key).
+    Deterministic end to end: same input -> same surviving doc ids."""
+    report = CorpusReport()
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    report.stage_counts["raw"] = docs.count()
+
+    gated = (
+        with_quality_filter(docs)
+        .filter(F.col("quality_pass"))
+        .select(*docs.columns)
+    )
+    report.stage_counts["quality_gate"] = gated.count()
+
+    deduped = exact_dedup(gated)
+    report.stage_counts["exact_dedup"] = deduped.count()
+
+    sh = doc_shingles(deduped).persist()
+    sh.count()  # feeds signatures AND the Jaccard verify
+    sigs = minhash_signatures(deduped, shingles=sh)
+    pairs = lsh_candidate_pairs(sigs)
+    dup = token_jaccard(deduped, pairs, shingles=sh).filter(
+        F.col("jaccard") >= jaccard_threshold
+    )
+    labels = connected_components(dup)
+    canonical = (
+        deduped.join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .filter(F.coalesce(F.col("label"), F.col("doc_id")) == F.col("doc_id"))
+        .drop("label")
+    )
+    report.stage_counts["near_dup_canonical"] = canonical.count()
+
+    cleaned = chunk_dedup(canonical).filter(F.col("n_kept") > 0)
+    rebuilt = canonical.drop("text").join(
+        cleaned.select(
+            "doc_id", F.col("clean_text").alias("text"), "n_chunks", "n_kept"
+        ),
+        "doc_id",
+    )
+    report.stage_counts["boilerplate_removed"] = rebuilt.count()
+
+    sampled = temperature_sample(rebuilt, ["lang"], budget_frac=budget_frac).filter(
+        F.col("keep")
+    )
+    out = sampled.select(
+        "doc_id", "lang", "source", "text", "n_chunks", "n_kept", "sample_rate"
+    )
+    out.write.mode("overwrite").partitionBy("lang").parquet(out_dir)
+    report.stage_counts["sampled"] = report.out_rows = (
+        spark.read.parquet(out_dir).count()
+    )
+    sh.unpersist()
+    return report
+
+
+def stage_summary(report: CorpusReport) -> DataFrame:  # pragma: no cover
+    """Convenience: the report as a (stage, n_docs) frame for display."""
+    from etl_pipelines_spark.session import get_spark
+
+    spark = get_spark()
+    return spark.createDataFrame(
+        list(report.stage_counts.items()), "stage string, n_docs long"
+    )
