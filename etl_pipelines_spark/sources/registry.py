@@ -60,3 +60,30 @@ def write_partitioned(
     if cols:
         writer = writer.partitionBy(*cols)
     writer.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write a managed table bucketed (and sorted) on join/agg keys —
+    the co-located-join layout for tables that are repeatedly joined
+    on the same key at scale (the reference's CLUSTER BY coin_id,
+    wallet_address, orchestrator.py:277-279, is this intent).
+
+    Two bucketed tables with the same bucket spec join with NO
+    exchange on either side (pinned by test_write_path): at 100 TB
+    that turns the nightly transfers x prices join from two
+    corpus-size shuffles into a partition-local merge. Bucketing
+    requires saveAsTable (the bucket metadata lives in the catalog).
+    """
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+        .saveAsTable(table)
+    )

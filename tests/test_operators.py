@@ -6,7 +6,11 @@ import datetime as dt
 
 from pyspark.sql import functions as F
 
-from etl_pipelines_spark.llm.dedup import connected_components, salted_self_pairs
+from etl_pipelines_spark.llm.dedup import (
+    connected_components,
+    connected_components_star,
+    salted_self_pairs,
+)
 from etl_pipelines_spark.operators.daily_net import daily_net_transfers
 from etl_pipelines_spark.operators.dedupe import dedupe_keep_first, dedupe_keep_latest
 from etl_pipelines_spark.operators.densify import densify_daily
@@ -72,6 +76,40 @@ class TestConnectedComponents:
 
     def test_empty_pairs(self, spark):
         assert self._labels(spark, []) == {}
+
+
+class TestConnectedComponentsStar:
+    """The O(log n)-round large-star/small-star variant must agree with
+    min-label propagation on every graph shape."""
+
+    def _both(self, spark, pairs):
+        df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        star = {r["node"]: r["label"] for r in connected_components_star(df).collect()}
+        plain = {r["node"]: r["label"] for r in connected_components(df).collect()}
+        return star, plain
+
+    def test_long_chain(self, spark):
+        star, plain = self._both(spark, [(i, i + 1) for i in range(1, 30)])
+        assert star == plain == {i: 1 for i in range(1, 31)}
+
+    def test_clique_plus_island_plus_reversed(self, spark):
+        pairs = [(1, 2), (2, 3), (1, 3), (10, 11), (9, 4), (4, 20)]
+        star, plain = self._both(spark, pairs)
+        assert star == plain
+        assert star[20] == 4 and star[9] == 4
+
+    def test_random_graph_agrees(self, spark):
+        import random
+
+        rng = random.Random(7)
+        pairs = [(rng.randrange(40), rng.randrange(40)) for _ in range(60)]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        star, plain = self._both(spark, pairs)
+        assert star == plain
+
+    def test_empty(self, spark):
+        star, plain = self._both(spark, [])
+        assert star == plain == {}
 
 
 class TestDailyNet:

@@ -53,3 +53,33 @@ def test_overwrite_mode_replaces(spark, tmp_path):
     smaller = _table(spark).filter(F.col("coin_id") == "c1")
     write_partitioned(smaller, path, mode="overwrite")
     assert spark.read.parquet(path).count() == 5
+
+
+def test_bucketed_join_needs_no_exchange(spark):
+    """Two tables bucketed on the same key must join without shuffling
+    either side — the co-located-join layout write_bucketed exists for."""
+    import contextlib
+    import io
+    import re
+
+    from etl_pipelines_spark.sources.registry import write_bucketed
+
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v1")
+    )
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v2")
+    )
+    write_bucketed(left, "bkt_left", ["k"], n_buckets=4)
+    write_bucketed(right, "bkt_right", ["k"], n_buckets=4)
+    try:
+        joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert not re.findall(r"^\(\d+\) Exchange$", plan, flags=re.M), plan
+        assert joined.count() == 1000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
