@@ -96,3 +96,89 @@ def test_kernel_invariants_hold_for_any_input(spark, fixture):
         acc = by_pair.get(k, 0.0) + r["profits_change"]
         assert abs(r["profits_cumulative"] - acc) < 1e-6
         by_pair[k] = acc
+
+
+# ---------------------------------------------------------------- llm ops
+
+WORDS = ["alpha", "beta", "gamma", "delta", "eps"]
+
+
+@st.composite
+def corpus_fixture(draw):
+    """2-6 docs of 1-40 words over a tiny vocabulary (guarantees both
+    shared and unique chunks/shingles appear across runs)."""
+    n = draw(st.integers(2, 6))
+    docs = []
+    for i in range(n):
+        k = draw(st.integers(1, 40))
+        docs.append((i, " ".join(draw(st.sampled_from(WORDS)) for _ in range(k))))
+    return docs
+
+
+@settings(max_examples=8, deadline=None)
+@given(corpus_fixture())
+def test_chunk_dedup_conserves_and_orders(spark, docs):
+    """n_kept <= n_chunks per doc; clean_text is a subsequence of the
+    original chunk stream (order preserved, nothing invented); docs
+    whose chunks are all unique to them reassemble verbatim."""
+    from etl_pipelines_spark.llm.dedup import chunk_dedup, doc_chunks
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in chunk_dedup(df).collect()}
+    chunks = {}
+    for r in doc_chunks(df).collect():
+        chunks.setdefault(r.doc_id, []).append((r.ord, r.chunk))
+    owners = {}
+    for d, cs in chunks.items():
+        for _, c in cs:
+            owners.setdefault(c, set()).add(d)
+    for doc_id, text in docs:
+        row = out[doc_id]
+        ordered = [c for _, c in sorted(chunks[doc_id])]
+        assert row.n_chunks == len(ordered)
+        assert 0 <= row.n_kept <= row.n_chunks
+        kept = [c for c in ordered if len(owners[c]) == 1]
+        assert row.clean_text == " ".join(kept)
+        if all(len(owners[c]) == 1 for c in ordered):
+            assert row.clean_text == text
+
+
+@settings(max_examples=8, deadline=None)
+@given(corpus_fixture())
+def test_repetition_share_bounds(spark, docs):
+    """share in (0, 1]; share == 1 iff the doc has one distinct trigram;
+    n_trigrams == max(len-2, 1) for a doc of len whitespace tokens."""
+    from etl_pipelines_spark.llm.text import repetition_stats
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    for doc_id, text in docs:
+        r = out[doc_id]
+        n_words = len(text.split(" "))
+        assert r.n_trigrams == max(n_words - 2, 1)
+        assert 0 < r.top_trigram_share <= 1.0
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.sampled_from(["en", "de", "es"]), min_size=4, max_size=40))
+def test_temperature_sample_rate_invariants(spark, langs):
+    """Rates lie in (0, 1]; smaller strata never get a lower rate than
+    larger ones (sqrt-temperature upweights the tail); expected kept
+    volume sum(rate * n) never exceeds the budget."""
+    from etl_pipelines_spark.llm.mixing import temperature_sample
+
+    rows = [(i, lang) for i, lang in enumerate(langs)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_sample(df, ["lang"], budget_frac=0.5)
+    strata = {
+        (r.lang): (r.n_stratum_docs, r.sample_rate)
+        for r in out.select("lang", "n_stratum_docs", "sample_rate").distinct().collect()
+    }
+    for n, rate in strata.values():
+        assert 0 < rate <= 1.0
+    sizes = sorted(strata.values())
+    for (n1, r1), (n2, r2) in zip(sizes, sizes[1:]):
+        if n1 < n2:
+            assert r1 >= r2 - 1e-12
+    expected_kept = sum(n * r for n, r in strata.values())
+    assert expected_kept <= 0.5 * len(langs) + 1e-9
