@@ -881,3 +881,127 @@ def q57(spark: SparkSession, sf: str) -> DataFrame:
         t(spark, sf, "documents"), ["lang"], budget_frac=_MIX_BUDGET
     )
     return out.select("doc_id", "lang", "n_stratum_docs", "sample_rate", "keep")
+
+
+# --------------------------------------------------------------------- q58
+_SEQ_BUDGET = 2048  # chars per packed training sequence
+
+
+@register(
+    "q58_sequence_packing",
+    f"""
+    WITH ordered AS (
+        SELECT doc_id, lang, n_chars,
+               SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_chars AS start_pos
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(FLOOR(start_pos / {_SEQ_BUDGET}.0) AS BIGINT) AS seq_id,
+           CAST(start_pos % {_SEQ_BUDGET} AS BIGINT) AS seq_offset
+    FROM ordered
+    """,
+    description="Training-sequence packing layout: docs concatenated "
+    "per lang in stable doc_id order, each assigned the fixed-budget "
+    "sequence its start lands in plus the offset within it. One "
+    "per-lang running-sum window — the shuffle is the pack order, "
+    "which at scale is the same partitionBy(lang) the corpus is "
+    "already written in",
+    tags=("text", "window", "packing"),
+)
+def q58(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = (F.sum("n_chars").over(w) - F.col("n_chars")).alias("_start")
+    return docs.select("doc_id", "lang", start).select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("_start") / F.lit(float(_SEQ_BUDGET))).cast("long").alias("seq_id"),
+        (F.col("_start") % _SEQ_BUDGET).cast("long").alias("seq_offset"),
+    )
+
+
+# --------------------------------------------------------------------- q59
+@register(
+    "q59_split_assignment",
+    f"""
+    SELECT doc_id, lang,
+           CAST({kmv_hash_sql("CAST(doc_id AS VARCHAR)")} % 100 AS BIGINT) AS bucket,
+           CASE WHEN {kmv_hash_sql("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+                WHEN {kmv_hash_sql("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    description="Deterministic train/val/test split: md5-hash bucket "
+    "per doc (stable under corpus growth and reshuffling — membership "
+    "depends only on the id, never on partitioning or arrival order). "
+    "Map-only; fuses into the scan",
+    tags=("text", "sampling"),
+)
+def q59(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.operators.sketches import kmv_hash
+
+    docs = t(spark, sf, "documents")
+    bucket = (kmv_hash(F.col("doc_id").cast("string")) % 100).cast("long")
+    return docs.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
+
+
+# --------------------------------------------------------------------- q60
+@register(
+    "q60_decontamination",
+    """
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    chunks AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(list_transform(
+                   range(0, CAST(ceil(len(w) / 5.0) AS BIGINT)),
+                   i -> array_to_string(list_slice(w, i * 5 + 1, i * 5 + 5), ' ')
+               )) AS chunk
+        FROM words
+    ),
+    bench AS (SELECT doc_id, chunk FROM chunks WHERE doc_id % 97 = 0),
+    train AS (SELECT doc_id, chunk FROM chunks WHERE doc_id % 97 <> 0)
+    SELECT t.doc_id AS train_doc_id, b.doc_id AS benchmark_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_chunks
+    FROM train t JOIN bench b ON b.chunk = t.chunk
+    GROUP BY 1, 2
+    """,
+    description="Eval-set decontamination: training docs sharing any "
+    "5-token chunk with a benchmark doc (doc_id % 97 = 0 stands in "
+    "for the eval set). The benchmark chunk table is tiny by "
+    "construction — exactly the real-world shape — so it broadcasts "
+    "and the corpus side never shuffles; chunk comparisons ride md5 "
+    "digests",
+    tags=("dedup", "text"),
+)
+def q60(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.llm.dedup import doc_chunks
+
+    ch = doc_chunks(t(spark, sf, "documents"), chunk_tokens=5).select(
+        "doc_id", "digest"
+    ).distinct()
+    bench = ch.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("benchmark_doc_id"), "digest"
+    )
+    train = ch.filter(F.col("doc_id") % 97 != 0).select(
+        F.col("doc_id").alias("train_doc_id"), "digest"
+    )
+    return (
+        train.join(F.broadcast(bench), "digest")
+        .groupBy("train_doc_id", "benchmark_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_chunks"))
+    )
