@@ -539,7 +539,13 @@ def token_jaccard(
 ) -> DataFrame:
     """Exact trigram-shingle-set Jaccard for the given (doc_a, doc_b)
     pairs. Pass a persisted `shingles` frame to share the shingle scan
-    with signature generation."""
+    with signature generation.
+
+    Deliberately NOT pre-filtered to candidate docs: deriving the
+    candidate id set from `pairs` for a semi-join re-executes the
+    whole LSH chain a second time (pairs is lazy — measured 2x worse
+    end-to-end than just shuffling the full persisted shingle frame).
+    At 100 TB, materialize `pairs` once first and THEN semi-join."""
     if shingles is None:
         shingles = doc_shingles(df, text_col, id_col).persist()
         shingles.count()  # feeds both intersection sides and the size agg
