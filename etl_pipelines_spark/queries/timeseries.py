@@ -701,3 +701,53 @@ _KMV_K = 16
 def q51(spark: SparkSession, sf: str) -> DataFrame:
     x = transfers(spark, sf)
     return kmv_distinct(x, ["coin_id"], "wallet_address", k=_KMV_K)
+
+
+# --------------------------------------------------------------------- q61
+_HOP_SLIDE_US = 12 * 3600 * 1_000_000  # 12h slide, 24h window -> 2 windows/event
+
+
+@register(
+    "q61_hopping_windows",
+    f"""
+    WITH ev AS (
+        SELECT user_id, CAST(value AS DECIMAL(38,4)) AS value,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               UNNEST([0, 1]) AS i
+        FROM events
+    )
+    SELECT make_timestamp(us - us % {_HOP_SLIDE_US} - i * {_HOP_SLIDE_US})
+               AS window_start,
+           make_timestamp(us - us % {_HOP_SLIDE_US} - i * {_HOP_SLIDE_US}
+               + {2 * _HOP_SLIDE_US}) AS window_end,
+           user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(value) AS DOUBLE) AS total_value
+    FROM ev
+    GROUP BY 1, 2, 3
+    """,
+    description="Hopping event-time windows (24h window, 12h slide — "
+    "every event lands in exactly 2 windows): F.window's generate + "
+    "one (window, user) aggregation, epoch-aligned exactly as Spark "
+    "aligns (floor to slide multiples since 1970 UTC), mirrored in "
+    "the oracle. The identical expression runs under readStream + "
+    "withWatermark for the streaming path (I6)",
+    tags=("window", "streaming"),
+)
+def q61(spark: SparkSession, sf: str) -> DataFrame:
+    ev = t(spark, sf, "events")
+    win = F.window("ts", "1 day", "12 hours")
+    return (
+        ev.groupBy(win.alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
