@@ -49,17 +49,24 @@ def register_testdata(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
 
 
 def write_partitioned(
-    df: DataFrame, path: str, partition_cols=("date",), mode: str = "overwrite"
+    df: DataFrame,
+    path: str,
+    partition_cols=("date",),
+    mode: str = "overwrite",
+    fmt: str = "parquet",
 ) -> None:
     """Write a curated table with the reference's physical layout:
     PARTITION BY DATE(date) CLUSTER BY ... (orchestrator.py:277-279) →
-    parquet partitionBy + sortWithinPartitions.
+    columnar partitionBy + sortWithinPartitions. `fmt` is any Spark
+    columnar format ("parquet" default, "orc" supported natively) —
+    partition pruning and predicate pushdown apply to both (pinned in
+    test_write_path).
     """
     cols = [c for c in partition_cols if c in df.columns]
-    writer = df.write.mode(mode)
+    writer = df.write.mode(mode).format(fmt)
     if cols:
         writer = writer.partitionBy(*cols)
-    writer.parquet(path)
+    writer.save(path)
 
 
 def write_bucketed(

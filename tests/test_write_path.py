@@ -83,3 +83,23 @@ def test_bucketed_join_needs_no_exchange(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_orc_write_round_trip_with_pruning(spark, tmp_path):
+    """The same partitioned layout must work under ORC: round trip,
+    per-date directories, and the date predicate still lands in
+    PartitionFilters with pushed column filters at the ORC scan."""
+    path = str(tmp_path / "curated_orc")
+    write_partitioned(_table(spark), path, fmt="orc")
+    back = spark.read.orc(path)
+    assert back.count() == 10
+    import os
+
+    assert len([p for p in os.listdir(path) if p.startswith("date=")]) == 5
+    q = back.filter(F.col("date") == D(2024, 1, 3))
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "date" in pf_line
+    assert q.count() == 2
