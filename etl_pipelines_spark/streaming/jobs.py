@@ -57,6 +57,38 @@ def daily_event_rollup(
     )
 
 
+def hopping_event_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Hopping-window twin of `daily_event_rollup` (and of catalog
+    q61): 24h windows sliding 12h, so every event lands in exactly two
+    windows. Same decimal-exact accumulation -> streaming == batch
+    bit-for-bit; state per (window, key) closes once the watermark
+    passes window end, bounding the store to 2/slide windows per key."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), "1 day", "12 hours").alias("win"),
+            F.col(key_col),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(38,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def dedupe_upsert_sink(output_path: str, keys: list[str], order_col: str):
     """foreachBatch function: keep the latest row per key within the
     micro-batch, then append. At-least-once input + dedupe-on-read

@@ -21,6 +21,7 @@ from etl_pipelines_spark.streaming.jobs import (
     _update_balance,
     daily_event_rollup,
     dedupe_upsert_sink,
+    hopping_event_rollup,
     running_balance_stateful,
 )
 
@@ -59,6 +60,30 @@ def test_daily_rollup_stream_matches_batch(spark, events_src):
     }
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_hopping_rollup_stream_matches_batch(spark, events_src):
+    out = hopping_event_rollup(_stream(spark, events_src))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hopping")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["window_start"], r["user_id"]): (r["n_events"], r["total_value"])
+        for r in spark.table("hopping").collect()
+    }
+    batch = {
+        (r["window_start"], r["user_id"]): (r["n_events"], r["total_value"])
+        for r in hopping_event_rollup(load_table(spark, SF_DIR, "events")).collect()
+    }
+    assert streamed == batch and len(streamed) > 0
+    # hopping invariant: total (event, window) memberships = 2x events
+    n_events = load_table(spark, SF_DIR, "events").count()
+    assert sum(v[0] for v in streamed.values()) == 2 * n_events
 
 
 def test_stateful_running_balance(spark, events_src):
