@@ -21,9 +21,11 @@ from pyspark.sql import functions as F
 from etl_pipelines_spark.operators.windows import cumulative_window
 from etl_pipelines_spark.quality import (
     ExpectationResult,
+    expect_lowercase,
     expect_monotone,
     expect_no_date_gaps,
     expect_not_null,
+    expect_referential_integrity,
     expect_unique,
 )
 from etl_pipelines_spark.sources.registry import write_partitioned
@@ -66,6 +68,95 @@ def refresh_warehouse(
         report.tables[name] = back.count()
         report.expectations.extend(checks(back))
         return back
+
+    # 0. dimensions (§3.1 steps 2-4 composed): chains with alias
+    # dedupe, coins intake with normalization + data-presence flags,
+    # facts via full-outer metadata coalesce (J7/P10)
+    from etl_pipelines_spark.functions.scalars import deterministic_id
+    from etl_pipelines_spark.operators.dedupe import dedupe_keep_first
+    from etl_pipelines_spark.sources.registry import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    chains = dedupe_keep_first(
+        nation.join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        ).select(
+            F.col("n_nationkey").alias("chain_id"),
+            F.lower("n_name").alias("chain"),  # P3 normalization
+            F.lower("r_name").alias("chain_group"),
+        ),
+        ["chain"],
+        [F.col("chain_id").asc()],  # A6 alias dedupe, keep-first
+    )
+    chains = land(
+        "chains",
+        chains,
+        lambda t: [
+            expect_unique(t, ["chain"]),
+            expect_lowercase(t, "chain"),
+            expect_not_null(t, ["chain_id", "chain"]),
+        ],
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    li_keys = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    coins = (
+        part.select(
+            F.col("p_partkey").alias("coin_id"),
+            F.lower("p_name").alias("name"),
+            F.lower("p_brand").alias("brand"),
+            deterministic_id("p_partkey", "p_brand").alias("coingecko_id"),
+        )
+        # J6 semi-join presence flag, the has_market_data rebuild
+        .join(li_keys.distinct(), F.col("coin_id") == F.col("l_partkey"), "left")
+        .withColumn("has_market_data", F.col("l_partkey").isNotNull())
+        .drop("l_partkey")
+    )
+    coins = land(
+        "coins",
+        coins,
+        lambda t: [
+            expect_unique(t, ["coin_id"]),
+            expect_lowercase(t, "name"),
+            expect_not_null(t, ["coin_id", "coingecko_id"]),
+        ],
+    )
+
+    # facts: source A (part attributes) ⟗ source B (lineitem-derived
+    # observations) with COALESCE cascades — core_coin_facts_metadata
+    src_a = part.select(
+        F.col("p_partkey").alias("coin_id"),
+        F.col("p_type").alias("category"),
+        F.col("p_retailprice").cast("double").alias("list_price"),
+    )
+    src_b = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("coin_id"))
+        .agg(
+            F.min(F.to_date("l_shipdate")).alias("first_seen"),
+            F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+        )
+    )
+    facts = (
+        src_a.alias("a")
+        .join(src_b.alias("b"), "coin_id", "full_outer")
+        .select(
+            "coin_id",
+            F.coalesce(F.col("category"), F.lit("unknown")).alias("category"),
+            F.coalesce(F.col("list_price"), F.lit(0.0)).alias("list_price"),
+            "first_seen",
+            F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+        )
+    )
+    land(
+        "coin_facts",
+        facts,
+        lambda t: [
+            expect_unique(t, ["coin_id"]),
+            expect_referential_integrity(t, coins, ["coin_id"]),
+        ],
+    )
 
     # 1. market data: densify + ffill (D1/D2) over daily prices
     def scope(df):

@@ -21,15 +21,18 @@ def refreshed(spark, tmp_path_factory):
 def test_refresh_warehouse_end_to_end(refreshed):
     report, _ = refreshed
     assert set(report.tables) == {
+        "chains",
+        "coins",
+        "coin_facts",
         "coin_market_data",
         "coin_wallet_transfers",
         "coin_wallet_profits",
     }
     assert all(n > 0 for n in report.tables.values())
-    # every post-write expectation green, and all three suites ran
+    # every post-write expectation green, and all six suites ran
     failed = [r.name for r in report.expectations if not r.passed]
     assert failed == []
-    assert len(report.expectations) == 7
+    assert len(report.expectations) == 15
     assert report.passed
 
 
