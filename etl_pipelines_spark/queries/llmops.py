@@ -1005,3 +1005,217 @@ def q60(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("train_doc_id", "benchmark_doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_chunks"))
     )
+
+
+# --------------------------------------------------------------------- q62
+@register(
+    "q62_unigram_likelihood",
+    """
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM toks GROUP BY 1, 2),
+    vocab AS (SELECT token, CAST(SUM(cnt) AS BIGINT) AS c FROM tf GROUP BY 1),
+    total AS (SELECT CAST(SUM(c) AS BIGINT) AS corpus_tokens FROM vocab),
+    agg AS (
+        SELECT t.doc_id,
+               CAST(SUM(t.cnt) AS BIGINT) AS n_tokens,
+               CAST(SUM(t.cnt * v.c) AS BIGINT) AS freq_mass
+        FROM tf t JOIN vocab v USING (token)
+        GROUP BY t.doc_id
+    )
+    SELECT a.doc_id, a.n_tokens, a.freq_mass,
+           CAST(CAST(a.freq_mass AS DOUBLE)
+                / (CAST(a.n_tokens AS DOUBLE)
+                   * CAST(tot.corpus_tokens AS DOUBLE)) AS DOUBLE)
+               AS avg_token_prob
+    FROM agg a CROSS JOIN total tot
+    """,
+    description="CCNet-style unigram-LM quality signal: each doc's mean "
+    "corpus probability of its tokens (rare-token-heavy docs score "
+    "low). Kept engine-portable by accumulating the integer frequency "
+    "mass sum(cnt*c) exactly and dividing ONCE at the end — no ln(), "
+    "no float summation order to disagree on. The vocabulary table is "
+    "corpus-vocab-sized -> broadcast against the per-doc term counts; "
+    "the corpus total is a 1-row cross join",
+    tags=("text", "quality"),
+)
+def q62(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = tf.groupBy("token").agg(F.sum("cnt").alias("c"))
+    total = vocab.agg(F.sum("c").alias("corpus_tokens"))
+    agg = (
+        tf.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("c")).alias("freq_mass"),
+        )
+    )
+    return agg.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        "freq_mass",
+        (
+            F.col("freq_mass").cast("double")
+            / (
+                F.col("n_tokens").cast("double")
+                * F.col("corpus_tokens").cast("double")
+            )
+        ).alias("avg_token_prob"),
+    )
+
+
+# --------------------------------------------------------------------- q63
+@register(
+    "q63_vocabulary_growth",
+    """
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS doc_tokens
+        FROM toks GROUP BY 1
+    ),
+    firsts AS (SELECT token, MIN(doc_id) AS first_doc FROM toks GROUP BY 1),
+    news AS (
+        SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS new_terms
+        FROM firsts GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.doc_tokens) OVER (ORDER BY d.doc_id) AS BIGINT)
+               AS cum_tokens,
+           CAST(COALESCE(n.new_terms, 0) AS BIGINT) AS new_terms,
+           CAST(SUM(COALESCE(n.new_terms, 0)) OVER (ORDER BY d.doc_id)
+                AS BIGINT) AS vocab_size
+    FROM per_doc d LEFT JOIN news n USING (doc_id)
+    """,
+    description="Heaps'-law vocabulary-growth curve: cumulative corpus "
+    "tokens vs cumulative distinct vocabulary in doc_id ingestion "
+    "order. The heavy lifting (first-occurrence doc per term, per-doc "
+    "token totals) is all shuffled-and-partial-aggregated at corpus "
+    "scale; the final global-order running sums run over the already "
+    "doc-count-sized curve — the single-partition window touches only "
+    "as many rows as the query outputs, never the token stream. All "
+    "integer arithmetic -> exact cross-engine parity",
+    tags=("text", "window"),
+)
+def q63(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_tokens"))
+    firsts = toks.groupBy("token").agg(F.min("doc_id").alias("doc_id"))
+    news = firsts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("new_terms"))
+    joined = per_doc.join(news, "doc_id", "left").select(
+        "doc_id",
+        "doc_tokens",
+        F.coalesce("new_terms", F.lit(0)).alias("new_terms"),
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "doc_id",
+        F.sum("doc_tokens").over(w).alias("cum_tokens"),
+        "new_terms",
+        F.sum("new_terms").over(w).alias("vocab_size"),
+    )
+
+
+# --------------------------------------------------------------------- q64
+@register(
+    "q64_source_contamination_matrix",
+    """
+    WITH tok AS (
+        SELECT source,
+               UNNEST(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                   i -> array_to_string(
+                       list_slice(string_split(text, ' '), i, i + 2), ' ')
+               )) AS shingle
+        FROM documents
+    ),
+    sh AS (SELECT DISTINCT source, MD5(shingle) AS digest FROM tok),
+    per_src AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_shingles
+        FROM sh GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_intersect
+        FROM sh a JOIN sh b ON a.digest = b.digest AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b, pa.n_shingles AS n_a, pb.n_shingles AS n_b,
+           p.n_intersect,
+           CAST(CAST(p.n_intersect AS DOUBLE)
+                / CAST(pa.n_shingles + pb.n_shingles - p.n_intersect
+                       AS DOUBLE) AS DOUBLE) AS jaccard
+    FROM pairs p
+    JOIN per_src pa ON pa.source = p.source_a
+    JOIN per_src pb ON pb.source = p.source_b
+    """,
+    description="Cross-source contamination matrix: trigram-shingle "
+    "Jaccard between every source pair that shares at least one "
+    "shingle (the corpus-provenance view of dedup — which crawl "
+    "sources overlap and how much). Shingles ride fixed-width md5 "
+    "digests so the self-join shuffles 32-char keys, not text; the "
+    "distinct (source, digest) table is built once, persisted, and "
+    "reused for both the pair intersection and the per-source set "
+    "sizes; per-source sizes broadcast back onto the pair counts. "
+    "Jaccard = one integer division -> exact cross-engine parity",
+    tags=("dedup", "text"),
+)
+def q64(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    words = docs.repartition("doc_id").select(
+        "source", F.split(F.col("text"), " ").alias("_w")
+    )
+    tris = F.expr(
+        "transform(sequence(0, greatest(size(_w) - 3, 0)),"
+        " i -> concat_ws(' ', get(_w, i), get(_w, i + 1), get(_w, i + 2)))"
+    )
+    # persisted, not unpersisted: read from three branches (pair join
+    # both sides + per-source sizes); bench/driver clear cache between
+    # runs — same lifecycle as the LSH signature tables (q29/q34)
+    sh = (
+        words.select("source", F.explode(F.array_distinct(tris)).alias("shingle"))
+        .select("source", F.md5("shingle").alias("digest"))
+        .distinct()
+        .persist()
+    )
+    per_src = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("source").alias("source_a"), "digest")
+    b = sh.select(F.col("source").alias("source_b"), "digest")
+    pairs = (
+        a.join(b, "digest")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_intersect"))
+    )
+    pa = per_src.select(
+        F.col("source").alias("source_a"), F.col("n_shingles").alias("n_a")
+    )
+    pb = per_src.select(
+        F.col("source").alias("source_b"), F.col("n_shingles").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_intersect",
+            (
+                F.col("n_intersect").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_intersect")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )

@@ -107,6 +107,36 @@ class TestLLMPipelineShapes:
         assert "Generate" in plan and "BroadcastHashJoin" in plan
         assert shuffle_exchanges(plan) == 2
 
+    def test_q62_vocab_join_broadcasts(self, spark):
+        # the vocabulary table must broadcast onto the per-doc term
+        # counts; a sort-merge join here re-shuffles the whole token
+        # stream on token just to look up corpus counts
+        plan = plan_of(spark, "q62_unigram_likelihood")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_q63_growth_curve_aggregates_before_global_window(self, spark):
+        # the single-partition running-sum window is tolerated ONLY
+        # because it runs over the doc-count-sized curve; both token
+        # aggregations must sit below it (partial-aggregated), and the
+        # SinglePartition exchange must be the last one
+        plan = plan_of(spark, "q63_vocabulary_growth")
+        last_exchange = None
+        for m in re.finditer(
+            r"^\(\d+\) Exchange\s*$.*?Arguments: (\w+)", plan, re.M | re.S
+        ):
+            last_exchange = m.group(1)
+        assert last_exchange == "SinglePartition"
+
+    def test_q64_contamination_joins_on_digest(self, spark):
+        # the source-pair self-join must move md5 digests, never
+        # shingle text, and the per-source sizes must broadcast back
+        plan = plan_of(spark, "q64_source_contamination_matrix")
+        assert "BroadcastHashJoin" in plan
+        keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+        assert any("digest" in k for k in keys)
+        assert not any("shingle" in k for k in keys)
+
     def test_q37_python_boundary_is_arrow_only(self, spark):
         # pandas UDFs surface as ArrowEvalPython; BatchEvalPython would
         # mean a row-at-a-time Python UDF crept into the hot path
