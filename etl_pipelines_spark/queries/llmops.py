@@ -1042,7 +1042,10 @@ def q60(spark: SparkSession, sf: str) -> DataFrame:
     tags=("text", "quality"),
 )
 def q62(spark: SparkSession, sf: str) -> DataFrame:
-    docs = t(spark, sf, "documents")
+    # doc_id repartition straight off the single-row-group scan spreads
+    # the explode CPU AND satisfies both per-doc groupBys (subset of
+    # their clustering keys) — only the vocabulary agg shuffles again
+    docs = t(spark, sf, "documents").repartition("doc_id")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
     vocab = tf.groupBy("token").agg(F.sum("cnt").alias("c"))
@@ -1106,7 +1109,7 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
 def q63(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = t(spark, sf, "documents")
+    docs = t(spark, sf, "documents").repartition("doc_id")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_tokens"))
     firsts = toks.groupBy("token").agg(F.min("doc_id").alias("doc_id"))
