@@ -445,7 +445,9 @@ def q26(spark: SparkSession, sf: str) -> DataFrame:
 def q27(spark: SparkSession, sf: str) -> DataFrame:
     ev = t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
+    # events.ts is TIMESTAMP_NTZ in parquet; unix_micros requires TIMESTAMP.
+    # Only gap *differences* feed the session rule, so the tz attach is neutral.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = us - F.lag(us).over(w)
     flagged = ev.withColumn(
         "is_new",
@@ -536,8 +538,13 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
     os.symlink(path, os.path.join(stage, "events.parquet"))
     schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(schema).parquet(stage)
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # withWatermark requires TIMESTAMP; session tz is UTC so the
+        # attach is value-identical to the NTZ wall-clock.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     _STREAM_SEQ[0] += 1
     name = f"q42_rollup_{_STREAM_SEQ[0]}"
     q = (

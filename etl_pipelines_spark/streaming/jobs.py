@@ -28,6 +28,14 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from etl_pipelines_spark.operators.dedupe import dedupe_keep_first
 
 
+def _event_time(events: DataFrame, ts_col: str) -> DataFrame:
+    """withWatermark requires TIMESTAMP; parquet often lands TIMESTAMP_NTZ.
+    The session pins UTC, so attaching the zone is value-identical."""
+    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        return events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return events
+
+
 def daily_event_rollup(
     events: DataFrame,
     ts_col: str = "ts",
@@ -39,7 +47,8 @@ def daily_event_rollup(
     event-time watermark. DECIMAL accumulation keeps the sum order-
     independent so streaming and batch answers are bit-identical."""
     return (
-        events.withWatermark(ts_col, watermark)
+        _event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(
             F.window(F.col(ts_col), "1 day").alias("win"),
             F.col(key_col),
@@ -70,7 +79,8 @@ def hopping_event_rollup(
     bit-for-bit; state per (window, key) closes once the watermark
     passes window end, bounding the store to 2/slide windows per key."""
     return (
-        events.withWatermark(ts_col, watermark)
+        _event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(
             F.window(F.col(ts_col), "1 day", "12 hours").alias("win"),
             F.col(key_col),
