@@ -1222,3 +1222,214 @@ def q64(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------- q65
+_DENY_PAT = r"\b(spark|hash|merge)\b"
+
+
+@register(
+    "q65_denylist_scrub",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\\b(spark|hash|merge)\\b'))
+                AS BIGINT) AS n_blocked,
+           MD5(regexp_replace(text, '\\b(spark|hash|merge)\\b', '[X]', 'g'))
+               AS scrub_digest,
+           CAST(length(regexp_replace(text, '\\b(spark|hash|merge)\\b',
+                                      '[X]', 'g')) AS BIGINT) AS scrub_chars
+    FROM documents
+    """,
+    description="Deny-list scrubbing (the PII/toxicity-redaction shape): "
+    "count and replace word-boundary-anchored blocked terms per doc. "
+    "Map-only regex expressions fuse into the scan — no shuffle at any "
+    "scale; the deny-list pattern is a compiled literal shipped with the "
+    "task, exactly how a PII regex bank deploys. ASCII \\b behaves "
+    "identically in Java regex and RE2, keeping the oracle exact; the "
+    "scrubbed text rides as an md5 digest so parity never ships bodies",
+    tags=("text", "quality"),
+)
+def q65(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    scrubbed = F.regexp_replace(F.col("text"), _DENY_PAT, "[X]")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_DENY_PAT), 0))
+        .cast("long")
+        .alias("n_blocked"),
+        F.md5(scrubbed).alias("scrub_digest"),
+        F.length(scrubbed).cast("long").alias("scrub_chars"),
+    )
+
+
+# --------------------------------------------------------------------- q66
+@register(
+    "q66_budget_waterfill",
+    """
+    WITH strata AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS cap
+        FROM documents GROUP BY 1
+    ),
+    budget AS (
+        SELECT (CAST(SUM(cap) AS BIGINT) * 4) // 5 AS b,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM strata
+    ),
+    ordered AS (
+        SELECT lang, cap,
+               ROW_NUMBER() OVER (ORDER BY cap, lang) AS k,
+               SUM(cap) OVER (ORDER BY cap, lang ROWS UNBOUNDED PRECEDING)
+                   - cap AS s_prev
+        FROM strata
+    ),
+    kstar AS (
+        SELECT o.k, o.s_prev FROM ordered o, budget
+        WHERE o.cap * (n - o.k + 1) >= b - o.s_prev
+        ORDER BY o.k LIMIT 1
+    ),
+    level AS (
+        SELECT ks.k AS kst, (b - ks.s_prev) // (n - ks.k + 1) AS theta
+        FROM kstar ks, budget
+    )
+    SELECT o.lang, o.cap AS n_docs,
+           CAST(CASE WHEN l.kst IS NULL OR o.k < l.kst THEN o.cap
+                     ELSE LEAST(o.cap, l.theta) END AS BIGINT) AS alloc,
+           (l.kst IS NULL OR o.k < l.kst) AS saturated
+    FROM ordered o LEFT JOIN level l ON TRUE
+    """,
+    description="UniMax-style budget water-filling over language strata: "
+    "spend an 80%-of-corpus doc budget so every language gets the same "
+    "water level theta, except languages too small to reach it, which "
+    "contribute everything they have (saturated). The level solves "
+    "sum(min(cap_i, theta)) = B via the sorted-prefix closed form — all "
+    "INTEGER arithmetic (saturation test cap*(remaining) >= budget-prefix, "
+    "level = integer division), so parity is exact. The strata table is "
+    "languages-sized: the windows run over dozens of rows regardless of "
+    "corpus scale, and only the per-doc counting pass touches data",
+    tags=("sampling", "text"),
+)
+def q66(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    strata = (
+        t(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("cap"))
+    )
+    budget = strata.agg(
+        F.expr("(cast(sum(cap) as bigint) * 4) div 5").alias("b"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    # languages-sized table: the global window is over dozens of rows
+    w = Window.orderBy("cap", "lang")
+    ordered = strata.select(
+        "lang",
+        "cap",
+        F.row_number().over(w).alias("k"),
+        (
+            F.sum("cap").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            - F.col("cap")
+        ).alias("s_prev"),
+    ).crossJoin(F.broadcast(budget))
+    kstar = (
+        ordered.filter(
+            F.col("cap") * (F.col("n") - F.col("k") + 1)
+            >= F.col("b") - F.col("s_prev")
+        )
+        .orderBy("k")
+        .limit(1)
+    )
+    level = kstar.select(
+        F.col("k").alias("kst"),
+        F.expr("(b - s_prev) div (n - k + 1)").alias("theta"),
+    )
+    unsat = F.col("kst").isNull() | (F.col("k") < F.col("kst"))
+    return ordered.join(F.broadcast(level), F.lit(True), "left").select(
+        "lang",
+        F.col("cap").alias("n_docs"),
+        F.when(unsat, F.col("cap"))
+        .otherwise(F.least("cap", "theta"))
+        .cast("long")
+        .alias("alloc"),
+        unsat.alias("saturated"),
+    )
+
+
+# --------------------------------------------------------------------- q67
+@register(
+    "q67_embedding_quantization",
+    """
+    WITH vals AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+               CAST(UNNEST(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    stats AS (SELECT dim, MIN(val) AS lo, MAX(val) AS hi FROM vals GROUP BY 1),
+    codes AS (
+        SELECT v.vec_id, v.dim,
+               CAST(CASE WHEN s.hi = s.lo THEN 0
+                         ELSE LEAST(FLOOR((v.val - s.lo) * 255.0
+                                          / (s.hi - s.lo)), 255)
+                    END AS BIGINT) AS code
+        FROM vals v JOIN stats s ON s.dim = v.dim
+    )
+    SELECT vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dims,
+           CAST(SUM(code) AS BIGINT) AS code_sum,
+           CAST(MIN(code) AS BIGINT) AS code_min,
+           CAST(MAX(code) AS BIGINT) AS code_max,
+           MD5(STRING_AGG(CAST(code AS VARCHAR), ',' ORDER BY dim))
+               AS code_digest
+    FROM codes GROUP BY vec_id
+    """,
+    description="Per-dimension min/max int8 quantization of the embedding "
+    "corpus — the vector-store compression pass before ANN serving. The "
+    "per-dim stats table is n_dims rows (64 here) -> broadcast back onto "
+    "the exploded values, so the corpus shuffles once on vec_id to "
+    "reassemble codes. floor((v-lo)*255/(hi-lo)) keeps the whole map in "
+    "deterministic IEEE double ops shared by both engines (no round() "
+    "half-mode divergence); outputs are integers plus an order-pinned "
+    "digest of the code vector -> exact parity",
+    tags=("similarity", "array"),
+)
+def q67(spark: SparkSession, sf: str) -> DataFrame:
+    emb = t(spark, sf, "embeddings")
+    vals = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "fval")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("fval").cast("double").alias("val"),
+    )
+    stats = vals.groupBy("dim").agg(
+        F.min("val").alias("lo"), F.max("val").alias("hi")
+    )
+    codes = vals.join(F.broadcast(stats), "dim").select(
+        "vec_id",
+        "dim",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("val") - F.col("lo"))
+                    * F.lit(255.0)
+                    / (F.col("hi") - F.col("lo"))
+                ),
+                F.lit(255),
+            )
+        )
+        .cast("long")
+        .alias("code"),
+    )
+    by_dim = F.array_sort(F.collect_list(F.struct("dim", "code")))
+    return codes.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.sum("code").alias("code_sum"),
+        F.min("code").alias("code_min"),
+        F.max("code").alias("code_max"),
+        F.md5(
+            F.concat_ws(
+                ",", F.transform(by_dim, lambda s: s.code.cast("string"))
+            )
+        ).alias("code_digest"),
+    )
