@@ -145,6 +145,28 @@ class TestLLMPipelineShapes:
         assert "BatchEvalPython" not in plan
 
 
+class TestNewOpsShapes:
+    def test_q65_scrub_is_shuffle_free(self, spark):
+        # deny-list scrubbing is map-only regex work; any exchange here
+        # means the redaction pass stopped fusing into the scan
+        assert shuffle_exchanges(plan_of(spark, "q65_denylist_scrub")) == 0
+
+    def test_q66_waterfill_single_data_pass(self, spark):
+        # only the per-doc counting aggregation touches the corpus; the
+        # water-fill itself runs on the languages-sized strata frame, so
+        # the budget and level frames must broadcast, never sort-merge
+        plan = plan_of(spark, "q66_budget_waterfill")
+        assert "SortMergeJoin" not in plan
+
+    def test_q67_dim_stats_broadcast(self, spark):
+        # the n_dims-row stats frame must broadcast back onto the
+        # exploded values; a sort-merge join would re-shuffle the whole
+        # (vec, dim) stream on dim just to look up 64 lo/hi rows
+        plan = plan_of(spark, "q67_embedding_quantization")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+
 class TestRewritesStayAvoided:
     def test_q54_profile_avoids_expand(self, spark):
         # the multi-countDistinct formulation rewrites to Expand
