@@ -758,3 +758,59 @@ def q61(spark: SparkSession, sf: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# --------------------------------------------------------------------- q68
+@register(
+    "q68_stream_stream_attribution",
+    """
+    SELECT a.user_id,
+           a.event_id AS click_id,
+           b.event_id AS purchase_id,
+           CAST(a.ts AS TIMESTAMP) AS click_ts,
+           CAST(b.ts AS TIMESTAMP) AS purchase_ts,
+           (epoch_us(CAST(b.ts AS TIMESTAMP))
+            - epoch_us(CAST(a.ts AS TIMESTAMP))) // 1000000
+               AS secs_to_purchase
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 24 HOUR
+    """,
+    description="Stream-stream interval join (conversion attribution): "
+    "clicks joined to same-user purchases within 24h, executed as an "
+    "actual Structured Streaming join (two watermarked file streams, "
+    "availableNow trigger) and gated against the batch SQL oracle — "
+    "stream == batch exactly for inner interval joins. The time-bound "
+    "condition is what lets Spark expire buffered state (a click "
+    "leaves the store once the purchase watermark passes click_ts + "
+    "24h), so state is horizon-bounded at any scale; the type "
+    "predicates prune each side before the join buffers anything",
+    tags=("streaming", "join"),
+)
+def q68(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from etl_pipelines_spark.streaming.jobs import attribution_interval_join
+
+    path = os.path.join(sf, "events.parquet")
+    stage = tempfile.mkdtemp(prefix="q68_stream_")
+    os.symlink(path, os.path.join(stage, "events.parquet"))
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(stage)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    joined = attribution_interval_join(clicks, purchases)
+    _STREAM_SEQ[0] += 1
+    name = f"q68_attr_{_STREAM_SEQ[0]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

@@ -155,3 +155,51 @@ def running_balance_stateful(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def attribution_interval_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "24 hours",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Stream-stream inner interval join: each click matched to the
+    same user's purchases landing within `horizon` after it — the
+    conversion-attribution shape. Both sides carry event-time
+    watermarks and the join condition bounds purchase_ts to
+    [click_ts, click_ts + horizon], which is exactly what lets Spark
+    expire join state: a buffered click is dropped once the purchase
+    watermark passes click_ts + horizon, so state is bounded by
+    horizon x arrival rate per key, not by the stream's history.
+    Works identically on batch frames (no watermark, plain join)."""
+    c = _event_time(clicks, "ts").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    p = _event_time(purchases, "ts").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("_p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("_p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"interval {horizon}"))
+    )
+    return c.join(p, cond, "inner").select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        # exact integer microsecond diff, then floor-div: two floored
+        # unix_timestamp()s would disagree with the oracle on sub-second
+        # components
+        F.expr(
+            "(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000"
+        ).alias("secs_to_purchase"),
+    )

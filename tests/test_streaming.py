@@ -238,3 +238,35 @@ def test_append_mode_window_lifecycle(spark, tmp_path):
     assert len(dates) == len(set(dates))  # exactly-once per window
     jan = next(r for r in rows if str(r["date"]) == "2024-01-01")
     assert jan["n_events"] == 1
+
+
+def test_attribution_join_stream_matches_batch(spark, events_src):
+    from etl_pipelines_spark.streaming.jobs import attribution_interval_join
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    out = attribution_interval_join(*split(_stream(spark, events_src)))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attr")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["click_id"], r["purchase_id"]): r["secs_to_purchase"]
+        for r in spark.table("attr").collect()
+    }
+    batch = {
+        (r["click_id"], r["purchase_id"]): r["secs_to_purchase"]
+        for r in attribution_interval_join(
+            *split(load_table(spark, SF_DIR, "events"))
+        ).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
