@@ -1433,3 +1433,124 @@ def q67(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("code_digest"),
     )
+
+
+# --------------------------------------------------------------------- q69
+@register(
+    "q69_bigram_collocations",
+    """
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    bigrams AS (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                   range(1, greatest(len(w) - 1, 0) + 1),
+                   i -> w[i] || ' ' || w[i + 1])) AS bigram
+        FROM words
+    ),
+    toks AS (SELECT doc_id, UNNEST(w) AS token FROM words),
+    uni AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+    bi AS (
+        SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_xy
+        FROM bigrams GROUP BY 1 HAVING COUNT(*) >= 50
+    )
+    SELECT b.bigram, b.c_xy, ua.c AS c_x, ub.c AS c_y,
+           CAST(CAST(t.n * b.c_xy AS DOUBLE)
+                / CAST(ua.c * ub.c AS DOUBLE) AS DOUBLE) AS lift
+    FROM bi b
+    JOIN uni ua ON ua.token = string_split(b.bigram, ' ')[1]
+    JOIN uni ub ON ub.token = string_split(b.bigram, ' ')[2]
+    CROSS JOIN tot t
+    """,
+    description="Bigram collocation mining (the tokenizer-merge / "
+    "vocabulary-building statistic): corpus bigram counts >= 50 scored "
+    "by PMI-style lift n*c(xy)/(c(x)*c(y)). Numerator and denominator "
+    "accumulate as exact BIGINTs and divide ONCE — no log(), no float "
+    "sum order to diverge on. Bigrams generate from each doc's token "
+    "array in place (adjacent pairs, a Generate not a self-join); the "
+    "unigram table is vocabulary-sized -> broadcasts onto the surviving "
+    "bigram counts, and the HAVING floor prunes the long tail before "
+    "any join",
+    tags=("text", "agg"),
+)
+def q69(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents").repartition("doc_id")
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    bigram = F.expr(
+        "transform(sequence(0, greatest(size(w) - 2, -1)),"
+        " i -> concat(get(w, i), ' ', get(w, i + 1)))"
+    )
+    bi = (
+        words.select(F.explode(bigram).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= 50)
+    )
+    toks = words.select(F.explode("w").alias("token"))
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    parts = F.split("bigram", " ")
+    bi = bi.withColumn("_x", parts[0]).withColumn("_y", parts[1])
+    ua = uni.select(F.col("token").alias("_x"), F.col("c").alias("c_x"))
+    ub = uni.select(F.col("token").alias("_y"), F.col("c").alias("c_y"))
+    return (
+        bi.join(F.broadcast(ua), "_x")
+        .join(F.broadcast(ub), "_y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bigram",
+            "c_xy",
+            "c_x",
+            "c_y",
+            (
+                (F.col("n") * F.col("c_xy")).cast("double")
+                / (F.col("c_x") * F.col("c_y")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- q70
+@register(
+    "q70_rag_chunking",
+    """
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(w, i * 16 + 1, i * 16 + 32)) AS BIGINT)
+               AS n_tokens,
+           MD5(array_to_string(list_slice(w, i * 16 + 1, i * 16 + 32), ' '))
+               AS chunk_digest
+    FROM words,
+         UNNEST(range(0, greatest((len(w) - 17) // 16, 0) + 1)) AS r(i)
+    """,
+    description="RAG-style strided chunking: 32-token windows with "
+    "stride 16 (50% overlap) per doc — the retrieval-index layout pass "
+    "that precedes embedding. Chunk starts come from an in-place "
+    "sequence over each doc's own token count (a Generate fused with "
+    "the scan: map-only, no shuffle at any corpus size), and chunks "
+    "ride as md5 digests. The final window is kept whenever any token "
+    "past the previous stride exists, trailing-partial included — same "
+    "closed form (len-17)//16 in both engines",
+    tags=("text", "packing"),
+)
+def q70(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    starts = F.expr("sequence(0, greatest((size(w) - 17) div 16, 0))")
+    chunk = F.expr("slice(w, i * 16 + 1, 32)")
+    return (
+        words.select("doc_id", "w", F.explode(starts).alias("i"))
+        .select(
+            "doc_id",
+            F.col("i").cast("long").alias("chunk_idx"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_digest"),
+        )
+    )
