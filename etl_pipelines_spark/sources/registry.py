@@ -94,3 +94,52 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_cols=("date",),
+    fmt: str = "parquet",
+    max_records_per_file: int = 5_000_000,
+) -> tuple[int, int]:
+    """Rewrite a partitioned table so each partition holds few,
+    right-sized files; returns (files_before, files_after).
+
+    Incremental appends — the streaming dedupe sink, micro-batch
+    landings, per-day backfills — accrete one-file-per-batch until a
+    scan pays an open/seek per tiny file; at 100 TB that is the
+    difference between thousands and millions of tasks. Compaction =
+    read -> repartition on the partition keys (one shuffle that also
+    co-locates rows with their output partition, so each writer task emits
+    files for one partition, not one file per (task, partition) pair)
+    -> write to a staging dir -> atomic swap. The swap keeps readers
+    safe: Spark cannot overwrite a path it is lazily reading, and a
+    crash mid-compact leaves the original intact.
+    """
+    import glob
+    import shutil
+
+    def _count(p: str) -> int:
+        exts = {"parquet": ".parquet", "orc": ".orc"}
+        return len(glob.glob(os.path.join(p, "**", "*" + exts.get(fmt, "")),
+                             recursive=True))
+
+    before = _count(path)
+    df = spark.read.format(fmt).load(path)
+    cols = [c for c in partition_cols if c in df.columns]
+    staged = path.rstrip("/") + "__compacting"
+    writer = (
+        (df.repartition(*cols) if cols else df.coalesce(1))
+        .write.mode("overwrite")
+        .format(fmt)
+        .option("maxRecordsPerFile", max_records_per_file)
+    )
+    if cols:
+        writer = writer.partitionBy(*cols)
+    writer.save(staged)
+    retired = path.rstrip("/") + "__retired"
+    shutil.move(path, retired)
+    shutil.move(staged, path)
+    shutil.rmtree(retired)
+    return before, _count(path)

@@ -103,3 +103,27 @@ def test_orc_write_round_trip_with_pruning(spark, tmp_path):
     pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "date" in pf_line
     assert q.count() == 2
+
+
+def test_compaction_collapses_small_files(spark, tmp_path):
+    """Ten appends -> >=10 files per partition; compaction must leave
+    one right-sized file per partition with identical data, and the
+    original dir must be swapped (no staging leftovers)."""
+    import os
+
+    from etl_pipelines_spark.sources.registry import compact_partitions
+
+    path = str(tmp_path / "landed")
+    for _ in range(10):
+        write_partitioned(_table(spark), path, mode="append")
+    before_rows = sorted(
+        tuple(r) for r in spark.read.parquet(path).collect()
+    )
+    before, after = compact_partitions(spark, path)
+    assert before >= 50  # 10 appends x 5 date partitions
+    assert after == 5  # one file per date partition
+    spark.catalog.clearCache()
+    got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert got == before_rows
+    assert not os.path.exists(path + "__compacting")
+    assert not os.path.exists(path + "__retired")
