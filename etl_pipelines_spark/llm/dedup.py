@@ -573,3 +573,40 @@ def token_jaccard(
         )
         .select("doc_a", "doc_b", "n_intersect", "jaccard")
     )
+
+
+def exact_dedup_incremental(
+    batch: DataFrame,
+    seen_digests: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Exact dedup of an incoming batch against accumulated digest
+    state: returns (survivors, updated_state).
+
+    The incrementally-sound prefix of corpus prep (quality gate +
+    exact dedup) processes only NEW documents per run: a doc survives
+    iff its digest is unseen in-state AND it wins keep-lowest-id
+    within the batch. When batches arrive in id order this equals the
+    full-rebuild `exact_dedup` exactly (pinned in test_corpus_plan) —
+    the M1 insert-if-absent pattern (SURVEY.md §2.10) applied to
+    content digests instead of wallet ids. State is one digest string
+    per distinct doc ever kept: the anti-join broadcasts while state
+    is small and degrades to a shuffled join at corpus scale, both
+    correct. Near-dup clustering is deliberately NOT incremental —
+    clusters span batches, so that stage re-runs on survivors.
+    """
+    dg = batch.withColumn("_digest", F.md5(F.col(text_col)))
+    within = dedupe_keep_first(dg, ["_digest"], [F.col(id_col).asc()])
+    fresh = (
+        within.join(seen_digests, "_digest", "left_anti")
+        if seen_digests is not None
+        else within
+    )
+    new_state = fresh.select("_digest")
+    state = (
+        seen_digests.unionByName(new_state).distinct()
+        if seen_digests is not None
+        else new_state
+    )
+    return fresh.drop("_digest"), state

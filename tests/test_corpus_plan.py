@@ -39,3 +39,27 @@ class TestPrepareCorpus:
         out2 = str(tmp_path_factory.mktemp("corpus") / "clean2")
         report2 = prepare_corpus(spark, SF, out2)
         assert report2.stage_counts == report.stage_counts
+
+
+def test_incremental_exact_dedup_matches_full_rebuild(spark):
+    """Two id-ordered batches through exact_dedup_incremental must keep
+    exactly the docs the one-shot exact_dedup keeps."""
+    from etl_pipelines_spark.llm.dedup import exact_dedup, exact_dedup_incremental
+    from etl_pipelines_spark.sources.registry import load_table
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents")
+    full = {r["doc_id"] for r in exact_dedup(docs).select("doc_id").collect()}
+
+    b1 = docs.filter(F.col("doc_id") < 250)
+    b2 = docs.filter(F.col("doc_id") >= 250)
+    s1, state = exact_dedup_incremental(b1, None)
+    s2, state = exact_dedup_incremental(b2, state)
+    inc = {
+        r["doc_id"]
+        for batch in (s1, s2)
+        for r in batch.select("doc_id").collect()
+    }
+    assert inc == full
+    assert state.count() == len(full)
