@@ -44,17 +44,24 @@ def _result(name: str, violations: DataFrame, sample_n: int = 5) -> ExpectationR
     return ExpectationResult(name, n == 0, n, sample)
 
 
+def unique_violations(df: DataFrame, keys: list[str]) -> DataFrame:
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)
+
+
 def expect_unique(df: DataFrame, keys: list[str]) -> ExpectationResult:
-    dupes = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)
-    return _result(f"unique({', '.join(keys)})", dupes)
+    return _result(f"unique({', '.join(keys)})", unique_violations(df, keys))
 
 
-def expect_not_null(df: DataFrame, cols: list[str]) -> ExpectationResult:
+def not_null_violations(df: DataFrame, cols: list[str]) -> DataFrame:
     cond = None
     for c in cols:
         cc = F.col(c).isNull()
         cond = cc if cond is None else (cond | cc)
-    return _result(f"not_null({', '.join(cols)})", df.filter(cond))
+    return df.filter(cond)
+
+
+def expect_not_null(df: DataFrame, cols: list[str]) -> ExpectationResult:
+    return _result(f"not_null({', '.join(cols)})", not_null_violations(df, cols))
 
 
 def expect_no_date_gaps(
@@ -62,11 +69,17 @@ def expect_no_date_gaps(
 ) -> ExpectationResult:
     """Per key: row count must equal datediff(max,min)+1 (dbt
     test_cCoinMarketData_no_date_gaps.sql:12-16)."""
+    return _result("no_date_gaps", date_gap_violations(df, keys, date_col))
+
+
+def date_gap_violations(
+    df: DataFrame, keys: list[str], date_col: str = "date"
+) -> DataFrame:
     stats = df.groupBy(*keys).agg(
         F.countDistinct(date_col).alias("_n"),
         (F.datediff(F.max(date_col), F.min(date_col)) + 1).alias("_span"),
     )
-    return _result("no_date_gaps", stats.filter(F.col("_n") != F.col("_span")))
+    return stats.filter(F.col("_n") != F.col("_span"))
 
 
 def expect_non_negative(
@@ -75,8 +88,15 @@ def expect_non_negative(
     """Values >= -tolerance (the reference's float-tolerance discipline,
     e.g. balance >= -0.1 in test_cCoinWalletTransfers_balance_is_negative)."""
     return _result(
-        f"non_negative({col}, tol={tolerance})", df.filter(F.col(col) < -tolerance)
+        f"non_negative({col}, tol={tolerance})",
+        negative_violations(df, col, tolerance),
     )
+
+
+def negative_violations(
+    df: DataFrame, col: str, tolerance: float = 0.0
+) -> DataFrame:
+    return df.filter(F.col(col) < -tolerance)
 
 
 def expect_monotone(
@@ -118,6 +138,23 @@ def expect_referential_integrity(
         parent.select(*keys).distinct(), keys, "left_anti"
     )
     return _result(f"referential({', '.join(keys)})", orphans)
+
+
+def violation_counts(named: dict[str, DataFrame]) -> DataFrame:
+    """Union per-rule violation counts into one (rule, n_violations)
+    frame — the dbt-style audit result materialized as a table, so the
+    quality suite itself can ride the oracle correctness gate (q72).
+    Each count is a 1-row full aggregation (map-side combined); the
+    union is rule-count rows."""
+    from functools import reduce
+
+    counts = [
+        df.agg(F.count(F.lit(1)).cast("long").alias("n_violations")).select(
+            F.lit(name).alias("rule"), "n_violations"
+        )
+        for name, df in named.items()
+    ]
+    return reduce(DataFrame.unionByName, counts)
 
 
 def assert_all(*results: ExpectationResult) -> None:

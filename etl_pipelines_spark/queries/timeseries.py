@@ -814,3 +814,155 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+# --------------------------------------------------------------------- q72
+@register(
+    "q72_quality_audit",
+    f"""
+    WITH xfers AS ({TRANSFERS_SQL}),
+    bal AS (
+        SELECT coin_id, wallet_address, date,
+               CAST(SUM(net_transfers) OVER (
+                   PARTITION BY coin_id, wallet_address ORDER BY date
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) AS balance
+        FROM xfers
+    ),
+    gaps AS (
+        SELECT coin_id, wallet_address
+        FROM bal GROUP BY 1, 2
+        HAVING COUNT(DISTINCT date)
+               <> date_diff('day', MIN(date), MAX(date)) + 1
+    )
+    SELECT 'negative_balance(tol=0.1)' AS rule,
+           CAST((SELECT COUNT(*) FROM bal WHERE balance < -0.1) AS BIGINT)
+               AS n_violations
+    UNION ALL
+    SELECT 'no_date_gaps', CAST((SELECT COUNT(*) FROM gaps) AS BIGINT)
+    UNION ALL
+    SELECT 'unique(coin, wallet, date)',
+           CAST((SELECT COUNT(*) FROM (
+               SELECT coin_id, wallet_address, date FROM bal
+               GROUP BY 1, 2, 3 HAVING COUNT(*) > 1)) AS BIGINT)
+    UNION ALL
+    SELECT 'not_null(keys)',
+           CAST((SELECT COUNT(*) FROM bal
+                 WHERE coin_id IS NULL OR wallet_address IS NULL
+                    OR date IS NULL) AS BIGINT)
+    """,
+    description="The dbt-style data-quality audit materialized as a "
+    "query: per-rule violation counts over the running-balance table — "
+    "negative balances beyond the Q1 tolerance and per-pair date gaps "
+    "are REAL violations in this corpus; uniqueness and not-null pass "
+    "by construction. Built from the same quality.py violation "
+    "builders every table build runs post-write (SURVEY.md §5.3), so "
+    "the audit layer itself rides the oracle gate. Each rule is one "
+    "map-side-combinable aggregation over the shared balance frame; "
+    "the result is rules-count rows",
+    tags=("quality", "agg"),
+)
+def q72(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.quality import (
+        date_gap_violations,
+        negative_violations,
+        not_null_violations,
+        unique_violations,
+        violation_counts,
+    )
+
+    pair = ["coin_id", "wallet_address"]
+    bal = transfers(spark, sf).select(
+        *pair,
+        "date",
+        F.sum("net_transfers")
+        .over(cumulative_window(pair, ["date"]))
+        .cast("double")
+        .alias("balance"),
+    )
+    bal = bal.persist()  # four rule branches share one balance frame
+    return violation_counts(
+        {
+            "negative_balance(tol=0.1)": negative_violations(bal, "balance", 0.1),
+            "no_date_gaps": date_gap_violations(bal, pair),
+            "unique(coin, wallet, date)": unique_violations(bal, [*pair, "date"]),
+            "not_null(keys)": not_null_violations(bal, [*pair, "date"]),
+        }
+    )
+
+
+# --------------------------------------------------------------------- q71
+@register(
+    "q71_event_funnel",
+    """
+    WITH v AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS view_ts
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS click_ts
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) >= v.view_ts
+        GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS purchase_ts
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+          AND CAST(e.ts AS TIMESTAMP) >= c.click_ts
+        GROUP BY 1
+    )
+    SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+           (c.user_id IS NOT NULL) AS reached_click,
+           (p.user_id IS NOT NULL) AS reached_purchase
+    FROM v
+    LEFT JOIN c ON c.user_id = v.user_id
+    LEFT JOIN p ON p.user_id = v.user_id
+    """,
+    description="Ordered event funnel (view -> click -> purchase): per "
+    "user, the first view, the first click AT OR AFTER that view, and "
+    "the first purchase at or after that click — order-sensitive "
+    "conversion, not mere event presence. Three stage aggregations, "
+    "each keyed on user_id: one shuffle establishes the partitioning "
+    "and every later stage (join + min-agg) is partition-local on it; "
+    "stage N's state is one timestamp per surviving user, so the "
+    "funnel narrows the data monotonically",
+    tags=("window", "serving"),
+)
+def q71(spark: SparkSession, sf: str) -> DataFrame:
+    ev = (
+        t(spark, sf, "events")
+        .select("user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
+        .repartition("user_id")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "view_ts",
+            "click_ts",
+            "purchase_ts",
+            F.col("click_ts").isNotNull().alias("reached_click"),
+            F.col("purchase_ts").isNotNull().alias("reached_purchase"),
+        )
+    )
