@@ -184,3 +184,44 @@ class TestRewritesStayAvoided:
 def _quiet(spark):
     spark.sparkContext.setLogLevel("ERROR")
     yield
+
+
+class TestAQESkewHandling:
+    def test_skewed_join_triggers_aqe_skew_split(self, spark):
+        """SCALE.md leans on AQE skew-join for hot coins/wallets — prove
+        the session config actually fires it: a 1-hot-key join under
+        tiny skew thresholds must show skew=true in the final adaptive
+        plan, and AQE must not be silently disabled."""
+        from pyspark.sql import functions as F
+
+        confs = {
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        old = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            left = spark.range(200_000).select(
+                F.when(F.col("id") % 100 < 99, F.lit(0))
+                .otherwise(F.col("id"))
+                .alias("k"),
+                F.col("id").alias("payload"),
+            )
+            right = spark.range(2_000).select(
+                (F.col("id") % 500).alias("k"), F.col("id").alias("r")
+            )
+            joined = left.join(right, "k")
+            # run THIS DataFrame's own query execution (count() would
+            # plan a separate execution whose adaptive plan we can't see)
+            joined._jdf.queryExecution().executedPlan().executeCollect()
+            final = joined._jdf.queryExecution().executedPlan().toString()
+            assert "skew=true" in final, final[:2000]
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
