@@ -510,6 +510,26 @@ def q28(spark: SparkSession, sf: str) -> DataFrame:
 _STREAM_SEQ = [0]
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _stream_state_partitions(spark: SparkSession, n: str = "8"):
+    """Scope spark.sql.shuffle.partitions around a streaming query
+    start. Stateful streaming pins its state-store count to this conf
+    at FIRST start (it rides the checkpoint thereafter), and every
+    store pays per-micro-batch maintenance — at this corpus size 32
+    stores are pure overhead (measured 7s -> 2.8s on q68). On a real
+    cluster size it to key cardinality x executors BEFORE the first
+    run; it cannot be changed later without a new checkpoint."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 @register(
     "q42_streaming_daily_rollup",
     """
@@ -547,15 +567,16 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     _STREAM_SEQ[0] += 1
     name = f"q42_rollup_{_STREAM_SEQ[0]}"
-    q = (
-        daily_event_rollup(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_state_partitions(spark):
+        q = (
+            daily_event_rollup(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name)
 
 
@@ -805,14 +826,15 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
     joined = attribution_interval_join(clicks, purchases)
     _STREAM_SEQ[0] += 1
     name = f"q68_attr_{_STREAM_SEQ[0]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name)
 
 
