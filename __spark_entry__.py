@@ -1,15 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry(spark): flagship wallet-profits kernel on sf0.001.
-queries(): 54 entries — the SURVEY.md §2 operator inventory (scans,
+queries(): 72 entries — the SURVEY.md §2 operator inventory (scans,
   filters, scalar fns, every join type incl. as-of and range, aggs,
   windows incl. RANGE frames and rollup, densify/impute, set ops,
-  incremental/streaming, outlier rules) + the LLM-data operators
-  (exact/MinHash-LSH/SimHash/cosine dedup + canonical clustering,
-  ANN, text quality, multimodal features).
+  incremental/streaming, outlier rules, the materialized quality
+  audit) + the LLM-data operators (exact/MinHash-LSH/SimHash/cosine
+  dedup + canonical clustering, ANN, quantization, text quality,
+  scrubbing, water-fill mixing, collocations, RAG chunking,
+  multimodal features).
 oracle_sql(): DuckDB-runnable ANSI SQL twins for ALL entries —
-  including the Structured Streaming rollup, which is verified against
-  its batch oracle.
+  including the Structured Streaming rollup and the stream-stream
+  attribution join, both verified against their batch oracles.
 """
 
 from __future__ import annotations
