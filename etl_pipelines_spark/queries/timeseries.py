@@ -988,3 +988,57 @@ def q71(spark: SparkSession, sf: str) -> DataFrame:
             F.col("purchase_ts").isNotNull().alias("reached_purchase"),
         )
     )
+
+
+# --------------------------------------------------------------------- q73
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "q73_pivot_unpivot",
+    """
+    WITH counts AS (
+        SELECT user_id,
+               CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+               CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+               CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+               CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+               CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, event_type, n FROM (
+        SELECT user_id, 'click' AS event_type, click AS n FROM counts
+        UNION ALL SELECT user_id, 'error', error FROM counts
+        UNION ALL SELECT user_id, 'purchase', purchase FROM counts
+        UNION ALL SELECT user_id, 'signup', signup FROM counts
+        UNION ALL SELECT user_id, 'view', view FROM counts
+    ) WHERE n > 0
+    """,
+    description="Literal pivot + unpivot round trip: per-user event "
+    "counts pivoted to one column per type (values list PINNED — an "
+    "unpinned pivot runs an extra distinct-values job and makes the "
+    "output schema data-dependent, both wrong at scale), then melted "
+    "back to long form with F.stack, dropping the zero fill. One "
+    "shuffle on user_id; the pivot agg is map-side combinable and the "
+    "unpivot is a Generate fused above it. The A10 whale census (q23) "
+    "deliberately avoids the wide pivot — this entry is the literal "
+    "operator for catalogs that want it",
+    tags=("agg", "setop"),
+)
+def q73(spark: SparkSession, sf: str) -> DataFrame:
+    ev = t(spark, sf, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+    )
+    stack_expr = "stack({n}, {args}) as (event_type, n)".format(
+        n=len(_EVENT_TYPES),
+        args=", ".join(f"'{t}', `{t}`" for t in _EVENT_TYPES),
+    )
+    return (
+        wide.select("user_id", F.expr(stack_expr))
+        .filter(F.col("n") > 0)
+        .select("user_id", "event_type", F.col("n").cast("long").alias("n"))
+    )
