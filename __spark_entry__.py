@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry(spark): flagship wallet-profits kernel on sf0.001.
-queries(): 73 entries — the SURVEY.md §2 operator inventory (scans,
+queries(): 74 entries — the SURVEY.md §2 operator inventory (scans,
   filters, scalar fns, every join type incl. as-of and range, aggs,
   windows incl. RANGE frames and rollup, densify/impute, set ops,
   incremental/streaming, outlier rules, the materialized quality

@@ -610,3 +610,61 @@ def exact_dedup_incremental(
         else new_state
     )
     return fresh.drop("_digest"), state
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs via prefix filtering — the
+    EXACT-recall set-similarity join (PPJoin family), complementing
+    probabilistic LSH (lsh_candidate_pairs).
+
+    Order every doc's token set by a global total order (rarest token
+    first: ascending document frequency, token text as tiebreak); for
+    Jaccard >= t two sets MUST share a token within their first
+    n - ceil(t*n) + 1 tokens, so the self-join runs only on those
+    prefixes. Rarest-first is what makes the filter sharp: prefixes
+    are built from low-df tokens, so prefix-token buckets are small
+    and the candidate count stays near the true-pair count — the
+    stop-word bucket that would recreate the all-pairs join is
+    structurally excluded from prefixes. Every count here is integer
+    (prefix length n - ceil(t*n) + 1 computed as n - ((n*num + den - 1)
+    div den) + 1 with t = num/den), so both engines agree exactly.
+
+    Scale: df table is vocabulary-sized (broadcasts); the prefix
+    stream is a fraction of the token stream; the self-join shuffles
+    on token with salting unnecessary precisely because prefixes
+    exclude hot tokens. Verify candidates with token_jaccard (exact),
+    as q74 does.
+    """
+    from pyspark.sql import Window
+
+    num, den = threshold.as_integer_ratio()
+    toks = tokens if tokens is not None else doc_tokens(df, text_col, id_col)
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy(id_col).orderBy("_df", "token")
+    ranked = (
+        toks.join(F.broadcast(dfreq), "token")
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+        )
+    )
+    prefix_len = (
+        F.col("_n")
+        - F.expr(f"(_n * {num} + {den} - 1) div {den}")
+        + F.lit(1)
+    )
+    prefix = ranked.filter(F.col("_rn") <= prefix_len).select(id_col, "token")
+    a = prefix.select(F.col(id_col).alias("doc_a"), "token")
+    b = prefix.select(F.col(id_col).alias("doc_b"), "token")
+    return (
+        a.join(b, "token")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )

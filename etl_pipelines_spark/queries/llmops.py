@@ -1554,3 +1554,72 @@ def q70(spark: SparkSession, sf: str) -> DataFrame:
             F.md5(F.concat_ws(" ", chunk)).alias("chunk_digest"),
         )
     )
+
+
+# --------------------------------------------------------------------- q74
+@register(
+    "q74_prefix_filter_pairs",
+    f"""
+    WITH toks AS ({SHINGLE_SQL}),
+    dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY 1),
+    ranked AS (
+        SELECT t.doc_id, t.token,
+               ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                  ORDER BY f.df, t.token) AS rn,
+               COUNT(*) OVER (PARTITION BY t.doc_id) AS n
+        FROM toks t JOIN dfreq f ON f.token = t.token
+    ),
+    prefix AS (
+        SELECT doc_id, token FROM ranked
+        WHERE rn <= n - ((n * 1 + 2 - 1) // 2) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM prefix a JOIN prefix b
+          ON a.token = b.token AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+        FROM cand c
+        JOIN toks ta ON ta.doc_id = c.doc_a
+        JOIN toks tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+        GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(CAST(i.ni AS DOUBLE)
+                / CAST(sa.n + sb.n - i.ni AS DOUBLE) AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.ni AS DOUBLE) / CAST(sa.n + sb.n - i.ni AS DOUBLE) >= 0.5
+    """,
+    description="EXACT-recall near-dup join via prefix filtering "
+    "(PPJoin family), the deterministic complement to MinHash-LSH "
+    "(q34): order each doc's shingle set rarest-first (global df, "
+    "shingle tiebreak); Jaccard >= 0.5 forces a shared shingle within "
+    "the first n - ceil(n/2) + 1, so the self-join runs only on those "
+    "prefixes — hot boilerplate shingles are structurally excluded "
+    "from prefixes, which is what LSH needs salting to survive. "
+    "Integer prefix arithmetic (ceil as (n+1) div 2) -> exact parity; "
+    "exact-Jaccard verify prunes candidates. Guaranteed superset of "
+    "q34's probabilistic recall (pinned in test_operators)",
+    tags=("dedup", "join"),
+)
+def q74(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.llm.dedup import (
+        doc_shingles,
+        prefix_filter_pairs,
+        token_jaccard,
+    )
+
+    docs = t(spark, sf, "documents")
+    sh = doc_shingles(docs).persist()
+    sh.count()  # one shingle scan feeds prefixes AND the Jaccard verify
+    toks = sh.withColumnRenamed("shingle", "token")
+    cands = prefix_filter_pairs(docs, 0.5, tokens=toks)
+    return (
+        token_jaccard(docs, cands, shingles=sh)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -212,3 +212,29 @@ class TestWindowHelpers:
         assert sorted((r["k"], r["date"].day) for r in got) == [
             ("a", 5), ("a", 6), ("a", 7), ("b", 7),
         ]
+
+
+class TestPrefixFilterRecall:
+    def test_prefix_filter_is_superset_of_lsh_recall(self, spark):
+        """Prefix filtering guarantees recall at the threshold; LSH is
+        probabilistic. Every verified pair q34 finds must therefore
+        also be found by q74 — and both verify with the same exact
+        Jaccard, so q74 ⊇ q34 on (doc_a, doc_b)."""
+        from etl_pipelines_spark.queries import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        exact = {
+            (r["doc_a"], r["doc_b"])
+            for r in QUERIES["q74_prefix_filter_pairs"]
+            .spark_fn(spark, sf)
+            .collect()
+        }
+        # q34 *reports* every LSH candidate with its exact Jaccard;
+        # recall only binds at the threshold
+        lsh = {
+            (r["doc_a"], r["doc_b"])
+            for r in QUERIES["q34_lsh_jaccard_pairs"].spark_fn(spark, sf).collect()
+            if r["jaccard"] >= 0.5
+        }
+        assert lsh <= exact
+        assert exact  # non-vacuous: the corpus does contain near-dups
