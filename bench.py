@@ -66,15 +66,20 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # The driver captures only a bounded tail of stdout: emit ONE compact
+    # line (short query keys = the qNN prefix, no spaces, 2-digit secs)
+    # so the whole JSON object survives the capture and parses.
+    short = {name.split("_")[0]: round(t_, 2) for name, t_ in timings.items()}
     print(
         json.dumps(
             {
                 "metric": "catalog_total_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": short,
                 "sf": sf_label(SF_DIR),
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

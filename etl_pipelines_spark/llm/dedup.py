@@ -641,9 +641,18 @@ def prefix_filter_pairs(
     exclude hot tokens. Verify candidates with token_jaccard (exact),
     as q74 does.
     """
+    from fractions import Fraction
+
     from pyspark.sql import Window
 
-    num, den = threshold.as_integer_ratio()
+    # A small exact ratio for the threshold: raw as_integer_ratio() on
+    # a non-dyadic float (0.7 -> 3152519739159347/4503599627370496)
+    # would overflow BIGINT in `_n * num` for docs beyond ~2.9k tokens.
+    # limit_denominator(1000) is exact for any threshold expressed with
+    # <= 3 decimal digits and keeps the product within 2^63 for any
+    # realistic document.
+    frac = Fraction(threshold).limit_denominator(1000)
+    num, den = frac.numerator, frac.denominator
     toks = tokens if tokens is not None else doc_tokens(df, text_col, id_col)
     dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
     w = Window.partitionBy(id_col).orderBy("_df", "token")

@@ -1436,9 +1436,15 @@ def q67(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- q69
+# Collocation count floor: low enough that sf0.01 (the driver's parity
+# scale) yields real rows — the oracle comparison must exercise values,
+# not 0 == 0. The Gopher-style production floor would be higher; the
+# statistic is identical.
+COLLOC_FLOOR = 5
+
 @register(
     "q69_bigram_collocations",
-    """
+    f"""
     WITH words AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents
     ),
@@ -1456,7 +1462,7 @@ def q67(spark: SparkSession, sf: str) -> DataFrame:
     tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
     bi AS (
         SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_xy
-        FROM bigrams GROUP BY 1 HAVING COUNT(*) >= 50
+        FROM bigrams GROUP BY 1 HAVING COUNT(*) >= {COLLOC_FLOOR}
     )
     SELECT b.bigram, b.c_xy, ua.c AS c_x, ub.c AS c_y,
            CAST(CAST(t.n * b.c_xy AS DOUBLE)
@@ -1480,15 +1486,21 @@ def q67(spark: SparkSession, sf: str) -> DataFrame:
 def q69(spark: SparkSession, sf: str) -> DataFrame:
     docs = t(spark, sf, "documents").repartition("doc_id")
     words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    # Guard docs with <2 tokens explicitly: sequence(0, -1) is the
+    # DESCENDING array [0, -1] in Spark, which would emit [NULL, NULL]
+    # bigrams — the oracle's range(1, 1) is empty. (The NULL group
+    # happened to be dropped by the inner joins below, but only by
+    # luck of the join type; keep the generator itself correct.)
     bigram = F.expr(
-        "transform(sequence(0, greatest(size(w) - 2, -1)),"
+        "transform(sequence(0, size(w) - 2),"
         " i -> concat(get(w, i), ' ', get(w, i + 1)))"
     )
     bi = (
-        words.select(F.explode(bigram).alias("bigram"))
+        words.filter(F.size("w") >= 2)
+        .select(F.explode(bigram).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("c_xy"))
-        .filter(F.col("c_xy") >= 50)
+        .filter(F.col("c_xy") >= COLLOC_FLOOR)
     )
     toks = words.select(F.explode("w").alias("token"))
     uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))

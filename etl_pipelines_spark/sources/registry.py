@@ -113,9 +113,14 @@ def compact_partitions(
     read -> repartition on the partition keys (one shuffle that also
     co-locates rows with their output partition, so each writer task emits
     files for one partition, not one file per (task, partition) pair)
-    -> write to a staging dir -> atomic swap. The swap keeps readers
-    safe: Spark cannot overwrite a path it is lazily reading, and a
-    crash mid-compact leaves the original intact.
+    -> write to a staging dir -> two-step rename swap. Spark cannot
+    overwrite a path it is lazily reading, so the staging dir keeps
+    readers safe while the rewrite runs. The swap itself is two
+    renames, NOT atomic as a unit: a crash after the first rename
+    leaves the table under `<path>__retired` (recovery = rename it
+    back); a crash before it leaves the original untouched. Leftover
+    `__retired` / `__compacting` dirs from a crashed run are detected
+    up front and raise instead of being silently nested into.
     """
     import glob
     import shutil
@@ -125,10 +130,22 @@ def compact_partitions(
         return len(glob.glob(os.path.join(p, "**", "*" + exts.get(fmt, "")),
                              recursive=True))
 
+    staged = path.rstrip("/") + "__compacting"
+    retired = path.rstrip("/") + "__retired"
+    if os.path.exists(retired):
+        raise RuntimeError(
+            f"stale {retired!r} exists — a prior compact crashed mid-swap; "
+            f"recover by moving it back to {path!r} (or delete it if "
+            f"{path!r} is complete) before compacting again"
+        )
+    if os.path.exists(staged):
+        # A crash before the swap left only staging garbage; the
+        # original table is intact, so the staging dir is disposable.
+        shutil.rmtree(staged)
+
     before = _count(path)
     df = spark.read.format(fmt).load(path)
     cols = [c for c in partition_cols if c in df.columns]
-    staged = path.rstrip("/") + "__compacting"
     writer = (
         (df.repartition(*cols) if cols else df.coalesce(1))
         .write.mode("overwrite")
@@ -138,8 +155,10 @@ def compact_partitions(
     if cols:
         writer = writer.partitionBy(*cols)
     writer.save(staged)
-    retired = path.rstrip("/") + "__retired"
-    shutil.move(path, retired)
-    shutil.move(staged, path)
+    # os.rename: same-filesystem atomic per call (staging is a sibling
+    # path, so same fs by construction); shutil.move would fall back to
+    # copy+delete across mounts and widen the unsafe window.
+    os.rename(path, retired)
+    os.rename(staged, path)
     shutil.rmtree(retired)
     return before, _count(path)
