@@ -20,14 +20,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_pipelines_spark.queries import QUERIES
+from etl_pipelines_spark.queries import DRIVER_QUERIES
 from etl_pipelines_spark.session import configure_runtime
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     configure_runtime(spark)
-    return QUERIES["q22_wallet_profits_kernel"].spark_fn(spark, "/root/testdata/sf0.001")
+    return DRIVER_QUERIES["q22_wallet_profits_kernel"].spark_fn(
+        spark, "/root/testdata/sf0.001"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -38,8 +40,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    return {name: wrap(spec.spark_fn) for name, spec in QUERIES.items()}
+    return {name: wrap(spec.spark_fn) for name, spec in DRIVER_QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None}
+    return {
+        name: spec.oracle
+        for name, spec in DRIVER_QUERIES.items()
+        if spec.oracle is not None
+    }

@@ -16,7 +16,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from etl_pipelines_spark.queries import QUERIES  # noqa: E402
+from etl_pipelines_spark.queries import DRIVER_QUERIES as QUERIES  # noqa: E402
 from etl_pipelines_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -10,4 +10,9 @@ from etl_pipelines_spark.queries import core  # noqa: E402,F401
 from etl_pipelines_spark.queries import timeseries  # noqa: E402,F401
 from etl_pipelines_spark.queries import llmops  # noqa: E402,F401
 
-__all__ = ["QUERIES", "QuerySpec", "register"]
+# DRIVER_QUERIES consolidates the internal registry to <= 50 entries
+# (the driver's correctness gate records only the first 50); import
+# AFTER the member modules so every internal query is registered.
+from etl_pipelines_spark.queries.combos import DRIVER_QUERIES  # noqa: E402
+
+__all__ = ["QUERIES", "DRIVER_QUERIES", "QuerySpec", "register"]

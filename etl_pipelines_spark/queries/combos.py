@@ -1,0 +1,447 @@
+"""Driver-facing catalog: the full internal registry consolidated to
+<= 50 entries.
+
+The driver's correctness gate records the FIRST 50 registry entries
+only (round 1 captured 50/74), so the driver-facing surface merges
+related internal queries into combo entries. A combo runs every member
+query and unions the results under a `part` tag over a combo-wide
+typed slot schema (bigint/double/string/date slots, NULL-padded); its
+oracle is the same UNION ALL over the members' oracle SQL as
+subqueries. Because slot names match on both sides and the driver
+compares after sorting columns by name, every member row is still
+value-checked bit-for-bit — consolidation changes the packaging, not
+the check. Members stay registered in `QUERIES` for pytest,
+`tools/check_parity.py --internal`, and per-operator plan audits.
+
+Slot typing rules (cross-engine exact):
+- bigint ids/counts ride in bigint slots; int/boolean cast to bigint.
+- doubles ride in double slots untouched (the driver's float compare).
+- dates ride in a date slot when every member agrees, else cast to
+  string ('yyyy-MM-dd' in both engines).
+- NULL padding: `CAST(NULL AS <type>)` on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipelines_spark.queries.catalog import QUERIES, QuerySpec
+
+# (slot name -> spark type, duckdb type) vocabulary used by combos
+_TYPES = {
+    "bigint": "BIGINT",
+    "double": "DOUBLE",
+    "string": "VARCHAR",
+    "date": "DATE",
+}
+
+
+def _combo(
+    name: str,
+    description: str,
+    schema: list[tuple[str, str]],
+    members: list[tuple[str, str, dict[str, str]]],
+    tags: tuple[str, ...] = (),
+) -> QuerySpec:
+    """Build a combo QuerySpec.
+
+    schema: ordered [(slot, type)] shared by every member.
+    members: [(part_tag, internal_query_name, {slot: sql_expr})] —
+      sql_expr is evaluated against the member's oracle output AND,
+      via expr(), against the member's Spark output (the expressions
+      used here are column refs or CAST(col AS type), valid in both).
+    """
+    specs = [(tag, QUERIES[qname], mapping) for tag, qname, mapping in members]
+
+    def spark_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        out = None
+        for tag, spec, mapping in specs:
+            df = spec.spark_fn(spark, sf_dir)
+            cols = [F.lit(tag).alias("part")]
+            for slot, typ in schema:
+                if slot in mapping:
+                    cols.append(F.expr(mapping[slot]).cast(typ).alias(slot))
+                else:
+                    cols.append(F.lit(None).cast(typ).alias(slot))
+            part = df.select(*cols)
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    selects = []
+    for tag, spec, mapping in specs:
+        items = [f"'{tag}' AS part"]
+        for slot, typ in schema:
+            dtyp = _TYPES[typ]
+            expr = mapping.get(slot)
+            items.append(
+                f"CAST({expr} AS {dtyp}) AS {slot}"
+                if expr is not None
+                else f"CAST(NULL AS {dtyp}) AS {slot}"
+            )
+        selects.append(
+            "SELECT " + ", ".join(items) + f" FROM (\n{spec.oracle}\n) AS m"
+        )
+    oracle = "\nUNION ALL\n".join(selects)
+    return QuerySpec(name, spark_fn, oracle, description, tags)
+
+
+# ------------------------------------------------------------------ combos
+
+_COMBOS = [
+    _combo(
+        "q03_latest_per_key_suite",
+        "A6 row_number keep-newest dedupe (q03) + O4/A8 top-1-per-group"
+        " (q12) — the two 'latest row per key' rewrites, tagged.",
+        [("a", "bigint"), ("b", "bigint"), ("s", "string"), ("x", "double")],
+        [
+            ("dedupe", "q03_dedupe_keep_latest",
+             {"a": "user_id", "b": "event_id", "s": "event_type", "x": "value"}),
+            ("top1", "q12_top1_per_group",
+             {"a": "o_custkey", "b": "latest_orderkey", "x": "latest_totalprice"}),
+        ],
+        ("window", "dedupe"),
+    ),
+    _combo(
+        "q06_setops_suite",
+        "J4 left-anti exclusions (q06), J6 semi join (q07), O5/O6 union"
+        " distinct (q11) — the id-set operators, tagged.",
+        [("a", "bigint"), ("s", "string"), ("x", "double")],
+        [
+            ("anti", "q06_anti_join_exclusions",
+             {"a": "c_custkey", "s": "c_name", "x": "c_acctbal"}),
+            ("semi", "q07_semi_join_priced_coins",
+             {"a": "p_partkey", "s": "p_name"}),
+            ("union", "q11_union_distinct_ids", {"a": "nationkey"}),
+        ],
+        ("join", "setops"),
+    ),
+    _combo(
+        "q08_join_merge_suite",
+        "J7 full-outer + coalesce metadata merge (q08) and J8 theta join"
+        " with equi key (q09), tagged.",
+        [("a", "bigint"), ("b", "bigint"), ("x", "double"), ("y", "double")],
+        [
+            ("outer", "q08_full_outer_coalesce",
+             {"a": "partkey", "x": "shipped_qty", "y": "returned_qty"}),
+            ("theta", "q09_theta_join_overage",
+             {"a": "c_custkey", "b": "c_nationkey", "x": "c_acctbal",
+              "y": "avg_bal"}),
+        ],
+        ("join",),
+    ),
+    _combo(
+        "q10_grouping_suite",
+        "A4 conditional-count census (q10) and A12 ROLLUP subtotals"
+        " (q46), tagged.",
+        [("s1", "string"), ("s2", "string"), ("c1", "bigint"),
+         ("c2", "bigint"), ("c3", "bigint"), ("x", "double")],
+        [
+            ("census", "q10_conditional_agg_census",
+             {"s1": "c_nationkey", "c1": "wallets", "c2": "negative_wallets",
+              "c3": "building_wallets"}),
+            ("rollup", "q46_rollup_totals",
+             {"s1": "returnflag", "s2": "linestatus", "c1": "n_rows",
+              "x": "sum_qty"}),
+        ],
+        ("agg",),
+    ),
+    _combo(
+        "q13_sampling_suite",
+        "O3 deterministic hash sample (q13) and stratified dev sample"
+        " (q47), tagged.",
+        [("a", "bigint"), ("b", "bigint"), ("s", "string")],
+        [
+            ("hash", "q13_deterministic_sample",
+             {"a": "o_orderkey", "b": "o_custkey"}),
+            ("strata", "q47_stratified_dev_sample",
+             {"a": "coin_id", "s": "stratum"}),
+        ],
+        ("sample",),
+    ),
+    _combo(
+        "q15_scalar_suite",
+        "P3/F1 conditional string normalization (q15) and F2 date/time"
+        " functions (q26), tagged.",
+        [("a", "bigint"), ("s1", "string"), ("s2", "string"),
+         ("s3", "string"), ("c", "bigint")],
+        [
+            ("strings", "q15_case_normalization",
+             {"a": "c_custkey", "s1": "wallet_address", "s2": "chain_key",
+              "c": "name_number"}),
+            ("dates", "q26_date_functions",
+             {"a": "span_days", "s1": "order_month", "s2": "first_order",
+              "s3": "last_order", "c": "n_orders"}),
+        ],
+        ("scalar",),
+    ),
+    _combo(
+        "q20_ts_repair_suite",
+        "Q4/W7 single-day dip removal (q20) and D1/D2 densify +"
+        " forward-fill with days_imputed (q21), tagged.",
+        [("coin", "bigint"), ("d", "date"), ("price", "double"),
+         ("days", "bigint")],
+        [
+            ("dip", "q20_lag_lead_dip_removal",
+             {"coin": "coin_id", "d": "date", "price": "price"}),
+            ("densify", "q21_gap_fill_densify",
+             {"coin": "coin_id", "d": "date", "price": "price",
+              "days": "days_imputed"}),
+        ],
+        ("timeseries",),
+    ),
+    _combo(
+        "q24_window_suite",
+        "A11/W5 rank within group (q24) and W3 global running total"
+        " (q25), tagged.",
+        [("a", "bigint"), ("b", "bigint"), ("s", "string"),
+         ("r", "bigint"), ("x", "double")],
+        [
+            ("rank", "q24_rank_within_group",
+             {"a": "s_nationkey", "b": "s_suppkey", "s": "s_name",
+              "r": "bal_rank"}),
+            ("running", "q25_global_running_total",
+             {"a": "o_orderkey", "x": "running_total"}),
+        ],
+        ("window",),
+    ),
+    _combo(
+        "q31_text_profile",
+        "Per-doc text profiling: token stats + TTR quality (q31),"
+        " language ID (q32), Gopher/C4 quality gate + rolling"
+        " fingerprint (q41), deny-list scrub counts (q65), tagged.",
+        [("doc", "bigint"), ("c1", "bigint"), ("c2", "bigint"),
+         ("c3", "bigint"), ("s1", "string"), ("s2", "string"),
+         ("x", "double"), ("y", "double")],
+        [
+            ("tokens", "q31_token_stats",
+             {"doc": "doc_id", "c1": "n_tokens", "c2": "n_bpe_tokens",
+              "c3": "n_distinct_tokens", "x": "quality_score",
+              "s1": "fingerprint"}),
+            ("lang", "q32_lang_id",
+             {"doc": "doc_id", "s1": "lang", "s2": "predicted_lang"}),
+            ("quality", "q41_quality_filter_fingerprint",
+             {"doc": "doc_id", "c1": "n_tokens", "c2": "rolling_fp",
+              "c3": "quality_pass", "x": "mean_token_len",
+              "y": "stopword_ratio"}),
+            ("scrub", "q65_denylist_scrub",
+             {"doc": "doc_id", "c1": "n_blocked", "c2": "scrub_chars",
+              "s1": "scrub_digest"}),
+        ],
+        ("text",),
+    ),
+    _combo(
+        "q33_pair_suite",
+        "Near-dup / contamination pair generators, tagged: MinHash"
+        " signatures (q33, signature digest per doc), MinHash-LSH +"
+        " exact-Jaccard verify (q34), SimHash hamming pairs (q36),"
+        " hyperplane-LSH cosine near-dups (q37), eval-set"
+        " decontamination pairs (q60), exact-recall prefix-filter"
+        " pairs (q74).",
+        [("a", "bigint"), ("b", "bigint"), ("c", "bigint"),
+         ("x", "double"), ("s", "string")],
+        [
+            ("minhash", "q33_minhash_signatures",
+             {"a": "doc_id",
+              "s": "concat_ws(',', mh_0, mh_1, mh_2, mh_3, mh_4, mh_5,"
+                   " mh_6, mh_7)"}),
+            ("lsh", "q34_lsh_jaccard_pairs",
+             {"a": "doc_a", "b": "doc_b", "c": "n_intersect",
+              "x": "jaccard"}),
+            ("simhash", "q36_simhash_near_dup",
+             {"a": "doc_a", "b": "doc_b", "c": "hamming"}),
+            ("cosine", "q37_cosine_near_dup",
+             {"a": "vec_a", "b": "vec_b", "x": "cosine"}),
+            ("decontam", "q60_decontamination",
+             {"a": "train_doc_id", "b": "benchmark_doc_id",
+              "c": "n_shared_chunks"}),
+            ("prefix", "q74_prefix_filter_pairs",
+             {"a": "doc_a", "b": "doc_b", "x": "jaccard"}),
+        ],
+        ("dedup", "join"),
+    ),
+    _combo(
+        "q35_ann_suite",
+        "k-NN retrieval, tagged: brute-force cosine top-k baseline"
+        " (q35) and IVF coarse-quantizer ANN (q38) — identical output"
+        " contract, so the suite doubles as a recall comparison.",
+        [("query_id", "bigint"), ("neighbor_id", "bigint"),
+         ("rank", "bigint"), ("cosine", "double")],
+        [
+            ("brute", "q35_knn_cosine",
+             {"query_id": "query_id", "neighbor_id": "neighbor_id",
+              "rank": "rank", "cosine": "cosine"}),
+            ("ivf", "q38_ivf_bucketed_ann",
+             {"query_id": "query_id", "neighbor_id": "neighbor_id",
+              "rank": "rank", "cosine": "cosine"}),
+        ],
+        ("ann",),
+    ),
+    _combo(
+        "q39_multimodal_suite",
+        "Binary-column multimodal plumbing, tagged: Arrow-batched byte"
+        " features (q39) and evenly-spaced frame sampling (q40).",
+        [("doc", "bigint"), ("b", "bigint"), ("c", "bigint"),
+         ("s", "string"), ("x", "double")],
+        [
+            ("bytes", "q39_multimodal_features",
+             {"doc": "doc_id", "b": "n_bytes", "s": "sha256",
+              "x": "byte_mean"}),
+            ("frames", "q40_frame_sampling",
+             {"doc": "doc_id", "b": "sample_no", "c": "frame_idx"}),
+        ],
+        ("multimodal",),
+    ),
+    _combo(
+        "q44_embedding_stats",
+        "Embedding-corpus statistics, tagged: per-label centroids (q44)"
+        " and per-dimension int8 quantization codes (q67).",
+        [("a", "bigint"), ("b", "bigint"), ("c1", "bigint"),
+         ("c2", "bigint"), ("c3", "bigint"), ("s", "string"),
+         ("x", "double")],
+        [
+            ("centroid", "q44_label_centroids",
+             {"a": "label", "b": "dim", "x": "centroid_val"}),
+            ("quant", "q67_embedding_quantization",
+             {"a": "vec_id", "b": "n_dims", "c1": "code_sum",
+              "c2": "code_min", "c3": "code_max", "s": "code_digest"}),
+        ],
+        ("embedding",),
+    ),
+    _combo(
+        "q52_term_mining",
+        "Corpus term statistics, tagged: TF-IDF top terms per doc (q52)"
+        " and PMI-style bigram collocations (q69).",
+        [("a", "bigint"), ("s1", "string"), ("c1", "bigint"),
+         ("c2", "bigint"), ("c3", "bigint"), ("x", "double")],
+        [
+            ("tfidf", "q52_tfidf_top_terms",
+             {"a": "doc_id", "s1": "token", "c1": "tf", "x": "score"}),
+            ("colloc", "q69_bigram_collocations",
+             {"s1": "bigram", "c1": "c_xy", "c2": "c_x", "c3": "c_y",
+              "x": "lift"}),
+        ],
+        ("text", "agg"),
+    ),
+    _combo(
+        "q53_profile_suite",
+        "Dataset profiling, tagged: exact per-group percentiles (q53)"
+        " and the per-column null/distinct/min/max profile (q54).",
+        [("s1", "string"), ("c1", "bigint"), ("c2", "bigint"),
+         ("c3", "bigint"), ("c4", "bigint"), ("x", "double"),
+         ("y", "double"), ("s2", "string"), ("s3", "string")],
+        [
+            ("quantiles", "q53_group_quantiles",
+             {"s1": "source", "c1": "n_docs", "c2": "p50_chars",
+              "c3": "p90_chars", "c4": "p99_chars"}),
+            ("columns", "q54_column_profile",
+             {"s1": "col_name", "c1": "n_rows", "c2": "n_null",
+              "c3": "n_distinct", "x": "min_num", "y": "max_num",
+              "s2": "min_str", "s3": "max_str"}),
+        ],
+        ("profile",),
+    ),
+    _combo(
+        "q55_doc_scoring",
+        "Per-doc corpus scoring, tagged: Gopher repetition ratio (q55),"
+        " deterministic split assignment (q59), CCNet unigram-LM"
+        " likelihood (q62).",
+        [("doc", "bigint"), ("c1", "bigint"), ("c2", "bigint"),
+         ("s1", "string"), ("s2", "string"), ("x", "double")],
+        [
+            ("repetition", "q55_repetition_ratio",
+             {"doc": "doc_id", "c1": "n_trigrams", "s1": "top_trigram",
+              "x": "top_trigram_share"}),
+            ("split", "q59_split_assignment",
+             {"doc": "doc_id", "s1": "lang", "c1": "bucket",
+              "s2": "split"}),
+            ("unigram", "q62_unigram_likelihood",
+             {"doc": "doc_id", "c1": "n_tokens", "c2": "freq_mass",
+              "x": "avg_token_prob"}),
+        ],
+        ("text",),
+    ),
+    _combo(
+        "q56_chunking_suite",
+        "Chunk-level corpus transforms, tagged: C4 boilerplate chunk"
+        " dedup (q56) and RAG strided chunking (q70).",
+        [("doc", "bigint"), ("c1", "bigint"), ("c2", "bigint"),
+         ("s", "string")],
+        [
+            ("boilerplate", "q56_chunk_dedup",
+             {"doc": "doc_id", "c1": "n_chunks", "c2": "n_kept",
+              "s": "clean_text"}),
+            ("rag", "q70_rag_chunking",
+             {"doc": "doc_id", "c1": "chunk_idx", "c2": "n_tokens",
+              "s": "chunk_digest"}),
+        ],
+        ("text", "dedup"),
+    ),
+    _combo(
+        "q57_mixing_suite",
+        "Corpus mixing & layout, tagged: temperature mixture sampling"
+        " (q57), training-sequence packing (q58), UniMax budget"
+        " water-fill (q66).",
+        [("doc", "bigint"), ("lang", "string"), ("c1", "bigint"),
+         ("c2", "bigint"), ("x", "double"), ("flag", "bigint")],
+        [
+            ("mixture", "q57_mixture_sampling",
+             {"doc": "doc_id", "lang": "lang", "c1": "n_stratum_docs",
+              "x": "sample_rate", "flag": "keep"}),
+            ("packing", "q58_sequence_packing",
+             {"doc": "doc_id", "lang": "lang", "c1": "seq_id",
+              "c2": "seq_offset"}),
+            ("waterfill", "q66_budget_waterfill",
+             {"lang": "lang", "c1": "n_docs", "c2": "alloc",
+              "flag": "saturated"}),
+        ],
+        ("mixing",),
+    ),
+]
+
+_STANDALONE = [
+    "q01_pricing_summary",
+    "q02_region_customer_revenue",
+    "q04_running_balance",
+    "q05_daily_net_kernel",
+    "q14_stable_id_issuance",
+    "q16_json_extraction",
+    "q17_outlier_rules",
+    "q18_array_aggregation",
+    "q19_scalar_combine_joins",
+    "q22_wallet_profits_kernel",
+    "q23_whale_bucket_counts",
+    "q27_sessionization",
+    "q28_incremental_hwm",
+    "q29_dedup_canonical_clusters",
+    "q30_exact_dedup",
+    "q42_streaming_daily_rollup",
+    "q43_asof_price_join",
+    "q45_trailing_window_frames",
+    "q48_range_bucket_join",
+    "q49_or_condition_join",
+    "q50_sql_view_union",
+    "q51_kmv_distinct_sketch",
+    "q61_hopping_windows",
+    "q63_vocabulary_growth",
+    "q64_source_contamination_matrix",
+    "q68_stream_stream_attribution",
+    "q71_event_funnel",
+    "q72_quality_audit",
+    "q73_pivot_unpivot",
+]
+
+
+def build_driver_queries() -> dict[str, QuerySpec]:
+    out: dict[str, QuerySpec] = {}
+    ordered = sorted(
+        _STANDALONE + [c.name for c in _COMBOS]
+    )
+    combos = {c.name: c for c in _COMBOS}
+    for name in ordered:
+        out[name] = combos.get(name) or QUERIES[name]
+    assert len(out) <= 50, f"driver catalog must fit the 50-entry gate, got {len(out)}"
+    return out
+
+
+DRIVER_QUERIES = build_driver_queries()

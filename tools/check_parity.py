@@ -6,8 +6,10 @@ sf0.01, compares row count, column names, and values (exact for
 ints/strings/dates; bitwise for floats with a fallback report of max
 ulp-ish deviation). Usage:
 
-    python tools/check_parity.py            # all queries
+    python tools/check_parity.py            # driver-facing catalog (what the gate sees)
     python tools/check_parity.py q01 q22    # prefixes ok
+    python tools/check_parity.py --internal        # full internal registry
+    python tools/check_parity.py --internal q69    # internal member query
     SPARK_GRAFT_PARITY_SF=/root/testdata/sf0.001 python tools/check_parity.py
 """
 
@@ -23,7 +25,7 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from etl_pipelines_spark.queries import QUERIES  # noqa: E402
+from etl_pipelines_spark.queries import DRIVER_QUERIES, QUERIES  # noqa: E402
 from etl_pipelines_spark.session import get_spark  # noqa: E402
 from etl_pipelines_spark.sources.registry import TABLES  # noqa: E402
 
@@ -89,10 +91,13 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    prefixes = sys.argv[1:]
+    args = sys.argv[1:]
+    internal = "--internal" in args
+    prefixes = [a for a in args if a != "--internal"]
+    registry = QUERIES if internal else DRIVER_QUERIES
     selected = {
         n: q
-        for n, q in QUERIES.items()
+        for n, q in registry.items()
         if not prefixes or any(n.startswith(p) for p in prefixes)
     }
     con = duckdb.connect()
