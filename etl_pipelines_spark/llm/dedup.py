@@ -612,6 +612,84 @@ def exact_dedup_incremental(
     return fresh.drop("_digest"), state
 
 
+def doc_shingle_arrays(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, _toks: array<string>, _n) — each doc's distinct shingle
+    set folded to ONE row. The groupBy is partition-local (doc_shingles
+    repartitions by doc id) and the result is the cache-friendly form
+    of the shingle stream: same bytes, one row per doc, and re-deriving
+    the exploded stream from it is a cheap Generate over cached arrays
+    instead of a re-run of split+trigram+concat over raw text. Persist
+    THIS frame when several pipeline stages (df-ranking, banding,
+    verify) need the shingles."""
+    return doc_shingles(df, text_col, id_col).groupBy(id_col).agg(
+        F.collect_list("shingle").alias("_toks"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+
+
+def array_jaccard_verify(
+    pairs: DataFrame,
+    shingles: DataFrame | None = None,
+    id_col: str = "doc_id",
+    arrays: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard for candidate (doc_a, doc_b) pairs via per-doc
+    shingle ARRAYS — the exchange-lean alternative to token_jaccard's
+    token-stream groupBy.
+
+    One partition-local groupBy folds each doc's (already-distinct)
+    shingles into an array + size (shingle frames arrive partitioned
+    on the doc id, so this adds NO exchange); candidates then fetch
+    both arrays by id and the intersection computes map-side with
+    array_intersect inside codegen. Two exchanges total after the
+    candidate generator (pairs by doc_a, then by doc_b) versus the
+    token-stream verify's four (two id joins, the pair groupBy, the
+    size join).
+
+    Shuffle volume is candidate-bounded: each candidate pair carries
+    two doc arrays once — the same tokens the stream verify shuffled,
+    minus the re-keyed aggregation passes. The prefix/LSH generator
+    keeping candidates near the true-pair count is what makes this the
+    right side of the trade at 100 TB; for a generator that
+    over-produces, verify with token_jaccard instead (it never widens
+    rows beyond (pair, token)).
+
+    Pass `arrays` (a doc_shingle_arrays frame, usually persisted) to
+    share the shingle scan with the candidate generator; else a
+    (doc_id, shingle) `shingles` stream is folded here."""
+    if arrays is not None:
+        arrs = arrays
+    else:
+        arrs = shingles.groupBy(id_col).agg(
+            F.collect_list("shingle").alias("_toks"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    a = arrs.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("_toks").alias("_ta"),
+        F.col("_n").alias("_na"),
+    )
+    b = arrs.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("_toks").alias("_tb"),
+        F.col("_n").alias("_nb"),
+    )
+    ni = F.size(F.array_intersect("_ta", "_tb")).cast("long")
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_intersect", ni)
+        .withColumn(
+            "jaccard",
+            F.col("n_intersect").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("n_intersect")).cast("double"),
+        )
+        .select("doc_a", "doc_b", "n_intersect", "jaccard")
+    )
+
+
 def prefix_filter_pairs(
     df: DataFrame,
     threshold: float = 0.5,

@@ -140,6 +140,73 @@ def expect_referential_integrity(
     return _result(f"referential({', '.join(keys)})", orphans)
 
 
+def fused_balance_audit(
+    df: DataFrame,
+    keys: list[str],
+    date_col: str = "date",
+    balance_col: str = "balance",
+    tolerance: float = 0.1,
+    labels: tuple[str, str, str, str] = (
+        "negative_balance",
+        "no_date_gaps",
+        "unique",
+        "not_null",
+    ),
+) -> DataFrame:
+    """All four standard audit rules over a keyed daily-balance frame in
+    ONE aggregation cascade — the materialize-then-query shape (persist
+    the frame, run four independent rule scans, union four 1-row aggs)
+    restructured into a single plan ("restructure > persist", SCALE.md).
+
+    Every rule is derivable from one (keys, date)-level partial:
+    negative-balance row counts and duplicate-triple counts fall out of
+    the triple groupBy; date-gap pairs and null-key row counts fall out
+    of the keys-level rollup of that partial. Because the balance frame
+    arrives hash-partitioned on `keys` (its cumulative window demands
+    it), BOTH groupBys are partition-local — the only exchange after
+    the window shuffle is the final 1-row global aggregate, and the
+    input is scanned once with no persist to pin executor storage.
+
+    Null semantics match the per-rule builders exactly: distinct dates
+    exclude NULL (a NULL-date group doesn't count toward the span
+    check), a NULL span (no non-null dates) is not a gap violation, and
+    null-key rows count once per ROW (not per group) via the
+    group-count weight.
+    """
+    any_null = F.col(date_col).isNull()
+    for c in keys:
+        any_null = any_null | F.col(c).isNull()
+    triple = df.groupBy(*keys, date_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(
+            F.when(F.col(balance_col) < -tolerance, F.lit(1)).otherwise(F.lit(0))
+        ).alias("_neg"),
+        F.max(any_null.cast("int")).alias("_has_null"),
+    )
+    per_key = triple.groupBy(*keys).agg(
+        F.sum(F.when(F.col(date_col).isNotNull(), 1).otherwise(0)).alias("_n_dates"),
+        (F.datediff(F.max(date_col), F.min(date_col)) + 1).alias("_span"),
+        F.sum(F.when(F.col("_n") > 1, 1).otherwise(0)).alias("_dups"),
+        F.sum("_neg").alias("_negs"),
+        F.sum(F.col("_has_null") * F.col("_n")).alias("_nulls"),
+    )
+    totals = per_key.agg(
+        F.sum("_negs").cast("long").alias("_r_neg"),
+        F.sum(
+            F.when(F.col("_n_dates") != F.col("_span"), 1).otherwise(0)
+        ).cast("long").alias("_r_gap"),
+        F.sum("_dups").cast("long").alias("_r_dup"),
+        F.sum("_nulls").cast("long").alias("_r_null"),
+    )
+    quoted = [label.replace("'", "\\'") for label in labels]
+    stack = (
+        f"stack(4, '{quoted[0]}', _r_neg, '{quoted[1]}', _r_gap,"
+        f" '{quoted[2]}', _r_dup, '{quoted[3]}', _r_null)"
+        " as (rule, n_violations)"
+    )
+    return totals.select(F.expr(stack))
+
+
 def violation_counts(named: dict[str, DataFrame]) -> DataFrame:
     """Union per-rule violation counts into one (rule, n_violations)
     frame — the dbt-style audit result materialized as a table, so the

@@ -1141,7 +1141,7 @@ def q63(spark: SparkSession, sf: str) -> DataFrame:
                )) AS shingle
         FROM documents
     ),
-    sh AS (SELECT DISTINCT source, MD5(shingle) AS digest FROM tok),
+    sh AS (SELECT DISTINCT source, shingle FROM tok),
     per_src AS (
         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_shingles
         FROM sh GROUP BY 1
@@ -1149,7 +1149,7 @@ def q63(spark: SparkSession, sf: str) -> DataFrame:
     pairs AS (
         SELECT a.source AS source_a, b.source AS source_b,
                CAST(COUNT(*) AS BIGINT) AS n_intersect
-        FROM sh a JOIN sh b ON a.digest = b.digest AND a.source < b.source
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
         GROUP BY 1, 2
     )
     SELECT p.source_a, p.source_b, pa.n_shingles AS n_a, pb.n_shingles AS n_b,
@@ -1164,12 +1164,18 @@ def q63(spark: SparkSession, sf: str) -> DataFrame:
     description="Cross-source contamination matrix: trigram-shingle "
     "Jaccard between every source pair that shares at least one "
     "shingle (the corpus-provenance view of dedup — which crawl "
-    "sources overlap and how much). Shingles ride fixed-width md5 "
-    "digests so the self-join shuffles 32-char keys, not text; the "
-    "distinct (source, digest) table is built once, persisted, and "
-    "reused for both the pair intersection and the per-source set "
-    "sizes; per-source sizes broadcast back onto the pair counts. "
-    "Jaccard = one integer division -> exact cross-engine parity",
+    "sources overlap and how much). Instead of a shingle self-join "
+    "(which shuffles the shingle table twice and needs a pair-level "
+    "distinct), each shingle's source SET is built in one groupBy "
+    "(collect_set dedupes (source, shingle) in the same shuffle), and "
+    "source pairs expand map-side from the sorted set — the "
+    "per-shingle fan-out is bounded by the source count, never by "
+    "corpus size. Shingles shuffle as RAW trigrams: md5 hex digests "
+    "would be LONGER than the trigrams themselves (digest keys only "
+    "pay off for long chunk/document shingles, cf. q56). Pair counts "
+    "and per-source sizes are tiny after map-side partial aggregation "
+    "and share the one wide exchange (ReusedExchange under AQE) — no "
+    "persist. Jaccard = one integer division -> exact parity",
     tags=("dedup", "text"),
 )
 def q64(spark: SparkSession, sf: str) -> DataFrame:
@@ -1181,23 +1187,36 @@ def q64(spark: SparkSession, sf: str) -> DataFrame:
         "transform(sequence(0, greatest(size(_w) - 3, 0)),"
         " i -> concat_ws(' ', get(_w, i), get(_w, i + 1), get(_w, i + 2)))"
     )
-    # persisted, not unpersisted: read from three branches (pair join
-    # both sides + per-source sizes); bench/driver clear cache between
-    # runs — same lifecycle as the LSH signature tables (q29/q34)
-    sh = (
-        words.select("source", F.explode(F.array_distinct(tris)).alias("shingle"))
-        .select("source", F.md5("shingle").alias("digest"))
-        .distinct()
-        .persist()
+    sh = words.select(
+        "source", F.explode(F.array_distinct(tris)).alias("shingle")
     )
-    per_src = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.select(F.col("source").alias("source_a"), "digest")
-    b = sh.select(F.col("source").alias("source_b"), "digest")
+    # ONE wide shuffle: group by shingle; source membership dedupes
+    # into the set. Both downstream branches (pairs, sizes) are
+    # identical up to this aggregate, so AQE computes the exchange once
+    # and reuses it; only the small post-shuffle agg runs per branch.
+    sets = sh.groupBy("shingle").agg(
+        F.array_sort(F.collect_set("source")).alias("_s")
+    )
+    # sorted-set expansion -> (a, b) with a < b by construction; guard
+    # singleton sets (sequence(1, 0) would be a DESCENDING range).
+    pair_expr = F.expr(
+        "CASE WHEN size(_s) >= 2 THEN"
+        " flatten(transform(sequence(1, size(_s) - 1),"
+        "   i -> transform(slice(_s, i + 1, size(_s) - i),"
+        "        y -> struct(element_at(_s, i) AS a, y AS b))))"
+        " ELSE CAST(array() AS array<struct<a string, b string>>) END"
+    )
     pairs = (
-        a.join(b, "digest")
-        .filter(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
+        sets.select(F.explode(pair_expr).alias("p"))
+        .groupBy(
+            F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b")
+        )
         .agg(F.count(F.lit(1)).alias("n_intersect"))
+    )
+    per_src = (
+        sets.select(F.explode("_s").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
     )
     pa = per_src.select(
         F.col("source").alias("source_a"), F.col("n_shingles").alias("n_a")
@@ -1614,24 +1633,31 @@ def q70(spark: SparkSession, sf: str) -> DataFrame:
     "prefixes — hot boilerplate shingles are structurally excluded "
     "from prefixes, which is what LSH needs salting to survive. "
     "Integer prefix arithmetic (ceil as (n+1) div 2) -> exact parity; "
-    "exact-Jaccard verify prunes candidates. Guaranteed superset of "
-    "q34's probabilistic recall (pinned in test_operators)",
+    "the exact-Jaccard verify runs on per-doc shingle ARRAYS "
+    "(array_jaccard_verify: map-side array_intersect, two exchanges) "
+    "rather than the token-stream groupBy, and the shared shingle scan "
+    "rides AQE exchange reuse instead of a persist. Guaranteed "
+    "superset of q34's probabilistic recall (pinned in test_operators)",
     tags=("dedup", "join"),
 )
 def q74(spark: SparkSession, sf: str) -> DataFrame:
     from etl_pipelines_spark.llm.dedup import (
-        doc_shingles,
+        array_jaccard_verify,
+        doc_shingle_arrays,
         prefix_filter_pairs,
-        token_jaccard,
     )
 
     docs = t(spark, sf, "documents")
-    sh = doc_shingles(docs).persist()
-    sh.count()  # one shingle scan feeds prefixes AND the Jaccard verify
-    toks = sh.withColumnRenamed("shingle", "token")
+    # Persist the COMPACT form: one (doc, shingle-array, n) row per doc
+    # — the expensive split+trigram work runs once, and the df-ranking,
+    # prefix, and verify branches all read cached arrays (the exploded
+    # token stream re-derives as a cheap Generate). Cache lifecycle:
+    # bench/driver clear the cache between queries.
+    arrs = doc_shingle_arrays(docs).persist()
+    toks = arrs.select("doc_id", F.explode("_toks").alias("token"))
     cands = prefix_filter_pairs(docs, 0.5, tokens=toks)
     return (
-        token_jaccard(docs, cands, shingles=sh)
+        array_jaccard_verify(cands, arrays=arrs)
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
     )

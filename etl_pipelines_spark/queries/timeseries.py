@@ -877,21 +877,15 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
     "query: per-rule violation counts over the running-balance table — "
     "negative balances beyond the Q1 tolerance and per-pair date gaps "
     "are REAL violations in this corpus; uniqueness and not-null pass "
-    "by construction. Built from the same quality.py violation "
-    "builders every table build runs post-write (SURVEY.md §5.3), so "
-    "the audit layer itself rides the oracle gate. Each rule is one "
-    "map-side-combinable aggregation over the shared balance frame; "
-    "the result is rules-count rows",
+    "by construction. All four rules collapse into ONE aggregation "
+    "cascade (quality.fused_balance_audit): a triple-level partial and "
+    "a pair-level rollup, both partition-local on the window's own "
+    "hash partitioning, then a single global 1-row aggregate — one "
+    "scan, two real exchanges end-to-end, no persist",
     tags=("quality", "agg"),
 )
 def q72(spark: SparkSession, sf: str) -> DataFrame:
-    from etl_pipelines_spark.quality import (
-        date_gap_violations,
-        negative_violations,
-        not_null_violations,
-        unique_violations,
-        violation_counts,
-    )
+    from etl_pipelines_spark.quality import fused_balance_audit
 
     pair = ["coin_id", "wallet_address"]
     bal = transfers(spark, sf).select(
@@ -902,14 +896,16 @@ def q72(spark: SparkSession, sf: str) -> DataFrame:
         .cast("double")
         .alias("balance"),
     )
-    bal = bal.persist()  # four rule branches share one balance frame
-    return violation_counts(
-        {
-            "negative_balance(tol=0.1)": negative_violations(bal, "balance", 0.1),
-            "no_date_gaps": date_gap_violations(bal, pair),
-            "unique(coin, wallet, date)": unique_violations(bal, [*pair, "date"]),
-            "not_null(keys)": not_null_violations(bal, [*pair, "date"]),
-        }
+    return fused_balance_audit(
+        bal,
+        pair,
+        tolerance=0.1,
+        labels=(
+            "negative_balance(tol=0.1)",
+            "no_date_gaps",
+            "unique(coin, wallet, date)",
+            "not_null(keys)",
+        ),
     )
 
 

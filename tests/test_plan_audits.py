@@ -88,6 +88,14 @@ class TestShuffleBudget:
         # every window and the merge join ride those two
         assert shuffle_exchanges(plan_of(spark, "q22_wallet_profits_kernel")) <= 2
 
+    def test_q72_fused_audit_two_exchanges(self, spark):
+        # the four audit rules collapse into one aggregation cascade:
+        # the kernel's coin_id repartition serves the window AND both
+        # partial groupBys; the only other shuffle is the final 1-row
+        # global aggregate. A regression to materialize-then-query
+        # (persist + 4 rule branches) would multiply this count.
+        assert shuffle_exchanges(plan_of(spark, "q72_quality_audit")) <= 2
+
 
 class TestLLMPipelineShapes:
     def test_q34_jaccard_intersection_is_equi_join(self, spark):
@@ -128,14 +136,21 @@ class TestLLMPipelineShapes:
             last_exchange = m.group(1)
         assert last_exchange == "SinglePartition"
 
-    def test_q64_contamination_joins_on_digest(self, spark):
-        # the source-pair self-join must move md5 digests, never
-        # shingle text, and the per-source sizes must broadcast back
+    def test_q64_contamination_has_no_self_join(self, spark):
+        # the matrix builds from ONE wide groupBy (shingle -> source
+        # set) with map-side pair expansion — a regression to the
+        # shingle self-join would double the wide shuffle and re-add
+        # the pair-level distinct. Per-source sizes must broadcast back
+        # onto the pair counts, and the only sort-merge-joinable
+        # pattern (two big sides keyed on shingle) must not exist.
         plan = plan_of(spark, "q64_source_contamination_matrix")
         assert "BroadcastHashJoin" in plan
-        keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
-        assert any("digest" in k for k in keys)
-        assert not any("shingle" in k for k in keys)
+        # a shuffled join (self-join on the shingle key) must not exist:
+        # every join in this plan is a broadcast of source-pair-sized
+        # sides (the static plan prints each branch's groupBy exchange
+        # separately; AQE deduplicates them via ReusedExchange)
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+        assert "collect_set" in plan
 
     def test_q37_python_boundary_is_arrow_only(self, spark):
         # pandas UDFs surface as ArrowEvalPython; BatchEvalPython would
