@@ -1,17 +1,23 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry(spark): flagship wallet-profits kernel on sf0.001.
-queries(): 74 entries — the SURVEY.md §2 operator inventory (scans,
-  filters, scalar fns, every join type incl. as-of and range, aggs,
-  windows incl. RANGE frames and rollup, densify/impute, set ops,
+queries(): 49 driver-facing entries covering the 76-query internal
+  registry — the SURVEY.md §2 operator inventory (scans, filters,
+  scalar fns, every join type incl. as-of and range, aggs, windows
+  incl. RANGE frames and rollup, densify/impute, set ops,
   incremental/streaming, outlier rules, the materialized quality
-  audit) + the LLM-data operators (exact/MinHash-LSH/SimHash/cosine
-  dedup + canonical clustering, ANN, quantization, text quality,
-  scrubbing, water-fill mixing, collocations, RAG chunking,
-  multimodal features).
+  audit, external federation, the FULL five-stage wallet-profits
+  pipeline) + the LLM-data operators (exact/MinHash-LSH/SimHash/
+  cosine dedup + star-path canonical clustering, ANN, quantization,
+  text quality, scrubbing, water-fill mixing, collocations, RAG
+  chunking, multimodal features). Related internal queries are
+  consolidated into tagged union combos (queries/combos.py) so every
+  operator lands inside the correctness gate's 50-entry capture;
+  members remain individually runnable via the internal registry.
 oracle_sql(): DuckDB-runnable ANSI SQL twins for ALL entries —
   including the Structured Streaming rollup and the stream-stream
-  attribution join, both verified against their batch oracles.
+  attribution join, both verified against their batch oracles, and
+  each combo's UNION ALL over its members' oracles.
 """
 
 from __future__ import annotations

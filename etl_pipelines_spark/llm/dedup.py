@@ -530,6 +530,41 @@ def connected_components_star(
     )
 
 
+def cluster_labels(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    algorithm: str = "auto",
+    star_threshold: int = 1000,
+) -> DataFrame:
+    """Connected-component labels for a dedup pair graph, dispatching
+    between the two equivalent implementations:
+
+    - "propagation" (`connected_components`): O(diameter) rounds —
+      fastest on the near-clique clusters LSH dedup actually emits,
+      where diameter is 2-3.
+    - "star" (`connected_components_star`): O(log n) rounds on ANY
+      shape — the guarantee you want when the graph's shape is not
+      yours to assume (adversarial chains, giant components).
+    - "auto": materializes the pair frame (the clustering loop is
+      about to iterate it anyway, so the count is not wasted work) and
+      picks star above `star_threshold` edges: below it the graph fits
+      in a couple of tasks and a diameter-bounded loop is cheaper per
+      round; above it, betting on small diameter is how a 100 TB run
+      loses a night to a chain-shaped component.
+
+    Both return identical (node, label = component minimum) frames —
+    equivalence is pinned on chains and cliques in test_operators."""
+    if algorithm == "auto":
+        pairs = pairs.persist()
+        algorithm = "star" if pairs.count() > star_threshold else "propagation"
+    if algorithm == "star":
+        return connected_components_star(pairs, id_a, id_b)
+    if algorithm == "propagation":
+        return connected_components(pairs, id_a, id_b)
+    raise ValueError(f"unknown clustering algorithm {algorithm!r}")
+
+
 def token_jaccard(
     df: DataFrame,
     pairs: DataFrame,

@@ -105,18 +105,33 @@ def filter_pre_inflow_records(profits: DataFrame) -> DataFrame:
     )
 
 
-def calculate_wallet_profitability(profits: DataFrame) -> DataFrame:
+def calculate_wallet_profitability(
+    profits: DataFrame, quantize: float | None = None
+) -> DataFrame:
     """The profitability kernel (reference :527-634):
     profits_change = (price - prev_price) * prev_balance with
     prev_price defaulting to price (first row) and prev_balance to 0;
-    cumulative sums per pair; USD valuations."""
+    cumulative sums per pair; USD valuations.
+
+    `quantize` (e.g. 1e6): accumulate the cumulative metrics as
+    floor-scaled BIGINTs instead of raw double sums — exact in any
+    order, so the result is bit-identical across engines/plans (the
+    catalog's cross-engine float discipline; production keeps the raw
+    sums)."""
     w = ordered_window(PAIR, ["date"])
     cum = cumulative_window(PAIR, ["date"])
     prev_price = F.coalesce(F.lag("price", 1).over(w), F.col("price"))
     prev_balance = F.coalesce(F.lag("balance", 1).over(w), F.lit(0.0))
+
+    def cumsum(col: str):
+        if quantize is None:
+            return F.sum(col).over(cum)
+        scaled = F.floor(F.col(col) * F.lit(quantize)).cast("long")
+        return F.sum(scaled).over(cum).cast("double") / F.lit(quantize)
+
     return (
         profits.withColumn("profits_change", (F.col("price") - prev_price) * prev_balance)
-        .withColumn("profits_cumulative", F.sum("profits_change").over(cum))
+        .withColumn("profits_cumulative", cumsum("profits_change"))
         .withColumn("usd_balance", F.col("balance") * F.col("price"))
         .withColumn("usd_net_transfers", F.col("net_transfers") * F.col("price"))
         .withColumn(
@@ -125,7 +140,7 @@ def calculate_wallet_profitability(profits: DataFrame) -> DataFrame:
                 F.lit(0.0)
             ),
         )
-        .withColumn("usd_inflows_cumulative", F.sum("usd_inflows").over(cum))
+        .withColumn("usd_inflows_cumulative", cumsum("usd_inflows"))
         .select(
             "coin_id",
             "wallet_address",
@@ -140,15 +155,27 @@ def calculate_wallet_profitability(profits: DataFrame) -> DataFrame:
     )
 
 
-def build_wallet_profits(transfers: DataFrame, prices: DataFrame) -> DataFrame:
+def build_wallet_profits(
+    transfers: DataFrame, prices: DataFrame, quantize: float | None = None
+) -> DataFrame:
     """Full five-stage pipeline: merge -> first-price -> impute ->
-    splice -> trim -> kernel."""
+    splice -> trim -> kernel.
+
+    The merged+first-price frame is consumed by FIVE branches
+    (pre-price rows, first-day activity, pre-balances, per-coin first
+    prices, the kept rows) — without a persist each branch re-executes
+    the transfers-x-prices join and its upstream aggregations
+    (measured ~5x the work; exchange reuse does not cover the join +
+    window subtrees). This is the "persist when consumers genuinely
+    need rows" case of SCALE.md's restructure-over-persist rule: the
+    branches need different row subsets, not one collapsible
+    aggregate."""
     merged = merge_prices_and_transfers(transfers, prices)
-    with_first = add_first_price_info(merged, prices)
+    with_first = add_first_price_info(merged, prices).persist()
     imputed = create_imputed_records(with_first)
     spliced = splice_imputed_records(with_first, imputed)
     trimmed = filter_pre_inflow_records(spliced)
-    return calculate_wallet_profitability(trimmed)
+    return calculate_wallet_profitability(trimmed, quantize=quantize)
 
 
 def recomputation_audit(

@@ -429,6 +429,8 @@ _STANDALONE = [
     "q71_event_funnel",
     "q72_quality_audit",
     "q73_pivot_unpivot",
+    "q75_wallet_profits_pipeline",
+    "q76_external_snapshot_scan",
 ]
 
 

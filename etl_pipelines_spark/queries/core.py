@@ -962,3 +962,51 @@ def q54(spark: SparkSession, sf: str) -> DataFrame:
         "col_name", "n_rows", "n_null", "n_distinct",
         "min_num", "max_num", "min_str", "max_str",
     )
+
+
+# --------------------------------------------------------------------- q76
+@register(
+    "q76_external_snapshot_scan",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE event_type = 'purchase' AND value > 10
+    GROUP BY user_id
+    """,
+    description="S7/S8 external federation through the "
+    "register_external_source boundary: a named snapshot source (the "
+    "local stand-in for a BigQuery/JDBC/federated connector, reference "
+    "ethereum_transfers_updates.py:220-222 and "
+    "retrieve_dune_transfer_data.py:504-536) scanned via external_scan "
+    "with a predicate and projection applied at the reader root — both "
+    "reach the underlying scan (PushedFilters/ReadSchema pinned in "
+    "test_plan_audits), so a connector that supports pushdown receives "
+    "them. The aggregation on top is ordinary engine work: per-user "
+    "purchase counts and an order-independent DECIMAL sum",
+    tags=("source", "federation"),
+)
+def q76(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+
+    from etl_pipelines_spark.sources.federation import (
+        external_scan,
+        parquet_snapshot_source,
+        register_external_source,
+    )
+
+    register_external_source(
+        "warehouse.events",
+        parquet_snapshot_source(os.path.join(sf, "events.parquet")),
+    )
+    ev = external_scan(
+        spark,
+        "warehouse.events",
+        columns=["user_id", "value"],
+        predicate="event_type = 'purchase' AND value > 10",
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("total_value"),
+    )

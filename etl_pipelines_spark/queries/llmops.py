@@ -11,7 +11,7 @@ from etl_pipelines_spark.llm.dedup import (
     N_SIMHASH_BITS,
     SIMHASH_CHUNKS,
     _simhash_bit_sql,
-    connected_components,
+    cluster_labels,
     doc_shingles,
     exact_dedup,
     lsh_candidate_pairs,
@@ -108,10 +108,15 @@ BANDED_SQL = """
     LEFT JOIN labels l ON l.node = d.doc_id
     """,
     description="Dedup clustering: LSH candidates -> exact-Jaccard "
-    "verify (>=0.5) -> connected components (iterative min-label "
-    "propagation; recursive CTE in the oracle) -> one canonical doc "
-    "per near-dup cluster. The keep/drop decision a training-data "
-    "dedup pass actually emits — pairs alone (q34) don't dedupe.",
+    "verify (>=0.5) -> connected components -> one canonical doc per "
+    "near-dup cluster. The keep/drop decision a training-data dedup "
+    "pass actually emits — pairs alone (q34) don't dedupe. Clustering "
+    "runs the large-star/small-star path (cluster_labels "
+    "algorithm='star', O(log n) rounds on ANY graph shape) so the "
+    "SCALE algorithm is what the oracle gate exercises; min-label "
+    "propagation — the near-clique fast path the auto dispatcher "
+    "picks for small graphs — is pinned equivalent on chains and "
+    "cliques in test_operators. Oracle = recursive CTE.",
     tags=("dedup", "iterative"),
 )
 def q29(spark: SparkSession, sf: str) -> DataFrame:
@@ -121,7 +126,7 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
     sigs = minhash_signatures(docs, shingles=sh)
     pairs = lsh_candidate_pairs(sigs)
     dup = token_jaccard(docs, pairs, shingles=sh).filter(F.col("jaccard") >= 0.5)
-    labels = connected_components(dup)
+    labels = cluster_labels(dup, algorithm="star")
     return (
         docs.select("doc_id")
         .join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")

@@ -258,6 +258,145 @@ def q22(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------- q75
+@register(
+    "q75_wallet_profits_pipeline",
+    f"""
+    WITH prices0 AS ({DAILY_PRICES_SQL}),
+    prices AS (
+        SELECT coin_id, date, price FROM (
+            SELECT *, MIN(date) OVER (PARTITION BY coin_id) AS _m FROM prices0
+        ) WHERE date >= _m + INTERVAL 30 DAY
+    ),
+    xfers AS ({TRANSFERS_SQL}),
+    xb AS (
+        SELECT *, CAST(SUM(net_transfers) OVER (
+            PARTITION BY coin_id, wallet_address ORDER BY date
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS balance
+        FROM xfers
+    ),
+    fp AS (
+        SELECT coin_id, MIN(date) AS first_price_date,
+               arg_min(price, date) AS first_price
+        FROM prices GROUP BY 1
+    ),
+    wf AS (
+        SELECT x.coin_id, x.wallet_address, x.date, x.net_transfers,
+               x.balance, p.price, f.first_price_date, f.first_price
+        FROM xb x
+        LEFT JOIN prices p ON p.coin_id = x.coin_id AND p.date = x.date
+        LEFT JOIN fp f ON f.coin_id = x.coin_id
+    ),
+    pre AS (SELECT * FROM wf WHERE date < first_price_date),
+    has_pre AS (SELECT DISTINCT coin_id, wallet_address FROM pre),
+    active_first AS (
+        SELECT DISTINCT coin_id, wallet_address FROM wf
+        WHERE date = first_price_date
+    ),
+    needs AS (
+        SELECT h.coin_id, h.wallet_address FROM has_pre h
+        LEFT JOIN active_first a
+          ON a.coin_id = h.coin_id AND a.wallet_address = h.wallet_address
+        WHERE a.coin_id IS NULL
+    ),
+    pre_bal AS (
+        SELECT coin_id, wallet_address, arg_max(balance, date) AS balance
+        FROM pre GROUP BY 1, 2
+    ),
+    coin_first AS (
+        SELECT DISTINCT coin_id, first_price_date, first_price FROM wf
+    ),
+    imputed AS (
+        SELECT n.coin_id, n.wallet_address, c.first_price_date AS date,
+               b.balance AS net_transfers, b.balance, c.first_price AS price
+        FROM needs n
+        JOIN pre_bal b
+          ON b.coin_id = n.coin_id AND b.wallet_address = n.wallet_address
+        JOIN coin_first c ON c.coin_id = n.coin_id
+    ),
+    kept AS (
+        SELECT coin_id, wallet_address, date, net_transfers, balance, price
+        FROM wf WHERE price IS NOT NULL
+    ),
+    combined AS (SELECT * FROM kept UNION ALL SELECT * FROM imputed),
+    spliced AS (
+        SELECT coin_id, wallet_address, date,
+               CASE WHEN ROW_NUMBER() OVER (
+                        PARTITION BY coin_id, wallet_address ORDER BY date) = 1
+                    THEN balance ELSE net_transfers END AS net_transfers,
+               balance, price
+        FROM combined
+    ),
+    trimmed AS (
+        SELECT coin_id, wallet_address, date, net_transfers, balance, price
+        FROM (
+            SELECT *, SUM(GREATEST(net_transfers, 0.0)) OVER (
+                PARTITION BY coin_id, wallet_address ORDER BY date
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _ci
+            FROM spliced
+        ) WHERE _ci > 0
+    ),
+    kernel AS (
+        SELECT coin_id, wallet_address, date, net_transfers, balance, price,
+               COALESCE(LAG(price) OVER w, price) AS prev_price,
+               COALESCE(LAG(balance) OVER w, 0.0) AS prev_balance
+        FROM trimmed
+        WINDOW w AS (PARTITION BY coin_id, wallet_address ORDER BY date)
+    ),
+    changes AS (
+        SELECT coin_id, wallet_address, date,
+               CAST((price - prev_price) * prev_balance AS DOUBLE) AS profits_change,
+               CAST(balance * price AS DOUBLE) AS usd_balance,
+               CAST(net_transfers * price AS DOUBLE) AS usd_net_transfers,
+               CAST(CASE WHEN net_transfers * price > 0
+                         THEN net_transfers * price ELSE 0.0 END AS DOUBLE) AS usd_inflows
+        FROM kernel
+    )
+    SELECT coin_id, wallet_address, date, profits_change,
+           CAST(SUM(CAST(FLOOR(profits_change * 1e6) AS BIGINT)) OVER cum AS DOUBLE) / 1e6
+               AS profits_cumulative,
+           usd_balance, usd_net_transfers, usd_inflows,
+           CAST(SUM(CAST(FLOOR(usd_inflows * 1e6) AS BIGINT)) OVER cum AS DOUBLE) / 1e6
+               AS usd_inflows_cumulative
+    FROM changes
+    WINDOW cum AS (PARTITION BY coin_id, wallet_address ORDER BY date
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    description="The FULL five-stage wallet-profits pipeline (reference "
+    "core_coin_wallet_profits.py:235-634) as a driver-checked query: "
+    "merge -> first-price -> pre-price imputation (D3) -> splice (D4) "
+    "-> pre-inflow trim (D5) -> profitability kernel, via "
+    "plans.wallet_profits.build_wallet_profits. Each coin's price "
+    "series starts 30 days late so pre-price wallet activity REALLY "
+    "exists — the imputation and splice branches process live rows, "
+    "not an empty frame (the q69 vacuity lesson). Cumulative metrics "
+    "quantize at 1e-6 via floor-scaled BIGINT sums (exact in any "
+    "order, bit-identical across engines); every per-row metric is a "
+    "single product of identically-derived doubles. All five stages "
+    "cluster on (coin, wallet) or coin, so the pair shuffle is reused "
+    "end-to-end",
+    tags=("window", "kernel", "pipeline", "flagship"),
+)
+def q75(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.plans.wallet_profits import build_wallet_profits
+
+    x = transfers(spark, sf)
+    p = daily_prices(spark, sf)
+    # delay each coin's price series 30 days -> real pre-price activity
+    wmin = Window.partitionBy("coin_id")
+    p = (
+        p.withColumn("_m", F.min("date").over(wmin))
+        .filter(F.col("date") >= F.date_add("_m", 30))
+        .drop("_m")
+    )
+    pair = ["coin_id", "wallet_address"]
+    xb = x.withColumn(
+        "balance",
+        F.sum("net_transfers").over(cumulative_window(pair, ["date"])).cast("double"),
+    )
+    return build_wallet_profits(xb, p, quantize=1e6)
+
+
 # --------------------------------------------------------------------- q23
 @register(
     "q23_whale_bucket_counts",

@@ -46,6 +46,18 @@ class TestScanPushdown:
         assert schema.count(":") == 6 + 1  # 6 fields + the line's own colon
         assert "l_orderkey" not in schema and "l_comment" not in schema
 
+    def test_q76_external_scan_pushes_through_federation_api(self, spark):
+        # the external_scan boundary must be transparent to Catalyst:
+        # the predicate and projection given to the API have to reach
+        # the underlying snapshot scan as PushedFilters + a pruned
+        # ReadSchema, exactly as if the user had written the plan inline
+        plan = plan_of(spark, "q76_external_snapshot_scan")
+        pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+        assert pushed and "EqualTo(event_type,purchase)" in pushed[0]
+        assert "GreaterThan(value,10" in pushed[0]
+        schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+        assert "event_id" not in schema and "ts" not in schema
+
     def test_q07_semi_join_prunes_to_join_key(self, spark):
         plan = plan_of(spark, "q07_semi_join_priced_coins")
         li_schemas = [
