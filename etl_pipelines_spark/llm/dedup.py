@@ -405,10 +405,14 @@ def connected_components(
     and the final consumer re-execute the un-truncated lineage, which
     grows a join per round.)
 
-    Scale note: for adversarial graphs (long chains, 100 TB corpora)
-    swap the propagation body for the large-star/small-star rewrite
-    (O(log n) rounds, same per-round DataFrame skeleton); the simple
-    propagation is kept here because it is the right trade for the
+    Scale note: rounds scale with graph DIAMETER, so `max_iter` can be
+    exhausted by chain-shaped components (a 40-node path needs 39
+    rounds). Exhaustion is DETECTED and the computation hands off to
+    `connected_components_star` (O(log n) rounds on any shape) instead
+    of silently returning partially-propagated labels — the
+    wrong-answer mode this guard exists for is pinned in
+    test_operators (TestClusterLabelsDispatch). The simple propagation
+    stays the default body because it is the right trade for the
     near-clique cluster shapes dedup actually produces.
     """
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -423,6 +427,7 @@ def connected_components(
         .select(F.col("src").alias("node"), F.least("src", "_nbr").alias("label"))
         .localCheckpoint()
     )
+    converged = False
     for i in range(max_iter):
         nbr_min = (
             edges.join(labels.select(F.col("node").alias("dst"), "label"), "dst")
@@ -441,8 +446,14 @@ def connected_components(
         )
         labels = stepped.drop("_chg")
         if stepped.filter("_chg").limit(1).count() == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # diameter exceeded the round budget: labels are NOT final.
+        # Re-run with the shape-insensitive algorithm rather than
+        # return a wrong (partially propagated) answer.
+        return connected_components_star(pairs, id_a, id_b)
     return labels
 
 

@@ -19,12 +19,23 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def dense_global_ids(new_keys: DataFrame, key_col: str, out: str, offset: int = 0) -> DataFrame:
+def dense_global_ids(
+    new_keys: DataFrame,
+    key_col: str,
+    out: str,
+    offset: int = 0,
+    offset_df: DataFrame | None = None,
+) -> DataFrame:
     """Assign 1-based dense ids ordered by `key_col`, + offset.
 
     Uses range-partitioned sort (repartitionByRange) so each partition
     holds a contiguous key range, then partition-local row_number +
     cumulative partition-count offsets — no single-partition shuffle.
+
+    `offset_df`: a 1-row frame whose `_offset` column supplies the
+    base offset as part of the PLAN (broadcast cross join) — keeps
+    derived offsets (e.g. max existing id) fully lazy instead of a
+    driver-side collect.
     """
     parts = (
         new_keys.select(key_col)
@@ -38,9 +49,15 @@ def dense_global_ids(new_keys: DataFrame, key_col: str, out: str, offset: int = 
     sizes = local.groupBy("_pid").agg(F.max("_local_rn").alias("_n"))
     w_prefix = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     prefixes = sizes.withColumn("_before", F.coalesce(F.sum("_n").over(w_prefix), F.lit(0)))
+    joined = local.join(F.broadcast(prefixes.select("_pid", "_before")), "_pid")
+    base = F.lit(offset)
+    if offset_df is not None:
+        joined = joined.crossJoin(F.broadcast(offset_df))
+        base = F.col("_offset")
     return (
-        local.join(F.broadcast(prefixes.select("_pid", "_before")), "_pid")
-        .withColumn(out, (F.col("_local_rn") + F.col("_before") + F.lit(offset)).cast("long"))
+        joined.withColumn(
+            out, (F.col("_local_rn") + F.col("_before") + base).cast("long")
+        )
         .select(key_col, out)
     )
 
@@ -54,9 +71,13 @@ def issue_new_ids(
 ) -> DataFrame:
     """INSERT-if-absent id issuance (M1): anti-join unseen keys, number
     them after max(existing id), return ONLY the new (key, id) rows to
-    append. Deterministic given the same inputs."""
+    append. Deterministic given the same inputs.
+
+    Fully lazy: max(existing id) rides as a broadcast 1-row cross join
+    rather than a driver-side collect, so issuance composes into larger
+    plans (and the driver never blocks on an action here)."""
     new_keys = candidates.select(key_col).distinct().join(existing, key_col, "left_anti")
-    max_existing = existing.agg(
-        F.coalesce(F.max(id_col), F.lit(base_offset)).alias("_max")
-    ).first()["_max"]
-    return dense_global_ids(new_keys, key_col, id_col, offset=int(max_existing))
+    offset_df = existing.agg(
+        F.coalesce(F.max(id_col), F.lit(base_offset)).cast("long").alias("_offset")
+    )
+    return dense_global_ids(new_keys, key_col, id_col, offset_df=offset_df)

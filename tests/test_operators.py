@@ -238,3 +238,91 @@ class TestPrefixFilterRecall:
         }
         assert lsh <= exact
         assert exact  # non-vacuous: the corpus does contain near-dups
+
+
+class TestClusterLabelsDispatch:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+    def test_explicit_algorithms_agree(self, spark):
+        from etl_pipelines_spark.llm.dedup import cluster_labels
+
+        df = self._edges(spark, [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10)])
+        star = {r["node"]: r["label"] for r in cluster_labels(df, algorithm="star").collect()}
+        prop = {
+            r["node"]: r["label"]
+            for r in cluster_labels(df, algorithm="propagation").collect()
+        }
+        assert star == prop == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+    def test_auto_threshold_picks_both_paths(self, spark):
+        from etl_pipelines_spark.llm.dedup import cluster_labels
+
+        chain = self._edges(spark, [(i, i + 1) for i in range(1, 40)])
+        # 39 edges: above a threshold of 10 -> star; below 1000 -> propagation.
+        lo = {r["node"]: r["label"]
+              for r in cluster_labels(chain, algorithm="auto", star_threshold=10).collect()}
+        hi = {r["node"]: r["label"]
+              for r in cluster_labels(chain, algorithm="auto", star_threshold=1000).collect()}
+        assert lo == hi == {i: 1 for i in range(1, 41)}
+
+    def test_unknown_algorithm_raises(self, spark):
+        import pytest as _pytest
+
+        from etl_pipelines_spark.llm.dedup import cluster_labels
+
+        with _pytest.raises(ValueError, match="unknown clustering algorithm"):
+            cluster_labels(self._edges(spark, [(1, 2)]), algorithm="bogus")
+
+
+class TestArrayJaccardVerify:
+    def test_agrees_with_token_stream_verify(self, spark):
+        from etl_pipelines_spark.llm.dedup import (
+            array_jaccard_verify,
+            doc_shingle_arrays,
+            doc_shingles,
+            token_jaccard,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "the quick brown fox jumps over the lazy cat"),
+                (3, "a completely different document about spark plans"),
+                (4, "the quick brown fox jumps over the lazy dog"),
+            ],
+            "doc_id long, text string",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (1, 3), (1, 4), (2, 4)], "doc_a long, doc_b long"
+        )
+        via_arrays = {
+            (r["doc_a"], r["doc_b"]): (r["n_intersect"], r["jaccard"])
+            for r in array_jaccard_verify(
+                pairs, arrays=doc_shingle_arrays(docs)
+            ).collect()
+        }
+        via_stream = {
+            (r["doc_a"], r["doc_b"]): (r["n_intersect"], r["jaccard"])
+            for r in token_jaccard(docs, pairs).collect()
+        }
+        assert via_arrays == via_stream
+        # identical docs: jaccard exactly 1.0; disjoint docs: 0.0
+        assert via_arrays[(1, 4)][1] == 1.0
+        assert via_arrays[(1, 3)] == (0, 0.0)
+
+    def test_shingles_stream_fallback_matches_arrays_path(self, spark):
+        from etl_pipelines_spark.llm.dedup import (
+            array_jaccard_verify,
+            doc_shingle_arrays,
+            doc_shingles,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "alpha beta gamma epsilon")],
+            "doc_id long, text string",
+        )
+        pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+        a = array_jaccard_verify(pairs, arrays=doc_shingle_arrays(docs)).collect()
+        b = array_jaccard_verify(pairs, shingles=doc_shingles(docs)).collect()
+        assert a == b

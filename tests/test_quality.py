@@ -169,3 +169,64 @@ class TestWhaleThresholds:
         )
         assert whale == 2500  # 2500 tokens * $4 = $10k, under both caps
         assert shrimp == 125  # $500 / $4
+
+
+class TestFusedBalanceAudit:
+    """The q72 fused cascade must agree with the per-rule builders on a
+    frame where EVERY rule genuinely fires (the catalog corpus violates
+    only the negative-balance and date-gap rules)."""
+
+    def _frame(self, spark):
+        rows = [
+            # pair (1, 'w1'): clean except one negative balance
+            (1, "w1", D(2024, 1, 1), 5.0),
+            (1, "w1", D(2024, 1, 2), -3.0),
+            (1, "w1", D(2024, 1, 3), 2.0),
+            # pair (1, 'w2'): date gap (missing Jan 2) + duplicate triple
+            (1, "w2", D(2024, 1, 1), 1.0),
+            (1, "w2", D(2024, 1, 3), 1.0),
+            (1, "w2", D(2024, 1, 3), 4.0),
+            # pair (2, None): null key rows (2 rows)
+            (2, None, D(2024, 1, 1), 1.0),
+            (2, None, D(2024, 1, 2), -0.05),  # inside tolerance
+            # pair (2, 'w3'): null date row
+            (2, "w3", None, 7.0),
+        ]
+        return spark.createDataFrame(
+            rows, "coin_id long, wallet_address string, date date, balance double"
+        )
+
+    def test_matches_per_rule_builders(self, spark):
+        from etl_pipelines_spark.quality import (
+            date_gap_violations,
+            fused_balance_audit,
+            negative_violations,
+            not_null_violations,
+            unique_violations,
+        )
+
+        df = self._frame(spark)
+        keys = ["coin_id", "wallet_address"]
+        got = {
+            r["rule"]: r["n_violations"]
+            for r in fused_balance_audit(df, keys, tolerance=0.1).collect()
+        }
+        assert got["negative_balance"] == negative_violations(df, "balance", 0.1).count()
+        assert got["no_date_gaps"] == date_gap_violations(df, keys).count()
+        assert got["unique"] == unique_violations(df, [*keys, "date"]).count()
+        assert got["not_null"] == not_null_violations(df, [*keys, "date"]).count()
+        # and every branch fired on real rows
+        assert got["negative_balance"] == 1  # -3.0 only; -0.05 inside tol
+        assert got["no_date_gaps"] == 1  # pair (1, w2)
+        assert got["unique"] == 1  # (1, w2, Jan 3) twice
+        assert got["not_null"] == 3  # two null-wallet rows + one null date
+
+    def test_custom_labels_flow_through(self, spark):
+        from etl_pipelines_spark.quality import fused_balance_audit
+
+        out = fused_balance_audit(
+            self._frame(spark),
+            ["coin_id", "wallet_address"],
+            labels=("a", "b", "c", "d"),
+        )
+        assert sorted(r["rule"] for r in out.collect()) == ["a", "b", "c", "d"]
