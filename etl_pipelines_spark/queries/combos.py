@@ -37,6 +37,19 @@ _TYPES = {
 }
 
 
+def _align(
+    df: DataFrame, tag: str, schema: list[tuple[str, str]], mapping: dict[str, str]
+) -> DataFrame:
+    """Project a member result onto the combo's typed slot schema."""
+    cols = [F.lit(tag).alias("part")]
+    for slot, typ in schema:
+        if slot in mapping:
+            cols.append(F.expr(mapping[slot]).cast(typ).alias(slot))
+        else:
+            cols.append(F.lit(None).cast(typ).alias(slot))
+    return df.select(*cols)
+
+
 def _combo(
     name: str,
     description: str,
@@ -57,14 +70,7 @@ def _combo(
     def spark_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = None
         for tag, spec, mapping in specs:
-            df = spec.spark_fn(spark, sf_dir)
-            cols = [F.lit(tag).alias("part")]
-            for slot, typ in schema:
-                if slot in mapping:
-                    cols.append(F.expr(mapping[slot]).cast(typ).alias(slot))
-                else:
-                    cols.append(F.lit(None).cast(typ).alias(slot))
-            part = df.select(*cols)
+            part = _align(spec.spark_fn(spark, sf_dir), tag, schema, mapping)
             out = part if out is None else out.unionByName(part)
         return out
 
@@ -84,6 +90,79 @@ def _combo(
         )
     oracle = "\nUNION ALL\n".join(selects)
     return QuerySpec(name, spark_fn, oracle, description, tags)
+
+
+def _pair_suite_shared_scan(schema, members):
+    """Shared-scan spark_fn for the pair suite: the trigram-shingle
+    members (minhash q33, LSH+verify q34, prefix+verify q74) all read
+    ONE persisted per-doc shingle-array frame instead of each building
+    their own cache — two fewer corpus text scans per run. Each part
+    calls the SAME library operators with the same parameters as its
+    standalone member, so the oracle (the members' UNION ALL) and the
+    member-level parity gate pin any drift. q36 (word-chunk SimHash),
+    q37 (embeddings), and q60 (5-token chunks) use different raw
+    representations and keep their member plans."""
+
+    def spark_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from etl_pipelines_spark.llm.dedup import (
+            array_jaccard_verify,
+            doc_shingle_arrays,
+            lsh_candidate_pairs,
+            minhash_signatures,
+            prefix_filter_pairs,
+            token_jaccard,
+        )
+        from etl_pipelines_spark.sources.registry import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        arrs = doc_shingle_arrays(docs).persist()
+        arrs.count()  # one shingle scan feeds minhash, both verifies, prefixes
+        sh = arrs.select("doc_id", F.explode("_toks").alias("shingle"))
+        sigs = minhash_signatures(docs, shingles=sh)
+        toks = sh.withColumnRenamed("shingle", "token")
+        frames = {
+            "minhash": sigs,
+            "lsh": token_jaccard(docs, lsh_candidate_pairs(sigs), shingles=sh),
+            "prefix": (
+                array_jaccard_verify(
+                    prefix_filter_pairs(docs, 0.5, tokens=toks), arrays=arrs
+                )
+                .filter(F.col("jaccard") >= 0.5)
+                .select("doc_a", "doc_b", "jaccard")
+            ),
+        }
+        out = None
+        for tag, qname, mapping in members:
+            df = frames.get(tag)
+            if df is None:
+                df = QUERIES[qname].spark_fn(spark, sf_dir)
+            part = _align(df, tag, schema, mapping)
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    return spark_fn
+
+
+_PAIR_SCHEMA = [
+    ("a", "bigint"), ("b", "bigint"), ("c", "bigint"),
+    ("x", "double"), ("s", "string"),
+]
+_PAIR_MEMBERS = [
+    ("minhash", "q33_minhash_signatures",
+     {"a": "doc_id",
+      "s": "concat_ws(',', mh_0, mh_1, mh_2, mh_3, mh_4, mh_5, mh_6, mh_7)"}),
+    ("lsh", "q34_lsh_jaccard_pairs",
+     {"a": "doc_a", "b": "doc_b", "c": "n_intersect", "x": "jaccard"}),
+    ("simhash", "q36_simhash_near_dup",
+     {"a": "doc_a", "b": "doc_b", "c": "hamming"}),
+    ("cosine", "q37_cosine_near_dup",
+     {"a": "vec_a", "b": "vec_b", "x": "cosine"}),
+    ("decontam", "q60_decontamination",
+     {"a": "train_doc_id", "b": "benchmark_doc_id", "c": "n_shared_chunks"}),
+    ("prefix", "q74_prefix_filter_pairs",
+     {"a": "doc_a", "b": "doc_b", "x": "jaccard"}),
+]
+
 
 
 # ------------------------------------------------------------------ combos
@@ -230,6 +309,8 @@ _COMBOS = [
         ],
         ("text",),
     ),
+    # the pair suite gets a shared-scan spark_fn below (its oracle and
+    # slot schema come from the generic builder)
     _combo(
         "q33_pair_suite",
         "Near-dup / contamination pair generators, tagged: MinHash"
@@ -237,27 +318,10 @@ _COMBOS = [
         " exact-Jaccard verify (q34), SimHash hamming pairs (q36),"
         " hyperplane-LSH cosine near-dups (q37), eval-set"
         " decontamination pairs (q60), exact-recall prefix-filter"
-        " pairs (q74).",
-        [("a", "bigint"), ("b", "bigint"), ("c", "bigint"),
-         ("x", "double"), ("s", "string")],
-        [
-            ("minhash", "q33_minhash_signatures",
-             {"a": "doc_id",
-              "s": "concat_ws(',', mh_0, mh_1, mh_2, mh_3, mh_4, mh_5,"
-                   " mh_6, mh_7)"}),
-            ("lsh", "q34_lsh_jaccard_pairs",
-             {"a": "doc_a", "b": "doc_b", "c": "n_intersect",
-              "x": "jaccard"}),
-            ("simhash", "q36_simhash_near_dup",
-             {"a": "doc_a", "b": "doc_b", "c": "hamming"}),
-            ("cosine", "q37_cosine_near_dup",
-             {"a": "vec_a", "b": "vec_b", "x": "cosine"}),
-            ("decontam", "q60_decontamination",
-             {"a": "train_doc_id", "b": "benchmark_doc_id",
-              "c": "n_shared_chunks"}),
-            ("prefix", "q74_prefix_filter_pairs",
-             {"a": "doc_a", "b": "doc_b", "x": "jaccard"}),
-        ],
+        " pairs (q74). The trigram members (q33/q34/q74) share ONE"
+        " persisted shingle-array scan inside the suite.",
+        _PAIR_SCHEMA,
+        _PAIR_MEMBERS,
         ("dedup", "join"),
     ),
     _combo(
@@ -432,6 +496,11 @@ _STANDALONE = [
     "q75_wallet_profits_pipeline",
     "q76_external_snapshot_scan",
 ]
+
+
+for _c in _COMBOS:
+    if _c.name == "q33_pair_suite":
+        _c.spark_fn = _pair_suite_shared_scan(_PAIR_SCHEMA, _PAIR_MEMBERS)
 
 
 def build_driver_queries() -> dict[str, QuerySpec]:
