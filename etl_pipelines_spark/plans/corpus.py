@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from etl_pipelines_spark.llm.dedup import (
     chunk_dedup,
-    connected_components,
+    cluster_labels,
     doc_shingles,
     exact_dedup,
     lsh_candidate_pairs,
@@ -86,7 +86,10 @@ def prepare_corpus(
     dup = token_jaccard(deduped, pairs, shingles=sh).filter(
         F.col("jaccard") >= jaccard_threshold
     )
-    labels = connected_components(dup)
+    # auto dispatch: star above the edge threshold (shape-insensitive
+    # O(log n)), diameter-bounded propagation below it — and propagation
+    # itself falls back to star if it exhausts its round budget
+    labels = cluster_labels(dup, algorithm="auto")
     canonical = (
         deduped.join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
         .filter(F.coalesce(F.col("label"), F.col("doc_id")) == F.col("doc_id"))

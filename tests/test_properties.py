@@ -182,3 +182,52 @@ def test_temperature_sample_rate_invariants(spark, langs):
             assert r1 >= r2 - 1e-12
     expected_kept = sum(n * r for n, r in strata.values())
     assert expected_kept <= 0.5 * len(langs) + 1e-9
+
+
+@st.composite
+def audit_fixture(draw):
+    """Random keyed balance frames that can violate every audit rule:
+    duplicate (key, date) rows, date gaps, negative balances, and NULL
+    keys/dates."""
+    n = draw(st.integers(1, 14))
+    rows = []
+    for _ in range(n):
+        coin = draw(st.sampled_from([1, 2, None]))
+        wallet = draw(st.sampled_from(["w1", "w2", None]))
+        day = draw(st.sampled_from([0, 1, 3, 6, None]))
+        bal = draw(
+            st.floats(-5, 5, allow_nan=False, allow_infinity=False).map(
+                lambda x: round(x, 2)
+            )
+        )
+        date = None if day is None else BASE + dt.timedelta(days=day)
+        rows.append((coin, wallet, date, bal))
+    return rows
+
+
+@settings(max_examples=15, deadline=None)
+@given(audit_fixture())
+def test_fused_audit_equals_per_rule_builders_for_any_frame(spark, rows):
+    """quality.fused_balance_audit is an algebraic collapse of four
+    independent rule scans; the collapse must be exact for ANY frame,
+    not just the shapes the catalog corpus happens to contain."""
+    from etl_pipelines_spark.quality import (
+        date_gap_violations,
+        fused_balance_audit,
+        negative_violations,
+        not_null_violations,
+        unique_violations,
+    )
+
+    df = spark.createDataFrame(
+        rows, "coin_id long, wallet_address string, date date, balance double"
+    )
+    keys = ["coin_id", "wallet_address"]
+    got = {
+        r["rule"]: r["n_violations"]
+        for r in fused_balance_audit(df, keys, tolerance=0.1).collect()
+    }
+    assert got["negative_balance"] == negative_violations(df, "balance", 0.1).count()
+    assert got["no_date_gaps"] == date_gap_violations(df, keys).count()
+    assert got["unique"] == unique_violations(df, [*keys, "date"]).count()
+    assert got["not_null"] == not_null_violations(df, [*keys, "date"]).count()
