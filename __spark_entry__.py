@@ -42,6 +42,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             configure_runtime(spark)
+            # Some entries persist shared signature/shingle frames
+            # (their multi-branch plans need the cache; see SCALE.md).
+            # Release the previous entry's frames here so a sequential
+            # harness never accumulates executor storage across the
+            # catalog.
+            spark.catalog.clearCache()
             return fn(spark, sf_dir)
 
         return run
