@@ -1,0 +1,82 @@
+"""MERGE / upsert (SURVEY.md §2.10 M-series).
+
+The reference's update pattern is temp-table choreography: stage the
+new rows, DELETE matching keys from the target, INSERT the stage
+(core_coin_wallet_transfers.py's batch rebuild, and the M1
+insert-if-absent id flow). The engine-side equivalent is one plan —
+anti-join the target against the update keys, union the updates — plus
+a crash-safe table rewrite for the write path (same staging + two-step
+rename discipline as sources.registry.compact_partitions).
+
+Scale: the anti-join shuffles on the merge keys exactly like the
+DELETE would; when `updates` is small it broadcasts and the target
+never shuffles at all. The write path rewrites the whole table —
+right for the reference's daily batch grain; partition-restricted
+rewrites (only partitions containing updated keys) are the next rung
+and follow the same plan with a partition predicate pushed into the
+target scan.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipelines_spark.operators.dedupe import dedupe_keep_first
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    order_col: str | None = None,
+) -> DataFrame:
+    """MERGE semantics as a lazy plan: every target row whose key
+    appears in `updates` is replaced by the update row; unmatched
+    update rows insert. Pass `order_col` when `updates` may carry
+    several rows per key — keep-latest by that column (the streaming
+    dupe discipline, A6); without it duplicate update keys are an
+    error the caller owns."""
+    if order_col is not None:
+        updates = dedupe_keep_first(updates, keys, [F.col(order_col).desc()])
+    kept = target.join(updates.select(*keys).distinct(), keys, "left_anti")
+    return kept.unionByName(updates.select(*target.columns))
+
+
+def upsert_table(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    order_col: str | None = None,
+    fmt: str = "parquet",
+) -> int:
+    """Apply merge_upsert to an on-disk table and rewrite it crash-safe:
+    merge into a staging dir, then swap via two renames (a crash after
+    the first leaves the table under `<path>__retired`; recovery =
+    rename back). Returns the post-merge row count.
+
+    Spark cannot overwrite a path it is lazily reading, which is why
+    the staging dir exists at all — the same discipline as
+    compact_partitions, and the reason this lives behind one function
+    instead of being improvised per pipeline."""
+    staged = path.rstrip("/") + "__merging"
+    retired = path.rstrip("/") + "__retired"
+    if os.path.exists(retired):
+        raise RuntimeError(
+            f"stale {retired!r} exists — a prior swap crashed; recover by "
+            f"moving it back to {path!r} (or delete it if {path!r} is "
+            "complete) before merging again"
+        )
+    if os.path.exists(staged):
+        shutil.rmtree(staged)
+    target = spark.read.format(fmt).load(path)
+    merged = merge_upsert(target, updates, keys, order_col)
+    merged.write.mode("overwrite").format(fmt).save(staged)
+    os.rename(path, retired)
+    os.rename(staged, path)
+    shutil.rmtree(retired)
+    return spark.read.format(fmt).load(path).count()

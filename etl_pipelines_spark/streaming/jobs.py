@@ -113,6 +113,29 @@ def dedupe_upsert_sink(output_path: str, keys: list[str], order_col: str):
     return write_batch
 
 
+def idempotent_append_sink(output_path: str, keys: list[str], order_col: str):
+    """foreachBatch function with EXACTLY-ONCE output: each micro-batch
+    writes (overwrite) into its own `batch_id=N` subdirectory, so a
+    replayed batch — Structured Streaming re-runs the last batch after
+    a crash between sink write and offset commit — overwrites its own
+    previous output instead of appending duplicates. Readers scan the
+    whole directory tree; batch_id rides as a partition column, which
+    also gives incremental consumers a free high-water mark.
+
+    This is the standard idempotent-sink discipline for file sinks
+    (the transactional half of exactly-once that `dedupe_upsert_sink`
+    instead pushes to dedupe-on-read). Per-batch dedupe still applies
+    within the batch."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        deduped = dedupe_keep_first(batch_df, keys, [F.col(order_col).desc()])
+        deduped.write.mode("overwrite").parquet(
+            f"{output_path}/batch_id={batch_id}"
+        )
+
+    return write_batch
+
+
 BALANCE_STATE_SCHEMA = "balance double"
 BALANCE_OUT_SCHEMA = "user_id bigint, ts timestamp, balance double"
 

@@ -231,3 +231,58 @@ def test_fused_audit_equals_per_rule_builders_for_any_frame(spark, rows):
     assert got["no_date_gaps"] == date_gap_violations(df, keys).count()
     assert got["unique"] == unique_violations(df, [*keys, "date"]).count()
     assert got["not_null"] == not_null_violations(df, [*keys, "date"]).count()
+
+
+@st.composite
+def asof_fixture(draw):
+    """Random trades (probes) and quotes per key — including keys with
+    no quotes, quotes after every trade, and same-instant ties."""
+    n_keys = draw(st.integers(1, 3))
+    trades, quotes = [], []
+    for k in range(n_keys):
+        for t in sorted(draw(st.sets(st.integers(0, 20), min_size=1, max_size=6))):
+            trades.append((k, t))
+        for q in sorted(draw(st.sets(st.integers(0, 20), max_size=5))):
+            quotes.append((k, q, float(q * 100 + k)))
+    return trades, quotes
+
+
+@settings(max_examples=15, deadline=None)
+@given(asof_fixture())
+def test_asof_join_matches_pandas_merge_asof(spark, fixture):
+    """operators.asof.asof_join_backward == pandas.merge_asof
+    (direction='backward') for ANY input: same keys, same 'on or
+    before' semantics, NULL when no prior quote."""
+    import pandas as pd
+
+    from etl_pipelines_spark.operators.asof import asof_join_backward
+
+    t_rows, q_rows = fixture
+    left = spark.createDataFrame(t_rows, "k long, t long")
+    right = spark.createDataFrame(q_rows, "k long, t long, px double")
+    got = (
+        asof_join_backward(left, right, ["k"], "t", ["px"])
+        .orderBy("k", "t")
+        .toPandas()
+    )
+    lp = (
+        pd.DataFrame(t_rows, columns=["k", "t"])
+        .astype({"k": "int64", "t": "int64"})
+        .sort_values("t")
+    )
+    rp = (
+        pd.DataFrame(q_rows, columns=["k", "t", "px"])
+        .astype({"k": "int64", "t": "int64", "px": "float64"})
+        .sort_values("t")
+    )
+    want = (
+        pd.merge_asof(lp, rp, on="t", by="k", direction="backward")
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    assert list(got["k"]) == list(want["k"])
+    assert list(got["t"]) == list(want["t"])
+    g, w = got["px"].to_numpy(), want["px"].to_numpy()
+    import numpy as np
+
+    assert ((g == w) | (np.isnan(g) & np.isnan(w))).all()
