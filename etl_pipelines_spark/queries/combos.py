@@ -495,6 +495,7 @@ _STANDALONE = [
     "q73_pivot_unpivot",
     "q75_wallet_profits_pipeline",
     "q76_external_snapshot_scan",
+    "q77_merge_upsert",
 ]
 
 

@@ -1010,3 +1010,80 @@ def q76(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_purchases"),
         F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("total_value"),
     )
+
+
+# --------------------------------------------------------------------- q77
+@register(
+    "q77_merge_upsert",
+    """
+    WITH target AS (
+        SELECT p_partkey AS id, p_name AS name,
+               CAST(p_retailprice AS DOUBLE) AS v
+        FROM part
+    ),
+    raw_updates AS (
+        -- two conflicting update rows per changed key: keep-latest
+        -- must pick the v*2 variant (v > 0, so 2v > 1.5v always)
+        SELECT p_partkey AS id, 'stale_' || p_name AS name,
+               CAST(p_retailprice AS DOUBLE) * 1.5 AS v
+        FROM part WHERE p_partkey % 10 = 0
+        UNION ALL
+        SELECT p_partkey, upper(p_name), CAST(p_retailprice AS DOUBLE) * 2.0
+        FROM part WHERE p_partkey % 10 = 0
+        UNION ALL
+        SELECT p_partkey + 9000000, lower(p_name),
+               CAST(p_retailprice AS DOUBLE)
+        FROM part WHERE p_partkey % 100 = 7
+    ),
+    updates AS (
+        SELECT id, name, v FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY v DESC) AS rn
+            FROM raw_updates
+        ) WHERE rn = 1
+    )
+    SELECT t.id, t.name, t.v FROM target t
+    LEFT JOIN (SELECT DISTINCT id FROM updates) u ON u.id = t.id
+    WHERE u.id IS NULL
+    UNION ALL
+    SELECT id, name, v FROM updates
+    """,
+    description="M3/M4 MERGE upsert as one plan (operators/merge.py "
+    "merge_upsert): the reference's DELETE-matching-keys + INSERT-stage "
+    "temp-table choreography collapsed to an anti-join on the merge "
+    "keys plus a union of the updates — matched target rows replaced, "
+    "unmatched updates inserted, and duplicate update keys resolved "
+    "keep-latest — the update set deliberately carries TWO conflicting "
+    "rows per changed key so the dedupe branch does real work (the "
+    "q69 non-vacuity lesson). The anti-join shuffles on the merge "
+    "keys exactly as the DELETE would; a small update set broadcasts "
+    "and the target never shuffles. v = one double multiplication -> "
+    "exact parity",
+    tags=("merge", "join"),
+)
+def q77(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.operators.merge import merge_upsert
+
+    part = t(spark, sf, "part")
+    target = part.select(
+        F.col("p_partkey").alias("id"),
+        F.col("p_name").alias("name"),
+        F.col("p_retailprice").cast("double").alias("v"),
+    )
+    changed = part.filter(F.col("p_partkey") % 10 == 0)
+    stale = changed.select(
+        F.col("p_partkey").alias("id"),
+        F.concat(F.lit("stale_"), F.col("p_name")).alias("name"),
+        (F.col("p_retailprice").cast("double") * F.lit(1.5)).alias("v"),
+    )
+    fresh = changed.select(
+        F.col("p_partkey").alias("id"),
+        F.upper("p_name").alias("name"),
+        (F.col("p_retailprice").cast("double") * F.lit(2.0)).alias("v"),
+    )
+    inserted = part.filter(F.col("p_partkey") % 100 == 7).select(
+        (F.col("p_partkey") + 9000000).alias("id"),
+        F.lower("p_name").alias("name"),
+        F.col("p_retailprice").cast("double").alias("v"),
+    )
+    updates = stale.unionByName(fresh).unionByName(inserted)
+    return merge_upsert(target, updates, ["id"], order_col="v")
