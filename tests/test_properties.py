@@ -286,3 +286,51 @@ def test_asof_join_matches_pandas_merge_asof(spark, fixture):
     import numpy as np
 
     assert ((g == w) | (np.isnan(g) & np.isnan(w))).all()
+
+
+@st.composite
+def sparse_series_fixture(draw):
+    """1-2 keys, each with a sparse set of (day, price) observations —
+    random gap shapes at the head, middle, and tail."""
+    n_keys = draw(st.integers(1, 2))
+    rows = []
+    for k in range(n_keys):
+        days = sorted(draw(st.sets(st.integers(0, 12), min_size=1, max_size=6)))
+        for d in days:
+            px = draw(
+                st.floats(0.5, 50, allow_nan=False, allow_infinity=False).map(
+                    lambda x: round(x, 2)
+                )
+            )
+            rows.append((f"c{k}", BASE + dt.timedelta(days=d), px))
+    return rows
+
+
+@settings(max_examples=10, deadline=None)
+@given(sparse_series_fixture())
+def test_set_based_densify_matches_pandas_port(spark, rows):
+    """The set-based densify/ffill/days_imputed path must agree with
+    fill_gaps_applyinpandas — the literal pandas port of the
+    reference's per-coin loop — for ANY gap shape. (The pandas port IS
+    the reference semantics; the set-based path is the scale
+    implementation.)"""
+    from etl_pipelines_spark.operators.densify import (
+        densify_daily,
+        fill_gaps_applyinpandas,
+        with_days_imputed,
+    )
+    from etl_pipelines_spark.operators.windows import forward_fill
+
+    df = spark.createDataFrame(rows, "coin_id string, date date, price double")
+    dense = densify_daily(df, ["coin_id"])
+    dense = with_days_imputed(dense, ["coin_id"], presence_col="price")
+    dense = forward_fill(dense, ["coin_id"], ["date"], ["price"])
+    set_based = sorted(
+        (r["coin_id"], r["date"], r["price"], r["days_imputed"])
+        for r in dense.select("coin_id", "date", "price", "days_imputed").collect()
+    )
+    port = sorted(
+        (r["coin_id"], r["date"], r["price"], r["days_imputed"])
+        for r in fill_gaps_applyinpandas(df, ["coin_id"]).collect()
+    )
+    assert set_based == port
