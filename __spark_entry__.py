@@ -1,8 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry(spark): flagship wallet-profits kernel on sf0.001.
-queries(): 49 driver-facing entries covering the 76-query internal
-  registry — the SURVEY.md §2 operator inventory (scans, filters,
+queries(): 50 driver-facing entries — exactly at the gate's 50-entry
+  cap, no headroom — covering the 77-query internal registry: the
+  SURVEY.md §2 operator inventory (scans, filters,
   scalar fns, every join type incl. as-of and range, aggs, windows
   incl. RANGE frames and rollup, densify/impute, set ops,
   incremental/streaming, outlier rules, the materialized quality

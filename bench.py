@@ -70,6 +70,8 @@ def main() -> None:
     # line (short query keys = the qNN prefix, no spaces, 2-digit secs)
     # so the whole JSON object survives the capture and parses.
     short = {name.split("_")[0]: round(t_, 2) for name, t_ in timings.items()}
+    # prefix keys must stay unique or two entries silently collapse
+    assert len(short) == len(timings), "duplicate qNN prefix in catalog names"
     print(
         json.dumps(
             {

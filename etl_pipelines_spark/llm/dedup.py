@@ -448,12 +448,20 @@ def connected_components(
         if stepped.filter("_chg").limit(1).count() == 0:
             converged = True
             break
-    edges.unpersist()
     if not converged:
         # diameter exceeded the round budget: labels are NOT final.
         # Re-run with the shape-insensitive algorithm rather than
-        # return a wrong (partially propagated) answer.
-        return connected_components_star(pairs, id_a, id_b)
+        # return a wrong (partially propagated) answer — on the
+        # already-materialized symmetric edge frame, NOT the raw pairs
+        # lineage (which could be an expensive unpersisted LSH chain
+        # that a rerun would execute a second time). The edge frame is
+        # the same graph (star re-normalizes orientation and dedupes),
+        # including pure self-loop nodes, which star's node roster
+        # picks up from its input frame before the u != v filter.
+        out = connected_components_star(edges, "src", "dst").localCheckpoint()
+        edges.unpersist()
+        return out
+    edges.unpersist()
     return labels
 
 
@@ -569,6 +577,19 @@ def cluster_labels(
     if algorithm == "auto":
         pairs = pairs.persist()
         algorithm = "star" if pairs.count() > star_threshold else "propagation"
+        fn = (
+            connected_components_star
+            if algorithm == "star"
+            else connected_components
+        )
+        # Materialize the (node-count-sized) label frame, then release
+        # the pair cache: without this, every auto invocation from a
+        # long-running caller pins one pair frame in executor storage
+        # forever (the clustering loop checkpoints its own state, but
+        # star's final node-roster join reads `pairs` lazily).
+        out = fn(pairs, id_a, id_b).localCheckpoint()
+        pairs.unpersist()
+        return out
     if algorithm == "star":
         return connected_components_star(pairs, id_a, id_b)
     if algorithm == "propagation":
@@ -707,10 +728,15 @@ def array_jaccard_verify(
     (doc_id, shingle) `shingles` stream is folded here."""
     if arrays is not None:
         arrs = arrays
-    else:
+    elif shingles is not None:
         arrs = shingles.groupBy(id_col).agg(
             F.collect_list("shingle").alias("_toks"),
             F.count(F.lit(1)).alias("_n"),
+        )
+    else:
+        raise ValueError(
+            "array_jaccard_verify needs `shingles` (a (doc, shingle) "
+            "stream) or `arrays` (a doc_shingle_arrays frame)"
         )
     a = arrs.select(
         F.col(id_col).alias("doc_a"),

@@ -19,9 +19,6 @@ target scan.
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -53,30 +50,29 @@ def upsert_table(
     keys: list[str],
     order_col: str | None = None,
     fmt: str = "parquet",
+    partition_cols: tuple[str, ...] = (),
 ) -> int:
-    """Apply merge_upsert to an on-disk table and rewrite it crash-safe:
-    merge into a staging dir, then swap via two renames (a crash after
-    the first leaves the table under `<path>__retired`; recovery =
-    rename back). Returns the post-merge row count.
+    """Apply merge_upsert to an on-disk table and rewrite it crash-safe
+    via the shared staged-swap discipline (sources.registry.
+    staged_table_swap — one implementation for compaction AND merge).
+    Returns the post-merge row count.
 
-    Spark cannot overwrite a path it is lazily reading, which is why
-    the staging dir exists at all — the same discipline as
-    compact_partitions, and the reason this lives behind one function
-    instead of being improvised per pipeline."""
-    staged = path.rstrip("/") + "__merging"
-    retired = path.rstrip("/") + "__retired"
-    if os.path.exists(retired):
-        raise RuntimeError(
-            f"stale {retired!r} exists — a prior swap crashed; recover by "
-            f"moving it back to {path!r} (or delete it if {path!r} is "
-            "complete) before merging again"
-        )
-    if os.path.exists(staged):
-        shutil.rmtree(staged)
+    Pass `partition_cols` matching the table's layout: the rewrite must
+    PRESERVE the on-disk partitioning (a flat rewrite of a
+    date-partitioned table would silently destroy partition pruning for
+    every later reader). Spark cannot overwrite a path it is lazily
+    reading, which is why the staging dir exists at all."""
+    from etl_pipelines_spark.sources.registry import staged_table_swap
+
     target = spark.read.format(fmt).load(path)
     merged = merge_upsert(target, updates, keys, order_col)
-    merged.write.mode("overwrite").format(fmt).save(staged)
-    os.rename(path, retired)
-    os.rename(staged, path)
-    shutil.rmtree(retired)
+    cols = [c for c in partition_cols if c in merged.columns]
+
+    def rewrite(staged: str) -> None:
+        writer = merged.write.mode("overwrite").format(fmt)
+        if cols:
+            writer = writer.partitionBy(*cols)
+        writer.save(staged)
+
+    staged_table_swap(path, rewrite, staged_suffix="__merging")
     return spark.read.format(fmt).load(path).count()

@@ -156,7 +156,10 @@ def calculate_wallet_profitability(
 
 
 def build_wallet_profits(
-    transfers: DataFrame, prices: DataFrame, quantize: float | None = None
+    transfers: DataFrame,
+    prices: DataFrame,
+    quantize: float | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Full five-stage pipeline: merge -> first-price -> impute ->
     splice -> trim -> kernel.
@@ -169,9 +172,18 @@ def build_wallet_profits(
     window subtrees). This is the "persist when consumers genuinely
     need rows" case of SCALE.md's restructure-over-persist rule: the
     branches need different row subsets, not one collapsible
-    aggregate."""
+    aggregate.
+
+    Cache lifecycle is the CALLER's: the returned frame reads the
+    cached intermediate lazily, so this function cannot release it.
+    One-shot jobs and the catalog harnesses clear the cache after
+    materializing; a long-running service invoking the pipeline
+    repeatedly should call spark.catalog.clearCache() between builds
+    (or pass persist=False and pay the ~5x recompute)."""
     merged = merge_prices_and_transfers(transfers, prices)
-    with_first = add_first_price_info(merged, prices).persist()
+    with_first = add_first_price_info(merged, prices)
+    if persist:
+        with_first = with_first.persist()
     imputed = create_imputed_records(with_first)
     spliced = splice_imputed_records(with_first, imputed)
     trimmed = filter_pre_inflow_records(spliced)

@@ -130,35 +130,51 @@ def compact_partitions(
         return len(glob.glob(os.path.join(p, "**", "*" + exts.get(fmt, "")),
                              recursive=True))
 
-    staged = path.rstrip("/") + "__compacting"
+    before = _count(path)
+
+    def rewrite(staged: str) -> None:
+        df = spark.read.format(fmt).load(path)
+        cols = [c for c in partition_cols if c in df.columns]
+        writer = (
+            (df.repartition(*cols) if cols else df.coalesce(1))
+            .write.mode("overwrite")
+            .format(fmt)
+            .option("maxRecordsPerFile", max_records_per_file)
+        )
+        if cols:
+            writer = writer.partitionBy(*cols)
+        writer.save(staged)
+
+    staged_table_swap(path, rewrite, staged_suffix="__compacting")
+    return before, _count(path)
+
+
+def staged_table_swap(path: str, write_to_staging, staged_suffix: str = "__staging") -> None:
+    """The crash-safe rewrite discipline shared by every in-place table
+    rewrite (compaction, MERGE): fail fast on a stale `__retired` dir
+    from a crashed prior swap, clear disposable staging garbage, call
+    `write_to_staging(staged_path)`, then swap with two os.renames
+    (same-filesystem atomic per call — staging is a sibling path by
+    construction; shutil.move would fall back to copy+delete across
+    mounts and widen the unsafe window). A crash after the first rename
+    leaves the table under `<path>__retired`; recovery = rename it
+    back. ONE implementation on purpose: a fix to the swap discipline
+    must not have a second copy to miss."""
+    import shutil
+
+    staged = path.rstrip("/") + staged_suffix
     retired = path.rstrip("/") + "__retired"
     if os.path.exists(retired):
         raise RuntimeError(
-            f"stale {retired!r} exists — a prior compact crashed mid-swap; "
+            f"stale {retired!r} exists — a prior rewrite crashed mid-swap; "
             f"recover by moving it back to {path!r} (or delete it if "
-            f"{path!r} is complete) before compacting again"
+            f"{path!r} is complete) before rewriting again"
         )
     if os.path.exists(staged):
         # A crash before the swap left only staging garbage; the
         # original table is intact, so the staging dir is disposable.
         shutil.rmtree(staged)
-
-    before = _count(path)
-    df = spark.read.format(fmt).load(path)
-    cols = [c for c in partition_cols if c in df.columns]
-    writer = (
-        (df.repartition(*cols) if cols else df.coalesce(1))
-        .write.mode("overwrite")
-        .format(fmt)
-        .option("maxRecordsPerFile", max_records_per_file)
-    )
-    if cols:
-        writer = writer.partitionBy(*cols)
-    writer.save(staged)
-    # os.rename: same-filesystem atomic per call (staging is a sibling
-    # path, so same fs by construction); shutil.move would fall back to
-    # copy+delete across mounts and widen the unsafe window.
+    write_to_staging(staged)
     os.rename(path, retired)
     os.rename(staged, path)
     shutil.rmtree(retired)
-    return before, _count(path)

@@ -84,3 +84,29 @@ class TestIdempotentSink:
         sink(spark.createDataFrame([(1, 10), (1, 99)], "k long, ts long"), 0)
         rows = spark.read.parquet(out).collect()
         assert len(rows) == 1 and rows[0]["ts"] == 99
+
+
+class TestUpsertPreservesPartitioning:
+    def test_partition_layout_survives_merge(self, spark, tmp_path):
+        import os
+
+        path = str(tmp_path / "parts")
+        spark.createDataFrame(
+            [(1, "2024-01-01", 1.0), (2, "2024-01-02", 2.0)],
+            "id long, date string, v double",
+        ).write.partitionBy("date").parquet(path)
+        assert any(d.startswith("date=") for d in os.listdir(path))
+        updates = spark.createDataFrame(
+            [(2, "2024-01-02", 22.0), (3, "2024-01-03", 3.0)],
+            "id long, date string, v double",
+        )
+        from etl_pipelines_spark.operators.merge import upsert_table
+
+        n = upsert_table(spark, path, updates, ["id"], partition_cols=("date",))
+        assert n == 3
+        # the on-disk layout must still be date-partitioned: a flat
+        # rewrite would silently destroy partition pruning downstream
+        dirs = sorted(d for d in os.listdir(path) if d.startswith("date="))
+        assert dirs == ["date=2024-01-01", "date=2024-01-02", "date=2024-01-03"]
+        got = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+        assert got == {1: 1.0, 2: 22.0, 3: 3.0}
