@@ -496,6 +496,21 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
+
+    def _sig(df: DataFrame):
+        # cheap per-round fingerprint over the checkpointed frame: the
+        # exact (and expensive) symmetric-difference check only runs
+        # when two consecutive fingerprints agree — any real change
+        # almost surely perturbs (count, hash-sum), and a (vanishingly
+        # rare) fingerprint collision merely costs one extra exact
+        # check, never a wrong early stop.
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        return (r["n"], r["h"])
+
+    prev_sig = _sig(edges)
     for _ in range(max_iter):
         # large-star: around every center c, attach each LARGER
         # neighbor to m(c) = min of c's neighborhood (incl. c)
@@ -527,11 +542,13 @@ def connected_components_star(
             .distinct()
             .localCheckpoint()
         )
-        unchanged = (
+        sig = _sig(small)
+        unchanged = sig == prev_sig and (
             small.exceptAll(edges).limit(1).count() == 0
             and edges.exceptAll(small).limit(1).count() == 0
         )
         edges = small
+        prev_sig = sig
         if unchanged:
             break
     all_nodes = (
