@@ -48,6 +48,37 @@ def register_testdata(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def schema_drift(df: DataFrame, expected) -> dict[str, list[str]]:
+    """Contract check on the read path (the dbt schema-test analogue,
+    SURVEY.md §5.3, applied BEFORE a job runs instead of after a table
+    is written): diff a frame's actual schema against the declared
+    StructType and report added / missing / retyped columns.
+
+    At 100 TB a silently widened upstream export (new column, int ->
+    string drift) surfaces as a 3 a.m. cast error deep inside a
+    pipeline — or worse, as wrong nulls. Checking the contract at the
+    scan costs one metadata read. Returns {"added": [...], "missing":
+    [...], "retyped": ["col: expected X, got Y", ...]}; empty lists =
+    no drift. Use assert_no_drift to fail fast."""
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    want = {f.name: f.dataType.simpleString() for f in expected.fields}
+    return {
+        "added": sorted(set(actual) - set(want)),
+        "missing": sorted(set(want) - set(actual)),
+        "retyped": sorted(
+            f"{c}: expected {want[c]}, got {actual[c]}"
+            for c in set(want) & set(actual)
+            if want[c] != actual[c]
+        ),
+    }
+
+
+def assert_no_drift(df: DataFrame, expected, table: str = "<frame>") -> None:
+    drift = schema_drift(df, expected)
+    if any(drift.values()):
+        raise ValueError(f"schema drift in {table}: {drift}")
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

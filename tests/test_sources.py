@@ -78,3 +78,44 @@ def test_config_csv_and_exclusions(spark, tmp_path):
     )
     kept = apply_exclusions(facts, excl)
     assert [r["wallet_address"] for r in kept.collect()] == ["0x999"]
+
+
+class TestSchemaDrift:
+    def test_no_drift_on_matching_schema(self, spark):
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        from etl_pipelines_spark.sources.registry import assert_no_drift, schema_drift
+
+        df = spark.createDataFrame([(1, "a")], "id long, name string")
+        expected = StructType(
+            [StructField("id", LongType()), StructField("name", StringType())]
+        )
+        assert schema_drift(df, expected) == {"added": [], "missing": [], "retyped": []}
+        assert_no_drift(df, expected)  # no raise
+
+    def test_detects_added_missing_retyped(self, spark):
+        import pytest as _pytest
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        from etl_pipelines_spark.sources.registry import assert_no_drift, schema_drift
+
+        df = spark.createDataFrame([(1, "a", 2.0)], "id long, name string, extra double")
+        expected = StructType(
+            [
+                StructField("id", LongType()),
+                StructField("name", DoubleType()),  # retyped
+                StructField("gone", StringType()),  # missing
+            ]
+        )
+        drift = schema_drift(df, expected)
+        assert drift["added"] == ["extra"]
+        assert drift["missing"] == ["gone"]
+        assert drift["retyped"] == ["name: expected double, got string"]
+        with _pytest.raises(ValueError, match="schema drift in orders"):
+            assert_no_drift(df, expected, table="orders")
