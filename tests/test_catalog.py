@@ -1,0 +1,52 @@
+"""Catalog registry invariants — the structural contract between the
+internal registry, the driver-facing consolidation, and the gate."""
+
+import duckdb
+
+from etl_pipelines_spark.queries import DRIVER_QUERIES, QUERIES
+from etl_pipelines_spark.queries.combos import _COMBOS, _STANDALONE
+from etl_pipelines_spark.sources.registry import TABLES
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestCatalogInvariants:
+    def test_driver_catalog_fits_gate_cap(self):
+        assert len(DRIVER_QUERIES) <= 50
+
+    def test_bench_short_keys_unique(self):
+        shorts = [n.split("_")[0] for n in DRIVER_QUERIES]
+        assert len(set(shorts)) == len(shorts)
+
+    def test_every_internal_query_reaches_the_driver(self):
+        """Each internal query must be driver-visible: standalone, or a
+        member of some combo (whose oracle embeds the member's oracle
+        verbatim) — nothing silently drops out of the correctness
+        gate."""
+        covered = set(_STANDALONE)
+        for name, spec in QUERIES.items():
+            if name in covered:
+                continue
+            assert any(
+                spec.oracle.strip() in c.oracle for c in _COMBOS
+            ), f"{name} is neither standalone nor embedded in any combo oracle"
+
+    def test_all_driver_entries_have_descriptions_and_oracles(self):
+        for name, spec in DRIVER_QUERIES.items():
+            assert spec.oracle, name
+            assert spec.description, name
+
+    def test_every_driver_oracle_is_valid_duckdb_sql(self):
+        """EXPLAIN every driver-facing oracle against the real testdata
+        views — a syntax error or bad column reference in any combo's
+        UNION ALL fails here instead of inside the external gate."""
+        con = duckdb.connect()
+        for tbl in TABLES:
+            con.execute(
+                f"CREATE VIEW {tbl} AS SELECT * FROM '{SF}/{tbl}.parquet'"
+            )
+        for name, spec in DRIVER_QUERIES.items():
+            try:
+                con.execute(f"EXPLAIN {spec.oracle}")
+            except Exception as e:  # noqa: BLE001
+                raise AssertionError(f"oracle for {name} is invalid: {e}") from e
