@@ -76,3 +76,55 @@ def kmv_distinct(
         .withColumn("kmv_estimate", est.cast("double"))
         .drop("_hk")
     )
+
+
+# ------------------------------------------------------------- HLL rollups
+#
+# The mergeable-state rollup (A13 at warehouse scale): persist one
+# small sketch per (key, grain) instead of raw ids, then answer
+# distinct-count questions across ANY grain by unioning sketches —
+# never re-scanning raw data. This is the pattern that turns "distinct
+# wallets last quarter" from a 100 TB scan into a merge of ~90 daily
+# sketch rows per coin. Spark's built-in DataSketches HLL functions
+# (hll_sketch_agg / hll_union_agg / hll_sketch_estimate) are
+# partial-aggregable, so building the daily table is one shuffle and
+# the cross-day union is algebra over kilobyte-sized binary columns.
+# The KMV twin above exists for EXACT cross-engine verification; HLL
+# is the production estimator (fixed error, standard mergeable
+# format).
+
+
+def sketch_rollup(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    sketch_col: str = "sketch",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-key HLL sketch of distinct `value_col` — the stored rollup
+    row. lg_k=12 -> ~1.6% relative standard error, 4 KB max per
+    sketch."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(F.col(value_col).cast("string"), F.lit(lg_k)).alias(
+            sketch_col
+        )
+    )
+
+
+def merge_sketch_rollups(
+    df: DataFrame,
+    keys: list[str],
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Union sketches up to a coarser grain (e.g. (coin, day) ->
+    coin): one partial-aggregable pass over sketch rows, no raw
+    data."""
+    return df.groupBy(*keys).agg(
+        F.hll_union_agg(F.col(sketch_col)).alias(sketch_col)
+    )
+
+
+def sketch_estimate(sketch_col: str = "sketch", out: str = "n_distinct_est") -> F.Column:
+    """Column expression: read the distinct-count estimate off a
+    sketch."""
+    return F.hll_sketch_estimate(F.col(sketch_col)).alias(out)

@@ -326,3 +326,56 @@ class TestArrayJaccardVerify:
         a = array_jaccard_verify(pairs, arrays=doc_shingle_arrays(docs)).collect()
         b = array_jaccard_verify(pairs, shingles=doc_shingles(docs)).collect()
         assert a == b
+
+
+class TestHllSketchRollups:
+    """Mergeable-state rollups: per-grain sketches stored once, coarser
+    grains answered by unioning sketches — the 100 TB distinct-count
+    pattern. Estimates must track exact counts and the union must equal
+    a direct coarse-grain sketch."""
+
+    def test_union_of_fine_grain_equals_direct_coarse_sketch(self, spark):
+        from etl_pipelines_spark.operators.sketches import (
+            merge_sketch_rollups,
+            sketch_estimate,
+            sketch_rollup,
+        )
+
+        rows = [
+            (c, d, w)
+            for c in (1, 2)
+            for d in range(5)
+            for w in range(c * 40)  # coin 1: 40 wallets, coin 2: 80
+        ]
+        df = spark.createDataFrame(rows, "coin long, day long, wallet long")
+        daily = sketch_rollup(df, ["coin", "day"], "wallet")
+        assert daily.count() == 10  # one sketch row per (coin, day)
+        merged = merge_sketch_rollups(daily, ["coin"]).select(
+            "coin", sketch_estimate()
+        )
+        direct = sketch_rollup(df, ["coin"], "wallet").select(
+            "coin", sketch_estimate()
+        )
+        m = {r["coin"]: r["n_distinct_est"] for r in merged.collect()}
+        d = {r["coin"]: r["n_distinct_est"] for r in direct.collect()}
+        assert m == d  # union of daily sketches == sketch of the union
+        exact = {1: 40, 2: 80}
+        for coin, est in m.items():
+            assert abs(est - exact[coin]) / exact[coin] < 0.05
+
+    def test_estimates_track_exact_counts_across_scales(self, spark):
+        from etl_pipelines_spark.operators.sketches import (
+            sketch_estimate,
+            sketch_rollup,
+        )
+
+        for n in (10, 500, 5000):
+            df = spark.range(n).select(
+                F.lit(1).alias("g"), F.col("id").alias("v")
+            )
+            est = (
+                sketch_rollup(df, ["g"], "v")
+                .select(sketch_estimate())
+                .first()["n_distinct_est"]
+            )
+            assert abs(est - n) / n < 0.05, (n, est)
