@@ -33,12 +33,20 @@ def asof_join_backward(
     keys: Sequence[str],
     on: str,
     value_cols: Sequence[str],
+    tolerance=None,
 ) -> DataFrame:
     """For each left row: attach the right row's value_cols from the
     greatest right.`on` <= left.`on` within the same `keys` (null when
     no prior quote exists). Ties among right rows at the same instant
     resolve to the last under the window order (deterministic given
-    unique (keys, on) on the right — dedupe first otherwise)."""
+    unique (keys, on) on the right — dedupe first otherwise).
+
+    `tolerance`: max allowed left.on - quote.on gap (same units as
+    `on`); a staler match nulls out — pandas merge_asof's tolerance,
+    the guard that stops a week-old price valuing today's balance.
+    Implemented by forward-filling the quote TIMESTAMP alongside the
+    values (one extra column through the same window, no extra
+    shuffle)."""
     keys = list(keys)
     tagged_r = right.select(
         *keys, on, *[F.col(c).alias(f"_q_{c}") for c in value_cols]
@@ -47,17 +55,76 @@ def asof_join_backward(
     for c in value_cols:
         tagged_l = tagged_l.withColumn(f"_q_{c}", F.lit(None).cast(dict(tagged_r.dtypes)[f"_q_{c}"]))
     unioned = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
+    unioned = unioned.withColumn(
+        "_q_ts", F.when(F.col("_probe") == 0, F.col(on))
+    )
 
     w = (
         Window.partitionBy(*keys)
         .orderBy(F.col(on).asc(), F.col("_probe").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    for c in value_cols:
+    for c in [*value_cols, "ts"]:
         unioned = unioned.withColumn(
             f"_q_{c}", F.last(f"_q_{c}", ignorenulls=True).over(w)
         )
     out = unioned.filter(F.col("_probe") == 1).drop("_probe")
+    if tolerance is not None:
+        stale = (F.col(on) - F.col("_q_ts")) > F.lit(tolerance)
+        for c in value_cols:
+            out = out.withColumn(
+                f"_q_{c}", F.when(stale, F.lit(None)).otherwise(F.col(f"_q_{c}"))
+            )
+    out = out.drop("_q_ts")
+    for c in value_cols:
+        out = out.withColumnRenamed(f"_q_{c}", c)
+    return out
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    on: str,
+    value_cols: Sequence[str],
+    tolerance=None,
+) -> DataFrame:
+    """Mirror of asof_join_backward: smallest right.`on` >= left.`on`
+    (the "next quote" lookup). Same one-shuffle union-and-fill plan
+    with the window frame reversed."""
+    keys = list(keys)
+    tagged_r = right.select(
+        *keys, on, *[F.col(c).alias(f"_q_{c}") for c in value_cols]
+    ).withColumn("_probe", F.lit(0))
+    tagged_l = left.withColumn("_probe", F.lit(1))
+    for c in value_cols:
+        tagged_l = tagged_l.withColumn(f"_q_{c}", F.lit(None).cast(dict(tagged_r.dtypes)[f"_q_{c}"]))
+    unioned = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
+    unioned = unioned.withColumn(
+        "_q_ts", F.when(F.col("_probe") == 0, F.col(on))
+    )
+
+    # quotes sort AFTER probes at equal timestamps under descending
+    # probe order... simpler: ascending time, probe DESC puts the
+    # quote after the probe at ties; a forward-looking frame with
+    # first(ignorenulls) picks the next quote INCLUDING same-instant.
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(on).asc(), F.col("_probe").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    for c in [*value_cols, "ts"]:
+        unioned = unioned.withColumn(
+            f"_q_{c}", F.first(f"_q_{c}", ignorenulls=True).over(w)
+        )
+    out = unioned.filter(F.col("_probe") == 1).drop("_probe")
+    if tolerance is not None:
+        stale = (F.col("_q_ts") - F.col(on)) > F.lit(tolerance)
+        for c in value_cols:
+            out = out.withColumn(
+                f"_q_{c}", F.when(stale, F.lit(None)).otherwise(F.col(f"_q_{c}"))
+            )
+    out = out.drop("_q_ts")
     for c in value_cols:
         out = out.withColumnRenamed(f"_q_{c}", c)
     return out

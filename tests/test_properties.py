@@ -334,3 +334,55 @@ def test_set_based_densify_matches_pandas_port(spark, rows):
         for r in fill_gaps_applyinpandas(df, ["coin_id"]).collect()
     )
     assert set_based == port
+
+
+@settings(max_examples=12, deadline=None)
+@given(asof_fixture(), st.sampled_from([None, 2, 5]))
+def test_asof_forward_and_tolerance_match_pandas(spark, fixture, tol):
+    """asof_join_forward == merge_asof(direction='forward'), and the
+    backward tolerance guard nulls stale matches exactly as pandas
+    does — for ANY input and tolerance."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_pipelines_spark.operators.asof import (
+        asof_join_backward,
+        asof_join_forward,
+    )
+
+    t_rows, q_rows = fixture
+    left = spark.createDataFrame(t_rows, "k long, t long")
+    right = spark.createDataFrame(q_rows, "k long, t long, px double")
+    lp = (
+        pd.DataFrame(t_rows, columns=["k", "t"])
+        .astype({"k": "int64", "t": "int64"})
+        .sort_values("t")
+    )
+    rp = (
+        pd.DataFrame(q_rows, columns=["k", "t", "px"])
+        .astype({"k": "int64", "t": "int64", "px": "float64"})
+        .sort_values("t")
+    )
+
+    def check(spark_df, direction):
+        got = spark_df.orderBy("k", "t").toPandas()
+        want = (
+            pd.merge_asof(
+                lp, rp, on="t", by="k", direction=direction, tolerance=tol
+            )
+            .sort_values(["k", "t"])
+            .reset_index(drop=True)
+        )
+        assert list(got["k"]) == list(want["k"])
+        assert list(got["t"]) == list(want["t"])
+        g, w = got["px"].to_numpy(), want["px"].to_numpy()
+        assert ((g == w) | (np.isnan(g) & np.isnan(w))).all()
+
+    check(
+        asof_join_forward(left, right, ["k"], "t", ["px"], tolerance=tol),
+        "forward",
+    )
+    check(
+        asof_join_backward(left, right, ["k"], "t", ["px"], tolerance=tol),
+        "backward",
+    )
