@@ -99,6 +99,25 @@ def hopping_event_rollup(
     )
 
 
+def streaming_dedupe(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """In-stream duplicate removal with BOUNDED state: duplicates of a
+    key arriving within `watermark` of each other collapse to the
+    first row; state for a key is dropped once the watermark passes it,
+    so the dedupe store never grows with the stream's lifetime (the
+    failure mode of a naive dropDuplicates on an unbounded stream).
+
+    This is the streaming-native half of the reference's at-least-once
+    tolerance (S4/A6): the ingest stream dedupes retried inserts at
+    the door, and dedupe-on-read stays as the batch-side belt for
+    duplicates wider than the watermark."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def dedupe_upsert_sink(output_path: str, keys: list[str], order_col: str):
     """foreachBatch function: keep the latest row per key within the
     micro-batch, then append. At-least-once input + dedupe-on-read

@@ -315,3 +315,34 @@ def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
     assert sorted(r["k"] for r in rows) == [1, 2, 3]  # no duplicates
     batch_ids = sorted({r["batch_id"] for r in rows})
     assert len(batch_ids) >= 2  # the restart produced a NEW batch
+
+
+def test_streaming_dedupe_within_watermark(spark, tmp_path):
+    """Retried inserts (same event_id, within the watermark) collapse
+    to one row in-stream; distinct ids all survive. State is
+    watermark-bounded by construction (dropDuplicatesWithinWatermark)."""
+    from etl_pipelines_spark.streaming.jobs import streaming_dedupe
+
+    src = str(tmp_path / "src")
+    base = pd.Timestamp("2024-01-01 09:00:00")
+    rows = [
+        (1, base.to_pydatetime(), 10.0),
+        (1, (base + pd.Timedelta(minutes=5)).to_pydatetime(), 10.0),  # retry
+        (2, (base + pd.Timedelta(minutes=1)).to_pydatetime(), 20.0),
+        (3, (base + pd.Timedelta(minutes=2)).to_pydatetime(), 30.0),
+        (3, (base + pd.Timedelta(minutes=3)).to_pydatetime(), 30.0),  # retry
+    ]
+    spark.createDataFrame(rows, "event_id long, ts timestamp, value double").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    deduped = streaming_dedupe(stream, ["event_id"], "ts", watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedupe_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("dedupe_wm").collect()
+    assert sorted(r["event_id"] for r in out) == [1, 2, 3]
