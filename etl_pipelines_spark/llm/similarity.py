@@ -281,3 +281,83 @@ def hyperplane_lsh_buckets(
     return embeddings.select(
         F.col(id_col), F.concat(*bits).alias("bucket")
     )
+
+
+# ---------------------------------------------------------------- k-means
+#
+# Trained coarse quantizer for IVF (the upgrade over hyperplane signs
+# when the corpus distribution is known): classic Lloyd's iterations
+# expressed as DataFrame algebra. Each round is one broadcast of the
+# k-row centroid table onto the point stream (assignment is map-side —
+# argmin over k JVM-evaluated distance expressions, no shuffle) plus
+# one groupBy(cluster) mean (one shuffle of partial sums, k rows out).
+# Centroids collect to the driver between rounds — k * dim floats, the
+# legitimate driver-side scalar of this algorithm (same class as the
+# 1-row max in ids.py). Deterministic: init picks the k points with the
+# smallest xxhash64(id) (seeded), ties in argmin break toward the
+# lowest cluster index, and means are DECIMAL-exact.
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[float]]:
+    """k centroid vectors after `n_iter` Lloyd's rounds."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    init = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    centroids = [list(map(float, r[vec_col])) for r in init]
+    for _ in range(n_iter):
+        assigned = assign_clusters(embeddings, centroids, vec_col=vec_col)
+        sums = (
+            assigned.select(
+                "cluster",
+                *[
+                    F.element_at(vec_col, i + 1).cast("decimal(38,12)").alias(f"_d{i}")
+                    for i in range(dim)
+                ],
+            )
+            .groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[F.sum(f"_d{i}").alias(f"_s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        new = {r["cluster"]: [float(r[f"_s{i}"] / r["_n"]) for i in range(dim)] for r in sums}
+        # empty clusters keep their previous centroid (standard Lloyd's)
+        centroids = [new.get(c, centroids[c]) for c in range(k)]
+    return centroids
+
+
+def assign_clusters(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out: str = "cluster",
+) -> DataFrame:
+    """Map-side nearest-centroid assignment: squared-L2 against each
+    centroid as a JVM expression over the array column; argmin via
+    array_position on the sorted distance list (ties -> lowest cluster
+    index). The centroid table rides in the plan as literals — the
+    broadcast degenerate case."""
+    dists = []
+    for ci, c in enumerate(centroids):
+        terms = [
+            (F.element_at(vec_col, i + 1) - F.lit(float(x))) ** 2
+            for i, x in enumerate(c)
+        ]
+        d = terms[0]
+        for t_ in terms[1:]:
+            d = d + t_
+        dists.append(F.struct(d.alias("d"), F.lit(ci).alias("c")))
+    best = F.array_min(F.array(*dists))
+    return embeddings.withColumn(out, best["c"])

@@ -379,3 +379,40 @@ class TestHllSketchRollups:
                 .first()["n_distinct_est"]
             )
             assert abs(est - n) / n < 0.05, (n, est)
+
+
+class TestKmeansCoarseQuantizer:
+    def test_recovers_separated_clusters(self, spark):
+        from etl_pipelines_spark.llm.similarity import (
+            assign_clusters,
+            kmeans_centroids,
+        )
+
+        # two tight, well-separated blobs in 3-D
+        rows = []
+        for i in range(30):
+            rows.append((i, [10.0 + (i % 3) * 0.1, 10.0, 10.0]))
+        for i in range(30, 60):
+            rows.append((i, [-10.0, -10.0 - (i % 3) * 0.1, -10.0]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = kmeans_centroids(df, k=2, n_iter=4)
+        # one centroid per blob, near the blob means
+        signs = sorted(c[0] > 0 for c in cents)
+        assert signs == [False, True]
+        for c in cents:
+            assert all(abs(abs(x) - 10.0) < 0.5 for x in c)
+        assigned = assign_clusters(df, cents)
+        by_cluster = {}
+        for r in assigned.collect():
+            by_cluster.setdefault(r["cluster"], set()).add(r["vec_id"] < 30)
+        # each cluster is pure: all first-blob or all second-blob
+        assert all(len(v) == 1 for v in by_cluster.values())
+
+    def test_deterministic_across_runs(self, spark):
+        from etl_pipelines_spark.llm.similarity import kmeans_centroids
+
+        rows = [(i, [float(i % 7), float(i % 5), float(i % 3)]) for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        a = kmeans_centroids(df, k=3, n_iter=3)
+        b = kmeans_centroids(df, k=3, n_iter=3)
+        assert a == b
