@@ -511,6 +511,7 @@ def connected_components_star(
         return (r["n"], r["h"])
 
     prev_sig = _sig(edges)
+    converged = False
     for _ in range(max_iter):
         # large-star: around every center c, attach each LARGER
         # neighbor to m(c) = min of c's neighborhood (incl. c)
@@ -550,7 +551,21 @@ def connected_components_star(
         edges = small
         prev_sig = sig
         if unchanged:
+            converged = True
             break
+    if not converged:
+        # Star is the terminal algorithm (propagation already falls
+        # back to it), so exhausting max_iter without an unchanged
+        # round must be loud: silently returning partial labels is
+        # the one wrong-answer mode this family has. 50 rounds of an
+        # O(log n) algorithm makes this near-impossible in practice —
+        # which is exactly why a silent occurrence would be
+        # undiagnosable.
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds; "
+            "the graph is larger/stranger than the round budget allows — "
+            "raise max_iter"
+        )
     all_nodes = (
         pairs.select(F.col(id_a).alias("node"))
         .union(pairs.select(F.col(id_b).alias("node")))
@@ -592,7 +607,12 @@ def cluster_labels(
     Both return identical (node, label = component minimum) frames —
     equivalence is pinned on chains and cliques in test_operators."""
     if algorithm == "auto":
-        pairs = pairs.persist()
+        # Respect a caller's own cache: Spark persistence is not
+        # reference-counted, so persist+unpersist here would evict a
+        # frame the caller had cached for its own reuse.
+        caller_cached = pairs.storageLevel.useMemory or pairs.storageLevel.useDisk
+        if not caller_cached:
+            pairs = pairs.persist()
         algorithm = "star" if pairs.count() > star_threshold else "propagation"
         fn = (
             connected_components_star
@@ -605,7 +625,8 @@ def cluster_labels(
         # forever (the clustering loop checkpoints its own state, but
         # star's final node-roster join reads `pairs` lazily).
         out = fn(pairs, id_a, id_b).localCheckpoint()
-        pairs.unpersist()
+        if not caller_cached:
+            pairs.unpersist()
         return out
     if algorithm == "star":
         return connected_components_star(pairs, id_a, id_b)

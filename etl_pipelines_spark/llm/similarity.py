@@ -306,8 +306,13 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> list[list[float]]:
-    """k centroid vectors after `n_iter` Lloyd's rounds."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    """k centroid vectors after `n_iter` Lloyd's rounds. When the frame
+    holds fewer than k rows, k clamps to the row count (each point its
+    own centroid); an empty frame is a ValueError."""
+    head = embeddings.select(vec_col).first()
+    if head is None:
+        raise ValueError("kmeans_centroids: embeddings frame is empty")
+    dim = len(head[0])
     init = (
         embeddings.select(id_col, vec_col)
         .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
@@ -315,6 +320,7 @@ def kmeans_centroids(
         .collect()
     )
     centroids = [list(map(float, r[vec_col])) for r in init]
+    k = len(centroids)  # clamp: frame may hold fewer than k rows
     for _ in range(n_iter):
         assigned = assign_clusters(embeddings, centroids, vec_col=vec_col)
         sums = (

@@ -55,8 +55,10 @@ def asof_join_backward(
     for c in value_cols:
         tagged_l = tagged_l.withColumn(f"_q_{c}", F.lit(None).cast(dict(tagged_r.dtypes)[f"_q_{c}"]))
     unioned = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
+    # Collision-proof internal name: a value column literally named
+    # "ts" must not alias the quote-timestamp tracker.
     unioned = unioned.withColumn(
-        "_q_ts", F.when(F.col("_probe") == 0, F.col(on))
+        "__asof_q_ts", F.when(F.col("_probe") == 0, F.col(on))
     )
 
     w = (
@@ -64,18 +66,21 @@ def asof_join_backward(
         .orderBy(F.col(on).asc(), F.col("_probe").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    for c in [*value_cols, "ts"]:
+    for c in value_cols:
         unioned = unioned.withColumn(
             f"_q_{c}", F.last(f"_q_{c}", ignorenulls=True).over(w)
         )
+    unioned = unioned.withColumn(
+        "__asof_q_ts", F.last("__asof_q_ts", ignorenulls=True).over(w)
+    )
     out = unioned.filter(F.col("_probe") == 1).drop("_probe")
     if tolerance is not None:
-        stale = (F.col(on) - F.col("_q_ts")) > F.lit(tolerance)
+        stale = (F.col(on) - F.col("__asof_q_ts")) > F.lit(tolerance)
         for c in value_cols:
             out = out.withColumn(
                 f"_q_{c}", F.when(stale, F.lit(None)).otherwise(F.col(f"_q_{c}"))
             )
-    out = out.drop("_q_ts")
+    out = out.drop("__asof_q_ts")
     for c in value_cols:
         out = out.withColumnRenamed(f"_q_{c}", c)
     return out
@@ -101,7 +106,7 @@ def asof_join_forward(
         tagged_l = tagged_l.withColumn(f"_q_{c}", F.lit(None).cast(dict(tagged_r.dtypes)[f"_q_{c}"]))
     unioned = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
     unioned = unioned.withColumn(
-        "_q_ts", F.when(F.col("_probe") == 0, F.col(on))
+        "__asof_q_ts", F.when(F.col("_probe") == 0, F.col(on))
     )
 
     # quotes sort AFTER probes at equal timestamps under descending
@@ -113,18 +118,21 @@ def asof_join_forward(
         .orderBy(F.col(on).asc(), F.col("_probe").desc())
         .rowsBetween(0, Window.unboundedFollowing)
     )
-    for c in [*value_cols, "ts"]:
+    for c in value_cols:
         unioned = unioned.withColumn(
             f"_q_{c}", F.first(f"_q_{c}", ignorenulls=True).over(w)
         )
+    unioned = unioned.withColumn(
+        "__asof_q_ts", F.first("__asof_q_ts", ignorenulls=True).over(w)
+    )
     out = unioned.filter(F.col("_probe") == 1).drop("_probe")
     if tolerance is not None:
-        stale = (F.col("_q_ts") - F.col(on)) > F.lit(tolerance)
+        stale = (F.col("__asof_q_ts") - F.col(on)) > F.lit(tolerance)
         for c in value_cols:
             out = out.withColumn(
                 f"_q_{c}", F.when(stale, F.lit(None)).otherwise(F.col(f"_q_{c}"))
             )
-    out = out.drop("_q_ts")
+    out = out.drop("__asof_q_ts")
     for c in value_cols:
         out = out.withColumnRenamed(f"_q_{c}", c)
     return out
