@@ -15,7 +15,7 @@ batching, temp tables, or retry loops.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_pipelines_spark.operators.windows import cumulative_window, ordered_window
@@ -49,28 +49,33 @@ def create_imputed_records(profits: DataFrame) -> DataFrame:
     """Wallets with activity before their coin's first price date get one
     synthetic row at first_price_date carrying the last pre-price balance
     as a transfer-in — skipped when real activity exists on that date
-    (reference :352-440)."""
-    pre = profits.filter(F.col("date") < F.col("first_price_date"))
-    has_pre = pre.select(*PAIR).distinct()
-    active_on_first = (
-        profits.filter(F.col("date") == F.col("first_price_date")).select(*PAIR).distinct()
+    (reference :352-440).
+
+    ONE pair-level aggregate replaces the reference's four derived
+    frames (pre / has_pre / active_first / pre_balances) and their
+    joins: has_pre is "any pre-price row" (the struct-max is non-null),
+    the carried balance is the struct-max's payload (date-latest pre
+    row), active-on-first is a conditional max, and the per-coin
+    first-price columns are constant within the pair group. One
+    exchange instead of four subtrees over the merged frame."""
+    is_pre = F.col("date") < F.col("first_price_date")
+    agg = profits.groupBy(*PAIR).agg(
+        F.max(F.when(is_pre, F.struct("date", "balance"))).alias("_pre"),
+        F.max(
+            F.when(F.col("date") == F.col("first_price_date"), F.lit(1))
+        ).alias("_act"),
+        F.min("first_price_date").alias("first_price_date"),
+        F.min("first_price").alias("first_price"),
     )
-    needs = has_pre.join(active_on_first, PAIR, "left_anti")
-    pre_balances = pre.groupBy(*PAIR).agg(F.max_by("balance", "date").alias("balance"))
-    coin_first = profits.select("coin_id", "first_price_date", "first_price").distinct()
-    return (
-        needs.join(pre_balances, PAIR)
-        .join(coin_first, "coin_id")
-        .select(
-            "coin_id",
-            "wallet_address",
-            F.col("first_price_date").alias("date"),
-            F.col("balance").alias("net_transfers"),
-            "balance",
-            F.col("first_price").alias("price"),
-            "first_price_date",
-            "first_price",
-        )
+    return agg.filter(F.col("_pre").isNotNull() & F.col("_act").isNull()).select(
+        "coin_id",
+        "wallet_address",
+        F.col("first_price_date").alias("date"),
+        F.col("_pre.balance").alias("net_transfers"),
+        F.col("_pre.balance").alias("balance"),
+        F.col("first_price").alias("price"),
+        "first_price_date",
+        "first_price",
     )
 
 
@@ -85,6 +90,69 @@ def splice_imputed_records(profits: DataFrame, imputed: DataFrame) -> DataFrame:
     w = ordered_window(PAIR, ["date"])
     return (
         combined.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "net_transfers",
+            F.when(F.col("_rn") == 1, F.col("balance")).otherwise(F.col("net_transfers")),
+        )
+        .drop("_rn")
+    )
+
+
+def splice_with_imputation(profits: DataFrame) -> DataFrame:
+    """Fused imputation + splice: the single-window-pass form of
+    create_imputed_records -> splice_imputed_records (reference
+    :352-478), used by build_wallet_profits.
+
+    Key observation: the synthetic row a needs-imputation pair gains at
+    first_price_date carries exactly the payload of the row the splice
+    DROPS (the pair's date-latest pre-price row: its balance becomes
+    both balance and net_transfers, only date and price are rewritten
+    to the coin's first-price values). So instead of aggregating
+    imputed rows into a separate frame and unioning it back, REWRITE
+    that row in place and never drop it. Imputation flags come from
+    whole-partition window aggregates over the same (coin, wallet)
+    exchange the splice row_number needs — the merged frame is scanned
+    once, with no persist, no anti-join, no union, and no extra
+    exchange. Row-set equivalence with the staged path is pinned in
+    test_wallet_profits."""
+    wp = Window.partitionBy(*PAIR)
+    is_pre = F.col("date") < F.col("first_price_date")
+    flagged = (
+        profits.withColumn(
+            "_pre", F.max(F.when(is_pre, F.struct("date", "balance"))).over(wp)
+        )
+        .withColumn(
+            "_act",
+            F.max(
+                F.when(F.col("date") == F.col("first_price_date"), F.lit(1))
+            ).over(wp),
+        )
+        .withColumn(
+            "_imp",
+            F.coalesce(
+                F.col("_pre").isNotNull()
+                & F.col("_act").isNull()
+                & is_pre
+                & (F.struct("date", "balance") == F.col("_pre")),
+                F.lit(False),
+            ),
+        )
+    )
+    kept = flagged.filter(F.col("price").isNotNull() | F.col("_imp")).select(
+        "coin_id",
+        "wallet_address",
+        F.when(F.col("_imp"), F.col("first_price_date")).otherwise(F.col("date")).alias("date"),
+        F.when(F.col("_imp"), F.col("balance")).otherwise(F.col("net_transfers")).alias(
+            "net_transfers"
+        ),
+        "balance",
+        F.when(F.col("_imp"), F.col("first_price")).otherwise(F.col("price")).alias("price"),
+        "first_price_date",
+        "first_price",
+    )
+    w = ordered_window(PAIR, ["date"])
+    return (
+        kept.withColumn("_rn", F.row_number().over(w))
         .withColumn(
             "net_transfers",
             F.when(F.col("_rn") == 1, F.col("balance")).otherwise(F.col("net_transfers")),
@@ -159,33 +227,28 @@ def build_wallet_profits(
     transfers: DataFrame,
     prices: DataFrame,
     quantize: float | None = None,
-    persist: bool = True,
+    persist: bool = False,
 ) -> DataFrame:
     """Full five-stage pipeline: merge -> first-price -> impute ->
     splice -> trim -> kernel.
 
-    The merged+first-price frame is consumed by FIVE branches
-    (pre-price rows, first-day activity, pre-balances, per-coin first
-    prices, the kept rows) — without a persist each branch re-executes
-    the transfers-x-prices join and its upstream aggregations
-    (measured ~5x the work; exchange reuse does not cover the join +
-    window subtrees). This is the "persist when consumers genuinely
-    need rows" case of SCALE.md's restructure-over-persist rule: the
-    branches need different row subsets, not one collapsible
-    aggregate.
-
-    Cache lifecycle is the CALLER's: the returned frame reads the
-    cached intermediate lazily, so this function cannot release it.
-    One-shot jobs and the catalog harnesses clear the cache after
-    materializing; a long-running service invoking the pipeline
-    repeatedly should call spark.catalog.clearCache() between builds
-    (or pass persist=False and pay the ~5x recompute)."""
+    The impute+splice stages run fused (`splice_with_imputation`): the
+    merged frame is consumed exactly once, so the pipeline is one
+    linear plan — scan, (coin,date) price join, one (coin,wallet)
+    exchange carrying the imputation window aggregates + splice
+    row_number + trim cumsum + kernel lag/cumsums. The r1/r2 shape
+    persisted the merged frame because five branches (pre-price rows,
+    first-day activity, pre-balances, per-coin firsts, kept rows)
+    re-read it; the fused rewrite is the SCALE.md
+    restructure-over-persist rule finishing the job — those branches
+    were one window pass in disguise. `persist=True` caches the merged
+    frame anyway (cache lifecycle is then the caller's); the staged
+    functions remain for per-stage use and tests."""
     merged = merge_prices_and_transfers(transfers, prices)
     with_first = add_first_price_info(merged, prices)
     if persist:
         with_first = with_first.persist()
-    imputed = create_imputed_records(with_first)
-    spliced = splice_imputed_records(with_first, imputed)
+    spliced = splice_with_imputation(with_first)
     trimmed = filter_pre_inflow_records(spliced)
     return calculate_wallet_profitability(trimmed, quantize=quantize)
 

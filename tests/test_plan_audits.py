@@ -100,6 +100,18 @@ class TestShuffleBudget:
         # every window and the merge join ride those two
         assert shuffle_exchanges(plan_of(spark, "q22_wallet_profits_kernel")) <= 2
 
+    def test_q75_pipeline_three_exchanges_no_persist(self, spark):
+        # fused impute+splice (plans/wallet_profits.splice_with_imputation):
+        # the whole five-stage pipeline is ONE linear plan — the fact
+        # stream shuffles once on (coin, wallet) and every stage's
+        # windows ride it; the only other exchanges are the two daily-
+        # price derivations (both then broadcast). The r2 shape (persist
+        # + imputation branch re-reading the merged frame via distinct/
+        # anti-join subtrees) would push this past 5.
+        plan = plan_of(spark, "q75_wallet_profits_pipeline")
+        assert shuffle_exchanges(plan) <= 3
+        assert "InMemoryTableScan" not in plan  # no persist needed anymore
+
     def test_q72_fused_audit_two_exchanges(self, spark):
         # the four audit rules collapse into one aggregation cascade:
         # the kernel's coin_id repartition serves the window AND both

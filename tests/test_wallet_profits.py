@@ -135,6 +135,21 @@ def test_splice_rewrites_earliest_rows(spark, sample_transfers, sample_prices):
     assert rows[("c1", "w1", D(2024, 1, 1))].net_transfers == 100.0
 
 
+def test_fused_splice_matches_staged(spark, sample_transfers, sample_prices):
+    """The single-window-pass splice_with_imputation must produce the
+    exact row set of the staged impute -> splice path on a fixture that
+    exercises every branch (imputed, skip-imputation, plain)."""
+    from etl_pipelines_spark.plans.wallet_profits import splice_with_imputation
+
+    transfers = make_transfers(spark, sample_transfers)
+    prices = make_prices(spark, sample_prices)
+    merged = add_first_price_info(merge_prices_and_transfers(transfers, prices), prices)
+    staged = splice_imputed_records(merged, create_imputed_records(merged))
+    fused = splice_with_imputation(merged).select(*staged.columns)
+    assert fused.exceptAll(staged).count() == 0
+    assert staged.exceptAll(fused).count() == 0
+
+
 def test_pre_inflow_trim_drops_offsetting_first_day(spark):
     transfers = make_transfers(
         spark,
