@@ -59,6 +59,25 @@ def _dot_scaled_pandas() -> Column:
     return dot
 
 
+def _norm_pandas() -> Column:
+    """Arrow-vectorized twin of `_norm` for corpus-wide norm passes:
+    identical IEEE ops (double square, floor-scale, exact int64 sum,
+    int64->double conversion, division, correctly-rounded sqrt), so
+    results are bit-equal to the JVM path and the DuckDB oracle."""
+    import numpy as np
+    import pandas as pd
+
+    @F.pandas_udf("double")
+    def nrm(a):
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.vstack(a.to_numpy()).astype("float64")
+        s = np.floor(A * A * SCALE).astype("int64").sum(axis=1)
+        return pd.Series(np.sqrt(s / SCALE))
+
+    return nrm
+
+
 def _norm(a: Column) -> Column:
     sq = F.transform(
         a, lambda x: F.floor(x.cast("double") * x.cast("double") * F.lit(SCALE)).cast("long")
@@ -82,15 +101,16 @@ def brute_force_topk(
     broadcast — one pass, no shuffle of the corpus. Returns
     (query_id, neighbor_id, rank, cosine).
     """
+    nrm = _norm_pandas()
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
-        _norm(F.col(vec_col)).alias("_qn"),
+        nrm(F.col(vec_col)).alias("_qn"),
     )
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
-        _norm(F.col(vec_col)).alias("_cn"),
+        nrm(F.col(vec_col)).alias("_cn"),
     )
     dot = _dot_scaled_pandas()
     scored = (
@@ -290,12 +310,19 @@ def hyperplane_lsh_buckets(
 # expressed as DataFrame algebra. Each round is one broadcast of the
 # k-row centroid table onto the point stream (assignment is map-side —
 # argmin over k JVM-evaluated distance expressions, no shuffle) plus
-# one groupBy(cluster) mean (one shuffle of partial sums, k rows out).
-# Centroids collect to the driver between rounds — k * dim floats, the
-# legitimate driver-side scalar of this algorithm (same class as the
-# 1-row max in ids.py). Deterministic: init picks the k points with the
-# smallest xxhash64(id) (seeded), ties in argmin break toward the
-# lowest cluster index, and means are DECIMAL-exact.
+# one groupBy(cluster) aggregation (one shuffle of partial sums, k rows
+# out). Centroids collect to the driver between rounds — k * dim
+# floats, the legitimate driver-side scalar of this algorithm (same
+# class as the 1-row max in ids.py).
+#
+# CROSS-ENGINE EXACT, so a SQL oracle can recompute the same codebook
+# bit-for-bit (q38's correctness gate unrolls these rounds as DuckDB
+# CTEs): init picks the k points with the smallest md5(seed|id) (md5
+# exists in both engines; xxhash64 does not exist in DuckDB), argmin
+# distances and the mean numerators accumulate as floor-scaled BIGINTs
+# (exact in any fold order), ties in argmin break toward the lowest
+# cluster index, and each mean runs the identical IEEE op sequence
+# float(S) / SCALE / n in both engines.
 
 
 def kmeans_centroids(
@@ -309,25 +336,29 @@ def kmeans_centroids(
     """k centroid vectors after `n_iter` Lloyd's rounds. When the frame
     holds fewer than k rows, k clamps to the row count (each point its
     own centroid); an empty frame is a ValueError."""
-    head = embeddings.select(vec_col).first()
-    if head is None:
-        raise ValueError("kmeans_centroids: embeddings frame is empty")
-    dim = len(head[0])
     init = (
         embeddings.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+        .orderBy(
+            F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))),
+            F.col(id_col),
+        )
         .limit(k)
         .collect()
     )
+    if not init:
+        raise ValueError("kmeans_centroids: embeddings frame is empty")
     centroids = [list(map(float, r[vec_col])) for r in init]
     k = len(centroids)  # clamp: frame may hold fewer than k rows
+    dim = len(centroids[0])
     for _ in range(n_iter):
         assigned = assign_clusters(embeddings, centroids, vec_col=vec_col)
         sums = (
             assigned.select(
                 "cluster",
                 *[
-                    F.element_at(vec_col, i + 1).cast("decimal(38,12)").alias(f"_d{i}")
+                    F.floor(F.element_at(vec_col, i + 1).cast("double") * F.lit(SCALE))
+                    .cast("long")
+                    .alias(f"_d{i}")
                     for i in range(dim)
                 ],
             )
@@ -338,7 +369,12 @@ def kmeans_centroids(
             )
             .collect()
         )
-        new = {r["cluster"]: [float(r[f"_s{i}"] / r["_n"]) for i in range(dim)] for r in sums}
+        # float(S) / SCALE / n — the exact op sequence the SQL oracle
+        # runs (CAST(S AS DOUBLE) / SCALE / n), so means are bit-equal
+        new = {
+            r["cluster"]: [float(r[f"_s{i}"]) / SCALE / r["_n"] for i in range(dim)]
+            for r in sums
+        }
         # empty clusters keep their previous centroid (standard Lloyd's)
         centroids = [new.get(c, centroids[c]) for c in range(k)]
     return centroids
@@ -350,20 +386,75 @@ def assign_clusters(
     vec_col: str = "embedding",
     out: str = "cluster",
 ) -> DataFrame:
-    """Map-side nearest-centroid assignment: squared-L2 against each
-    centroid as a JVM expression over the array column; argmin via
-    array_position on the sorted distance list (ties -> lowest cluster
-    index). The centroid table rides in the plan as literals — the
-    broadcast degenerate case."""
-    dists = []
-    for ci, c in enumerate(centroids):
-        terms = [
-            (F.element_at(vec_col, i + 1) - F.lit(float(x))) ** 2
-            for i, x in enumerate(c)
-        ]
-        d = terms[0]
-        for t_ in terms[1:]:
-            d = d + t_
-        dists.append(F.struct(d.alias("d"), F.lit(ci).alias("c")))
-    best = F.array_min(F.array(*dists))
-    return embeddings.withColumn(out, best["c"])
+    """Map-side nearest-centroid assignment, Arrow-batched: squared-L2
+    against each centroid as floor-scaled int64 sums (exact in any
+    order, so identical in every engine/plan); np.argmin ties break
+    toward the lowest cluster index — the same (dist, index) order the
+    SQL oracle's ROW_NUMBER uses. The codebook rides in the UDF closure
+    (k x dim floats — the broadcast degenerate case); one matrix op per
+    batch replaces a k*dim-literal expression tree that blows past
+    JVM codegen limits and falls back to interpreted eval."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.array(centroids, dtype="float64")  # k x dim
+
+    @F.pandas_udf("int")
+    def nearest(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        A = np.vstack(v.to_numpy()).astype("float64")
+        d = (
+            np.floor((A[:, None, :] - C[None, :, :]) ** 2 * SCALE)
+            .astype("int64")
+            .sum(axis=2)
+        )
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    return embeddings.withColumn(out, nearest(F.col(vec_col)))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    n_queries: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer: vectors partition into
+    nearest-centroid cells (`assign_clusters` over a `kmeans_centroids`
+    codebook); each query exactly re-ranks only its own cell.
+
+    At 100 TB the codebook is trained once (k x dim floats) and the
+    cell id becomes the table's physical partition/cluster key, so a
+    query probes one partition instead of the corpus. Returns
+    (query_id, neighbor_id, rank, cosine)."""
+    bucketed = assign_clusters(embeddings, centroids, vec_col=vec_col, out="bucket")
+    nrm = _norm_pandas()
+    q = bucketed.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        nrm(F.col(vec_col)).alias("_qn"),
+        F.col("bucket").alias("_qbucket"),
+    )
+    c = bucketed.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        nrm(F.col(vec_col)).alias("_cn"),
+        F.col("bucket"),
+    )
+    dot = _dot_scaled_pandas()
+    scored = (
+        c.join(F.broadcast(q), F.col("bucket") == F.col("_qbucket"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
