@@ -125,7 +125,11 @@ def with_quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def repetition_stats(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words: DataFrame | None = None,
+    words_col: str = "_w",
 ) -> DataFrame:
     """Gopher-style repetition signal: the share of all trigram
     occurrences taken by the single most frequent trigram per doc
@@ -141,9 +145,12 @@ def repetition_stats(
     """
     from pyspark.sql import Window
 
-    words = df.repartition(id_col).select(
-        id_col, F.split(F.col(text_col), " ").alias("_w")
-    )
+    if words is None:
+        words = df.repartition(id_col).select(
+            id_col, F.split(F.col(text_col), " ").alias("_w")
+        )
+    else:
+        words = words.select(id_col, F.col(words_col).alias("_w"))
     tris = F.expr(
         "transform(sequence(1, greatest(size(_w) - 2, 1)),"
         " i -> concat_ws(' ', slice(_w, i, 3)))"

@@ -143,6 +143,36 @@ def _pair_suite_shared_scan(schema, members):
     return spark_fn
 
 
+def _shared_words_scan(schema, members, frames_fn):
+    """Generic shared-tokenization spark_fn: persist ONE pre-split
+    words frame (doc_id, lang, _w) per combo run and hand it to every
+    member that tokenizes (the q33 pair-suite pattern applied to the
+    doc-scoring and term-mining suites). `frames_fn(words)` returns
+    {part_tag: DataFrame}; members absent from it fall back to their
+    standalone plan. Each part calls the SAME member helpers with the
+    same parameters, so the oracle (the members' UNION ALL) and the
+    member-level parity gate pin any drift."""
+
+    def spark_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from etl_pipelines_spark.sources.registry import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        words = docs.repartition("doc_id").select(
+            "doc_id", "lang", F.split("text", " ").alias("_w")
+        )
+        frames = frames_fn(words)
+        out = None
+        for tag, qname, mapping in members:
+            df = frames.get(tag)
+            if df is None:
+                df = QUERIES[qname].spark_fn(spark, sf_dir)
+            part = _align(df, tag, schema, mapping)
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    return spark_fn
+
+
 _PAIR_SCHEMA = [
     ("a", "bigint"), ("b", "bigint"), ("c", "bigint"),
     ("x", "double"), ("s", "string"),
@@ -163,6 +193,60 @@ _PAIR_MEMBERS = [
      {"a": "doc_a", "b": "doc_b", "x": "jaccard"}),
 ]
 
+
+
+_Q52_SCHEMA = [
+    ("a", "bigint"), ("s1", "string"), ("c1", "bigint"),
+    ("c2", "bigint"), ("c3", "bigint"), ("x", "double"),
+]
+_Q52_MEMBERS = [
+    ("tfidf", "q52_tfidf_top_terms",
+     {"a": "doc_id", "s1": "token", "c1": "tf", "x": "score"}),
+    ("colloc", "q69_bigram_collocations",
+     {"s1": "bigram", "c1": "c_xy", "c2": "c_x", "c3": "c_y",
+      "x": "lift"}),
+]
+
+_Q55_SCHEMA = [
+    ("doc", "bigint"), ("c1", "bigint"), ("c2", "bigint"),
+    ("s1", "string"), ("s2", "string"), ("x", "double"),
+]
+_Q55_MEMBERS = [
+    ("repetition", "q55_repetition_ratio",
+     {"doc": "doc_id", "c1": "n_trigrams", "s1": "top_trigram",
+      "x": "top_trigram_share"}),
+    ("split", "q59_split_assignment",
+     {"doc": "doc_id", "s1": "lang", "c1": "bucket", "s2": "split"}),
+    ("unigram", "q62_unigram_likelihood",
+     {"doc": "doc_id", "c1": "n_tokens", "c2": "freq_mass",
+      "x": "avg_token_prob"}),
+]
+
+
+def _q52_frames(words: DataFrame) -> dict[str, DataFrame]:
+    from etl_pipelines_spark.queries.llmops import (
+        _bigram_collocations,
+        _tfidf_top_terms,
+    )
+
+    return {
+        "tfidf": _tfidf_top_terms(None, words=words),
+        "colloc": _bigram_collocations(None, words=words),
+    }
+
+
+def _q55_frames(words: DataFrame) -> dict[str, DataFrame]:
+    from etl_pipelines_spark.llm.text import repetition_stats
+    from etl_pipelines_spark.queries.llmops import (
+        _split_assignment,
+        _unigram_likelihood,
+    )
+
+    return {
+        "repetition": repetition_stats(None, words=words),
+        "split": _split_assignment(words),
+        "unigram": _unigram_likelihood(None, words=words),
+    }
 
 
 # ------------------------------------------------------------------ combos
@@ -375,16 +459,10 @@ _COMBOS = [
     _combo(
         "q52_term_mining",
         "Corpus term statistics, tagged: TF-IDF top terms per doc (q52)"
-        " and PMI-style bigram collocations (q69).",
-        [("a", "bigint"), ("s1", "string"), ("c1", "bigint"),
-         ("c2", "bigint"), ("c3", "bigint"), ("x", "double")],
-        [
-            ("tfidf", "q52_tfidf_top_terms",
-             {"a": "doc_id", "s1": "token", "c1": "tf", "x": "score"}),
-            ("colloc", "q69_bigram_collocations",
-             {"s1": "bigram", "c1": "c_xy", "c2": "c_x", "c3": "c_y",
-              "x": "lift"}),
-        ],
+        " and PMI-style bigram collocations (q69). Both members share"
+        " ONE persisted pre-split words frame inside the suite.",
+        _Q52_SCHEMA,
+        _Q52_MEMBERS,
         ("text", "agg"),
     ),
     _combo(
@@ -409,20 +487,10 @@ _COMBOS = [
         "q55_doc_scoring",
         "Per-doc corpus scoring, tagged: Gopher repetition ratio (q55),"
         " deterministic split assignment (q59), CCNet unigram-LM"
-        " likelihood (q62).",
-        [("doc", "bigint"), ("c1", "bigint"), ("c2", "bigint"),
-         ("s1", "string"), ("s2", "string"), ("x", "double")],
-        [
-            ("repetition", "q55_repetition_ratio",
-             {"doc": "doc_id", "c1": "n_trigrams", "s1": "top_trigram",
-              "x": "top_trigram_share"}),
-            ("split", "q59_split_assignment",
-             {"doc": "doc_id", "s1": "lang", "c1": "bucket",
-              "s2": "split"}),
-            ("unigram", "q62_unigram_likelihood",
-             {"doc": "doc_id", "c1": "n_tokens", "c2": "freq_mass",
-              "x": "avg_token_prob"}),
-        ],
+        " likelihood (q62). The tokenizing members share ONE persisted"
+        " pre-split words frame inside the suite.",
+        _Q55_SCHEMA,
+        _Q55_MEMBERS,
         ("text",),
     ),
     _combo(
@@ -502,6 +570,10 @@ _STANDALONE = [
 for _c in _COMBOS:
     if _c.name == "q33_pair_suite":
         _c.spark_fn = _pair_suite_shared_scan(_PAIR_SCHEMA, _PAIR_MEMBERS)
+    elif _c.name == "q52_term_mining":
+        _c.spark_fn = _shared_words_scan(_Q52_SCHEMA, _Q52_MEMBERS, _q52_frames)
+    elif _c.name == "q55_doc_scoring":
+        _c.spark_fn = _shared_words_scan(_Q55_SCHEMA, _Q55_MEMBERS, _q55_frames)
 
 
 def build_driver_queries() -> dict[str, QuerySpec]:

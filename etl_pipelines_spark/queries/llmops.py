@@ -764,15 +764,28 @@ def q44(spark: SparkSession, sf: str) -> DataFrame:
     tags=("text", "window"),
 )
 def q52(spark: SparkSession, sf: str) -> DataFrame:
+    return _tfidf_top_terms(t(spark, sf, "documents"))
+
+
+def _tfidf_top_terms(docs: DataFrame, words: DataFrame | None = None) -> DataFrame:
+    """q52 body, shareable: pass a pre-split `words` frame (doc_id, _w)
+    to reuse one tokenization across combo members."""
     from pyspark.sql import Window
 
-    docs = t(spark, sf, "documents")
-    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    if words is None:
+        toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    else:
+        toks = words.select("doc_id", F.explode("_w").alias("token"))
+        n_docs = words.agg(F.count(F.lit(1)).alias("n_docs"))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # df as a window count over the tf frame itself: a groupBy-then-
+    # broadcast dfreq would RE-EXECUTE the tf subtree for the broadcast
+    # side (Spark shares no subtrees across a join's two inputs) —
+    # the window form computes tf once and reads df off the same rows
+    dfw = Window.partitionBy("token")
     scored = (
-        tf.join(F.broadcast(dfreq), "token")
+        tf.withColumn("df", F.count(F.lit(1)).over(dfw))
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
@@ -1048,11 +1061,15 @@ def q58(spark: SparkSession, sf: str) -> DataFrame:
     tags=("text", "sampling"),
 )
 def q59(spark: SparkSession, sf: str) -> DataFrame:
+    return _split_assignment(t(spark, sf, "documents"))
+
+
+def _split_assignment(frame: DataFrame) -> DataFrame:
+    """q59 body, shareable: any frame carrying (doc_id, lang) works."""
     from etl_pipelines_spark.operators.sketches import kmv_hash
 
-    docs = t(spark, sf, "documents")
     bucket = (kmv_hash(F.col("doc_id").cast("string")) % 100).cast("long")
-    return docs.select(
+    return frame.select(
         "doc_id",
         "lang",
         bucket.alias("bucket"),
@@ -1144,11 +1161,20 @@ def q60(spark: SparkSession, sf: str) -> DataFrame:
     tags=("text", "quality"),
 )
 def q62(spark: SparkSession, sf: str) -> DataFrame:
-    # doc_id repartition straight off the single-row-group scan spreads
-    # the explode CPU AND satisfies both per-doc groupBys (subset of
-    # their clustering keys) — only the vocabulary agg shuffles again
-    docs = t(spark, sf, "documents").repartition("doc_id")
-    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    return _unigram_likelihood(t(spark, sf, "documents"))
+
+
+def _unigram_likelihood(docs: DataFrame, words: DataFrame | None = None) -> DataFrame:
+    """q62 body, shareable via a pre-split `words` frame (doc_id, _w)."""
+    if words is None:
+        # doc_id repartition straight off the single-row-group scan
+        # spreads the explode CPU AND satisfies both per-doc groupBys
+        # (subset of their clustering keys) — only the vocabulary agg
+        # shuffles again
+        docs = docs.repartition("doc_id")
+        toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    else:
+        toks = words.select("doc_id", F.explode("_w").alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
     vocab = tf.groupBy("token").agg(F.sum("cnt").alias("c"))
     total = vocab.agg(F.sum("c").alias("corpus_tokens"))
@@ -1289,60 +1315,82 @@ def q64(spark: SparkSession, sf: str) -> DataFrame:
         "transform(sequence(0, greatest(size(_w) - 3, 0)),"
         " i -> concat_ws(' ', get(_w, i), get(_w, i + 1), get(_w, i + 2)))"
     )
+    # The source domain is a dimension (crawl provenances — tens, not
+    # millions): index it driver-side so each shingle's source SET
+    # packs into one BIGINT bitmask. The wide aggregate then carries 8
+    # bytes per shingle (bit_or, partial-aggregable) instead of a
+    # string array, and — the big win — pair expansion runs over the
+    # DISTINCT MASK PATTERNS (<= a few hundred rows weighted by count),
+    # never per shingle. The r2 per-shingle struct expansion emitted
+    # s(s+1)/2 structs per shingle (~every shingle shared by all
+    # sources here), measured ~1 s of pure explode at sf0.1.
+    srcs = _SRC_DOMAINS.get(sf)
+    if srcs is None:
+        # dimension probe: the source domain is stable per corpus, so
+        # cache it like the q38 codebook (same train-once class)
+        srcs = sorted(r[0] for r in docs.select("source").distinct().collect())
+        _SRC_DOMAINS[sf] = srcs
+    if len(srcs) > 63:
+        raise NotImplementedError(
+            "bitmask contamination matrix supports <= 63 sources; chunk the "
+            "source dimension or fall back to set expansion"
+        )
+    patterns = _contamination_patterns(words, tris, srcs).collect()
+    # Driver-side finish over the RESULT-SIZED pattern table (distinct
+    # masks <= n_sources^2 in practice, weighted by count — the same
+    # legitimate post-aggregation class as the k-means centroids):
+    # accumulate pair intersections and per-source sizes, then emit the
+    # matrix. Integer counts + one final double division keep parity
+    # exact. At 100 TB only this finish assumes a small pattern count;
+    # if mask diversity explodes, swap the finish for the equivalent
+    # explode-over-patterns aggregation — the corpus-side plan (one
+    # 8-byte-per-shingle bit_or exchange) is unchanged.
+    n = len(srcs)
+    inter = {}
+    sizes = [0] * n
+    for row in patterns:
+        m, cnt = row["_m"], row["_cnt"]
+        bits = [i for i in range(n) if (m >> i) & 1]
+        for ai, a in enumerate(bits):
+            sizes[a] += cnt
+            for b in bits[ai + 1 :]:
+                inter[(a, b)] = inter.get((a, b), 0) + cnt
+    rows = [
+        (
+            srcs[a],
+            srcs[b],
+            sizes[a],
+            sizes[b],
+            ni,
+            float(ni) / float(sizes[a] + sizes[b] - ni),
+        )
+        for (a, b), ni in sorted(inter.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "source_a string, source_b string, n_a bigint, n_b bigint, "
+        "n_intersect bigint, jaccard double",
+    )
+
+
+_SRC_DOMAINS: dict[str, list[str]] = {}
+
+
+def _contamination_patterns(
+    words: DataFrame, tris: F.Column, srcs: list[str]
+) -> DataFrame:
+    """The corpus-side q64 plan, kept lazy so the plan audit can pin
+    its shape: one 8-byte bit_or exchange per shingle, one tiny mask
+    exchange, no joins."""
+    bit = F.create_map(
+        *[x for s, i in ((s, i) for i, s in enumerate(srcs))
+          for x in (F.lit(s), F.lit(1 << i))]
+    )[F.col("source")]
     sh = words.select(
-        "source", F.explode(F.array_distinct(tris)).alias("shingle")
+        bit.alias("_b"), F.explode(F.array_distinct(tris)).alias("shingle")
     )
-    # ONE wide shuffle: group by shingle; source membership dedupes
-    # into the set. Both downstream branches (pairs, sizes) are
-    # identical up to this aggregate, so AQE computes the exchange once
-    # and reuses it; only the small post-shuffle agg runs per branch.
-    sets = sh.groupBy("shingle").agg(
-        F.array_sort(F.collect_set("source")).alias("_s")
-    )
-    # sorted-set expansion -> (a, b) with a < b by construction; guard
-    # singleton sets (sequence(1, 0) would be a DESCENDING range).
-    pair_expr = F.expr(
-        "CASE WHEN size(_s) >= 2 THEN"
-        " flatten(transform(sequence(1, size(_s) - 1),"
-        "   i -> transform(slice(_s, i + 1, size(_s) - i),"
-        "        y -> struct(element_at(_s, i) AS a, y AS b))))"
-        " ELSE CAST(array() AS array<struct<a string, b string>>) END"
-    )
-    pairs = (
-        sets.select(F.explode(pair_expr).alias("p"))
-        .groupBy(
-            F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_intersect"))
-    )
-    per_src = (
-        sets.select(F.explode("_s").alias("source"))
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_shingles"))
-    )
-    pa = per_src.select(
-        F.col("source").alias("source_a"), F.col("n_shingles").alias("n_a")
-    )
-    pb = per_src.select(
-        F.col("source").alias("source_b"), F.col("n_shingles").alias("n_b")
-    )
-    return (
-        pairs.join(F.broadcast(pa), "source_a")
-        .join(F.broadcast(pb), "source_b")
-        .select(
-            "source_a",
-            "source_b",
-            "n_a",
-            "n_b",
-            "n_intersect",
-            (
-                F.col("n_intersect").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_intersect")).cast(
-                    "double"
-                )
-            ).alias("jaccard"),
-        )
-    )
+    masks = sh.groupBy("shingle").agg(F.bit_or("_b").alias("_m"))
+    return masks.groupBy("_m").agg(F.count(F.lit(1)).alias("_cnt"))
 
 
 # --------------------------------------------------------------------- q65
@@ -1605,8 +1653,17 @@ COLLOC_FLOOR = 5
     tags=("text", "agg"),
 )
 def q69(spark: SparkSession, sf: str) -> DataFrame:
-    docs = t(spark, sf, "documents").repartition("doc_id")
-    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    return _bigram_collocations(t(spark, sf, "documents"))
+
+
+def _bigram_collocations(docs: DataFrame, words: DataFrame | None = None) -> DataFrame:
+    """q69 body, shareable via a pre-split `words` frame (doc_id, _w)."""
+    if words is None:
+        words = docs.repartition("doc_id").select(
+            "doc_id", F.split("text", " ").alias("w")
+        )
+    else:
+        words = words.select("doc_id", F.col("_w").alias("w"))
     # Guard docs with <2 tokens explicitly: sequence(0, -1) is the
     # DESCENDING array [0, -1] in Spark, which would emit [NULL, NULL]
     # bigrams — the oracle's range(1, 1) is empty. (The NULL group

@@ -161,20 +161,37 @@ class TestLLMPipelineShapes:
         assert last_exchange == "SinglePartition"
 
     def test_q64_contamination_has_no_self_join(self, spark):
-        # the matrix builds from ONE wide groupBy (shingle -> source
-        # set) with map-side pair expansion — a regression to the
-        # shingle self-join would double the wide shuffle and re-add
-        # the pair-level distinct. Per-source sizes must broadcast back
-        # onto the pair counts, and the only sort-merge-joinable
-        # pattern (two big sides keyed on shingle) must not exist.
-        plan = plan_of(spark, "q64_source_contamination_matrix")
-        assert "BroadcastHashJoin" in plan
-        # a shuffled join (self-join on the shingle key) must not exist:
-        # every join in this plan is a broadcast of source-pair-sized
-        # sides (the static plan prints each branch's groupBy exchange
-        # separately; AQE deduplicates them via ReusedExchange)
-        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
-        assert "collect_set" in plan
+        # the matrix's corpus-side plan is ONE wide groupBy carrying an
+        # 8-byte bit_or source mask per shingle plus one tiny mask-
+        # pattern exchange — no joins anywhere (the r2 shape re-ran the
+        # collect_set subtree once per consumer branch; a regression to
+        # the shingle self-join would double the wide shuffle). The
+        # matrix itself assembles driver-side from the result-sized
+        # pattern table.
+        import contextlib
+        import io
+
+        from etl_pipelines_spark.queries.llmops import _contamination_patterns
+        from etl_pipelines_spark.sources.registry import load_table
+
+        docs = load_table(spark, SF, "documents")
+        from pyspark.sql import functions as F
+
+        words = docs.repartition("doc_id").select(
+            "source", F.split(F.col("text"), " ").alias("_w")
+        )
+        tris = F.expr(
+            "transform(sequence(0, greatest(size(_w) - 3, 0)),"
+            " i -> concat_ws(' ', get(_w, i), get(_w, i + 1), get(_w, i + 2)))"
+        )
+        srcs = sorted(r[0] for r in docs.select("source").distinct().collect())
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            _contamination_patterns(words, tris, srcs).explain("formatted")
+        plan = buf.getvalue()
+        assert "bit_or" in plan
+        assert "Join" not in plan and "collect_set" not in plan
+        assert shuffle_exchanges(plan) <= 3  # repartition, shingle agg, mask agg
 
     def test_q37_python_boundary_is_arrow_only(self, spark):
         # pandas UDFs surface as ArrowEvalPython; BatchEvalPython would
