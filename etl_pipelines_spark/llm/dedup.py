@@ -150,6 +150,25 @@ def lsh_candidate_pairs(
 
     One salted self-join over all bands at once: band id is part of the
     join key, and hot buckets are salt-split (see salted_self_pairs)."""
+    banded = band_keys(signatures, id_col, bands, rows_per_band)
+    # Persist + eagerly materialize: both sides of the self-join read
+    # this frame, and without the cache each side re-runs the whole
+    # shingle->md5->8-way-min aggregation. The frame is bands rows per
+    # doc (tiny relative to the shingle stream it collapses).
+    banded = banded.persist()
+    banded.count()
+    return salted_self_pairs(banded, ["band", "band_key"], id_col).distinct()
+
+
+def band_keys(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """(doc_id, band, band_key) — each doc's LSH band membership rows
+    (the index the banding self-join and the incremental band state are
+    both built from)."""
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -159,18 +178,11 @@ def lsh_candidate_pairs(
         )
         for b in range(bands)
     ]
-    banded = signatures.select(
+    return signatures.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
     ).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
-    # Persist + eagerly materialize: both sides of the self-join read
-    # this frame, and without the cache each side re-runs the whole
-    # shingle->md5->8-way-min aggregation. The frame is bands rows per
-    # doc (tiny relative to the shingle stream it collapses).
-    banded = banded.persist()
-    banded.count()
-    return salted_self_pairs(banded, ["band", "band_key"], id_col).distinct()
 
 
 N_SIMHASH_BITS = 64  # 16 md5 hex chars x 4 bits
@@ -715,6 +727,84 @@ def exact_dedup_incremental(
         else new_state
     )
     return fresh.drop("_digest"), state
+
+
+def lsh_dedup_incremental(
+    batch: DataFrame,
+    state: dict[str, DataFrame] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """Incremental MinHash-LSH near-dup dedup: (survivor_ids, state).
+
+    The incremental form of the canonical-cluster pipeline (q29) under
+    the reference's I1 high-water-mark pattern
+    (retrieve_dune_transfer_data.py:127-147): each run shingles ONLY
+    the incoming batch; previously-seen docs contribute through three
+    state tables —
+
+    - ``bands``:  (band, band_key, doc_id) LSH band memberships,
+    - ``arrays``: per-doc shingle arrays (the verify index),
+    - ``pairs``:  the verified near-dup edge graph so far.
+
+    New candidates = within-batch band collisions (salted self-join)
+    UNION batch-vs-state band joins; exact Jaccard verifies against
+    the array index, and clustering re-runs over the ACCUMULATED edge
+    graph. Because state covers all seen docs (not just survivors),
+    the edge set equals a full rebuild's exactly, so connected
+    components + keep-lowest-id yields identical survivors — any graph
+    shape, including clusters bridged through already-dropped docs
+    (pinned in test_corpus_plan). Batches must carry disjoint doc ids
+    (the exact_dedup_incremental contract).
+
+    At 100 TB each state frame is a partitioned table (bands clustered
+    by band_key, arrays by id); a batch appends its own rows and the
+    heavy work — shingling, hashing, banding — touches only new docs.
+    Survivors return as an id frame; join it back to the doc store.
+    """
+    arrs_new = doc_shingle_arrays(batch, text_col, id_col).localCheckpoint()
+    sh_new = arrs_new.select(id_col, F.explode("_toks").alias("shingle"))
+    sigs_new = minhash_signatures(batch, text_col, id_col, shingles=sh_new)
+    banded_new = band_keys(sigs_new, id_col).localCheckpoint()
+    within = salted_self_pairs(banded_new, ["band", "band_key"], id_col).distinct()
+    if state is not None:
+        old = state["bands"].select(
+            F.col(id_col).alias("_ida"), "band", "band_key"
+        )
+        new = banded_new.select(F.col(id_col).alias("_idb"), "band", "band_key")
+        cross = (
+            old.join(new, ["band", "band_key"])
+            .select(
+                F.least("_ida", "_idb").alias("doc_a"),
+                F.greatest("_ida", "_idb").alias("doc_b"),
+            )
+            .filter(F.col("doc_a") != F.col("doc_b"))
+            .distinct()
+        )
+        cand = within.unionByName(cross).distinct()
+        arrs_all = state["arrays"].unionByName(arrs_new).localCheckpoint()
+        bands_all = state["bands"].unionByName(banded_new).localCheckpoint()
+    else:
+        cand = within
+        arrs_all = arrs_new
+        bands_all = banded_new
+    verified = (
+        array_jaccard_verify(cand, arrays=arrs_all, id_col=id_col)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    pairs_all = (
+        verified
+        if state is None
+        else state["pairs"].unionByName(verified)
+    ).localCheckpoint()
+    labels = cluster_labels(pairs_all, "doc_a", "doc_b")
+    dropped = labels.filter(F.col("label") != F.col("node")).select(
+        F.col("node").alias(id_col)
+    )
+    survivors = arrs_all.select(id_col).join(dropped, id_col, "left_anti")
+    return survivors, {"bands": bands_all, "arrays": arrs_all, "pairs": pairs_all}
 
 
 def doc_shingle_arrays(

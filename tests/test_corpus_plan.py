@@ -63,3 +63,76 @@ def test_incremental_exact_dedup_matches_full_rebuild(spark):
     }
     assert inc == full
     assert state.count() == len(full)
+
+
+class TestIncrementalLshDedup:
+    def _one_shot(self, docs):
+        from etl_pipelines_spark.llm.dedup import (
+            array_jaccard_verify,
+            cluster_labels,
+            doc_shingle_arrays,
+            lsh_candidate_pairs,
+            minhash_signatures,
+        )
+        from pyspark.sql import functions as F
+
+        arrs = doc_shingle_arrays(docs)
+        sh = arrs.select("doc_id", F.explode("_toks").alias("shingle"))
+        pairs = lsh_candidate_pairs(minhash_signatures(docs, shingles=sh))
+        verified = (
+            array_jaccard_verify(pairs, arrays=arrs)
+            .filter(F.col("jaccard") >= 0.5)
+            .select("doc_a", "doc_b")
+        )
+        labels = cluster_labels(verified, "doc_a", "doc_b")
+        dropped = {r["node"] for r in labels.collect() if r["label"] != r["node"]}
+        all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+        return all_ids - dropped
+
+    def test_two_batch_run_matches_one_shot(self, spark):
+        """Incremental band-state dedup over two batches == full rebuild
+        on the union — INCLUDING a cluster bridged through a doc that
+        batch 1 already dropped (A~B, B~C, batch split between B and C:
+        C must still fold into A's cluster via the accumulated state)."""
+        from etl_pipelines_spark.llm.dedup import lsh_dedup_incremental
+        from pyspark.sql import functions as F
+
+        w = [f"w{i}" for i in range(24)]
+        a = " ".join(w)
+        b = " ".join(w[:-3] + ["x1", "x2", "x3"])  # near-dup of a
+        c = " ".join(["y1", "y2", "y3"] + w[3:-3] + ["x1", "x2", "x3"])  # near b, far a
+        rows = [(0, a), (1, b), (5, " ".join(f"z{i}" for i in range(24))), (10, c),
+                (11, " ".join(f"q{i}" for i in range(24)))]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        full = self._one_shot(docs)
+
+        b1 = docs.filter(F.col("doc_id") < 10)
+        b2 = docs.filter(F.col("doc_id") >= 10)
+        s1, state = lsh_dedup_incremental(b1, None)
+        s2, state = lsh_dedup_incremental(b2, state)
+        # the final survivor set is s2 (survivors are re-derived over
+        # ALL seen docs each run — an earlier survivor can be retired
+        # by a later batch only in id-disordered feeds; here ids are
+        # ordered so s2 is authoritative)
+        inc = {r["doc_id"] for r in s2.collect()}
+        assert inc == full
+        # the bridge case really fired: b and c both dropped into a's cluster
+        assert 0 in inc and 1 not in inc and 10 not in inc
+        # state grows with all seen docs, not just survivors
+        assert state["arrays"].count() == len(rows)
+
+    def test_batches_on_testdata_slice(self, spark):
+        """Same equivalence over real documents rows."""
+        from etl_pipelines_spark.llm.dedup import lsh_dedup_incremental
+        from etl_pipelines_spark.sources.registry import load_table
+        from pyspark.sql import functions as F
+
+        docs = load_table(spark, SF, "documents").select("doc_id", "text").filter(
+            F.col("doc_id") < 300
+        )
+        full = self._one_shot(docs)
+        b1 = docs.filter(F.col("doc_id") < 150)
+        b2 = docs.filter(F.col("doc_id") >= 150)
+        _, state = lsh_dedup_incremental(b1, None)
+        s2, state = lsh_dedup_incremental(b2, state)
+        assert {r["doc_id"] for r in s2.collect()} == full
