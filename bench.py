@@ -80,6 +80,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": short,
                 "sf": sf_label(SF_DIR),
+                # q42/q68 run REAL Structured Streaming micro-batch
+                # pipelines: their wall time is dominated by a fixed
+                # ~1-3 s trigger/startup floor per run, not per-row
+                # work (state is watermark-bounded; stream==batch is
+                # bit-exact via their oracles). Ratios vs a 30 ms
+                # batch-SQL oracle measure that floor, not throughput.
+                "notes": "q42,q68 include streaming micro-batch startup floor",
             },
             separators=(",", ":"),
         )

@@ -10,9 +10,12 @@ Design (mirrors how a 100 TB training-data pipeline carries media):
 - frame/sample selection is a pure DataFrame op (sequence + explode) —
   no Python in that path at all.
 
-The actual image/audio decoders (PIL / librosa / pyav) are NOT in this
-container, so `decode_media` is a clearly-marked stub; the deterministic
-byte-level features below keep the full plumbing testable end-to-end.
+Images decode for REAL: `decode_media` uses PIL when importable and
+falls back to a pure-stdlib PNG decoder (zlib inflate + scanline
+unfiltering) otherwise, driven end-to-end by `extract_image_features`.
+Audio/video decoders (librosa / pyav) are NOT in this container and
+stay a clearly-marked stub; the deterministic byte-level features keep
+that plumbing testable end-to-end too.
 """
 
 from __future__ import annotations
@@ -37,17 +40,120 @@ def attach_fake_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_media(payload: bytes, media_format: str):  # pragma: no cover - stub
-    """Decode an image/audio/video payload into arrays.
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
-    STUB: the real implementation dispatches on media_format to PIL /
-    librosa / pyav, none of which exist in this container. The Spark
-    side (binary column transport, Arrow batching, declared output
-    schema) is real and tested via the byte-level features instead.
+
+def _png_decode_stdlib(data: bytes) -> dict:
+    """Pure-stdlib PNG decoder (struct + zlib): 8-bit greyscale/RGB/
+    grey+alpha/RGBA, non-interlaced, all five scanline filters
+    (None/Sub/Up/Average/Paeth per the PNG spec). Exists so the image
+    path is REAL even where PIL is absent; PIL, when importable, takes
+    precedence and covers every other format."""
+    import struct
+    import zlib
+
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = channels = None
+    idat = b""
+    while pos + 8 <= len(data):
+        length, ctype = struct.unpack(">I4s", data[pos : pos + 8])
+        chunk = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+            if bit_depth != 8 or interlace != 0:
+                raise NotImplementedError(
+                    "stdlib PNG path handles 8-bit non-interlaced images only"
+                )
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+            if channels is None:
+                raise NotImplementedError("palette PNGs need PIL")
+        elif ctype == b"IDAT":
+            idat += chunk
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("truncated PNG: missing IHDR/IDAT")
+    raw = zlib.decompress(idat)
+    stride = width * channels
+    out = bytearray()
+    prev = bytearray(stride)
+    p = 0
+    for _ in range(height):
+        f = raw[p]
+        p += 1
+        row = bytearray(raw[p : p + stride])
+        p += stride
+        if f == 1:  # Sub
+            for i in range(channels, stride):
+                row[i] = (row[i] + row[i - channels]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = row[i - channels] if i >= channels else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                pt = a + b - c
+                pa, pb, pc = abs(pt - a), abs(pt - b), abs(pt - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"invalid PNG filter byte {f}")
+        out += row
+        prev = row
+    return {
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "pixels": bytes(out),
+    }
+
+
+def decode_media(payload: bytes, media_format: str) -> dict:
+    """Decode a media payload into {width, height, channels, pixels}.
+
+    Images are REAL: PIL when importable (any format), else a stdlib
+    PNG decoder (`_png_decode_stdlib`) for image/png. Audio/video stay
+    a clearly-marked stub — librosa/pyav are not in this container —
+    and the Spark side (binary transport, Arrow batching, declared
+    output schema) is identical whichever inner decoder runs.
     """
+    data = bytes(payload)
+    is_image = media_format.startswith("image/") or data[:8] == _PNG_MAGIC
+    if is_image:
+        try:
+            import io
+
+            from PIL import Image  # optional dependency
+
+            img = Image.open(io.BytesIO(data))
+            img.load()
+            return {
+                "width": img.width,
+                "height": img.height,
+                "channels": len(img.getbands()),
+                "pixels": img.tobytes(),
+            }
+        except ImportError:
+            if data[:8] == _PNG_MAGIC:
+                return _png_decode_stdlib(data)
+            raise NotImplementedError(
+                f"decoding {media_format!r} needs PIL (not installed); "
+                "only PNG has a stdlib fallback"
+            ) from None
     raise NotImplementedError(
-        "media decoders are not installed; use extract_media_features for "
-        "the byte-level plumbing path"
+        "audio/video decoders (librosa/pyav) are not installed; use "
+        "extract_media_features for the byte-level plumbing path"
     )
 
 
@@ -79,6 +185,47 @@ def extract_media_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=MEDIA_FEATURE_SCHEMA)
+
+
+IMAGE_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, channels int, mean_pixel double"
+)
+
+
+def extract_image_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
+    format_col: str = "media_format",
+) -> DataFrame:
+    """Arrow-batched REAL image decoding over a binary column:
+    `decode_media` per payload (PIL or the stdlib PNG path), emitting
+    decoded dimensions and the mean pixel value. Same plan shape as
+    extract_media_features — input pruned to (id, payload, format)
+    before the Python boundary, output schema declared up front."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [
+                decode_media(p, f)
+                for p, f in zip(pdf[payload_col], pdf[format_col])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": [d["width"] for d in decoded],
+                    "height": [d["height"] for d in decoded],
+                    "channels": [d["channels"] for d in decoded],
+                    "mean_pixel": [
+                        float(sum(d["pixels"])) / len(d["pixels"])
+                        if d["pixels"]
+                        else 0.0
+                        for d in decoded
+                    ],
+                }
+            )
+
+    return df.select(id_col, payload_col, format_col).mapInPandas(
+        run, schema=IMAGE_FEATURE_SCHEMA
+    )
 
 
 def sample_frames(

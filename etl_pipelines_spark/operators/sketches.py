@@ -78,6 +78,103 @@ def kmv_distinct(
     )
 
 
+# ---------------------------------------------------- portable HLL rollup
+#
+# A REAL HyperLogLog whose whole pipeline — register assignment, rho,
+# max-merge, harmonic estimate — is expressed in column expressions
+# that evaluate bit-identically in Spark and DuckDB, so the mergeable-
+# rollup pattern itself sits inside the correctness gate (q80): build
+# fine-grain register tables, max-merge them coarse, estimate — and the
+# oracle recomputes the estimate from the raw stream. Equality holds
+# because register max is associative and every float op is a single
+# literal-times-division over exact integers.
+#
+# m = 256 registers (b=8): register = first 2 md5 hex chars; rho =
+# 1 + leading zero bits of the next 48 bits, derived by trimming
+# leading '0' hex chars and casing on the first non-zero digit — pure
+# string/CASE ops, no engine hash, no log(). The harmonic sum
+# sum(2^-rho) runs as exact BIGINT numerators over denominator 2^49
+# (pow(2, k) is exact in double for k <= 49), absent registers
+# contribute 2^49 (rho = 0). No small-range linear-counting correction:
+# it needs ln(), which breaks cross-engine bit-equality — the raw
+# estimator is what's gated; production reads use the DataSketches tier
+# below.
+
+HLL_M = 256
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+HLL_POW = 1 << 49
+# single-literal numerator so the estimate is ONE division of exact
+# operands: est = HLL_C / (s_present + missing * 2^49)
+HLL_C = HLL_ALPHA * HLL_M * HLL_M * float(HLL_POW)
+
+_HLL_HEX = "'0123456789abcdef'"
+HLL_REG_SQL = (
+    f"((instr({_HLL_HEX}, substring(_h, 1, 1)) - 1) * 16"
+    f" + instr({_HLL_HEX}, substring(_h, 2, 1)) - 1)"
+)
+
+
+def _hll_rho_sql() -> str:
+    hex12 = "substring(_h, 3, 12)"
+    t = f"trim(LEADING '0' FROM {hex12})"
+    d = f"(instr({_HLL_HEX}, substring({t}, 1, 1)) - 1)"
+    bits = (
+        f"(CASE WHEN {d} >= 8 THEN 4 WHEN {d} >= 4 THEN 3"
+        f" WHEN {d} >= 2 THEN 2 ELSE 1 END)"
+    )
+    return (
+        f"(CASE WHEN length({t}) = 0 THEN 49"
+        f" ELSE 4 * (12 - length({t})) + (4 - {bits}) + 1 END)"
+    )
+
+
+HLL_RHO_SQL = _hll_rho_sql()
+
+
+def portable_hll_registers(
+    df: DataFrame, keys: list[str], value_col: str
+) -> DataFrame:
+    """Per-key register table (keys..., reg, rho): the stored rollup
+    row set, <= 256 rows per key. Duplicates need no pre-distinct —
+    max(rho) absorbs them map-side, so the shuffle carries at most
+    (keys x registers) rows."""
+    hashed = df.select(
+        *keys, F.md5(F.col(value_col).cast("string")).alias("_h")
+    )
+    return (
+        hashed.select(
+            *keys,
+            F.expr(HLL_REG_SQL).cast("int").alias("reg"),
+            F.expr(HLL_RHO_SQL).cast("int").alias("rho"),
+        )
+        .groupBy(*keys, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def merge_hll_registers(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Max-merge register tables to a coarser grain — algebra over
+    sketch rows, never raw data. merge(fine) == registers(direct) by
+    associativity of max (pinned in test_operators)."""
+    return df.groupBy(*keys, "reg").agg(F.max("rho").alias("rho"))
+
+
+def portable_hll_estimate(df: DataFrame, keys: list[str]) -> DataFrame:
+    """(keys..., n_present, hll_estimate) from a register table."""
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr("CAST(POW(2.0, 49 - rho) AS BIGINT)")).alias("_s"),
+    )
+    denom = (
+        F.col("_s") + (F.lit(HLL_M) - F.col("n_present")) * F.lit(HLL_POW)
+    ).cast("double")
+    return agg.select(
+        *keys,
+        F.col("n_present").cast("long").alias("n_present"),
+        (F.lit(HLL_C) / denom).alias("hll_estimate"),
+    )
+
+
 # ------------------------------------------------------------- HLL rollups
 #
 # The mergeable-state rollup (A13 at warehouse scale): persist one

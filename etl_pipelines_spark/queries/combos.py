@@ -441,6 +441,42 @@ _COMBOS = [
         ("multimodal",),
     ),
     _combo(
+        "q43_timeseries_suite",
+        "Time-series retrieval & resampling, tagged: as-of backward"
+        " price join (q43), as-of with a 4-day staleness tolerance"
+        " (q78), and OHLC/VWAP 6-hour bar resampling (q79).",
+        [("a", "bigint"), ("dt", "date"), ("bs", "string"),
+         ("s", "string"), ("c", "bigint"), ("o", "double"),
+         ("h", "double"), ("l", "double"), ("cl", "double"),
+         ("v", "double"), ("vw", "double"), ("x", "double")],
+        [
+            ("asof", "q43_asof_price_join",
+             {"a": "coin_id", "dt": "date", "x": "asof_price"}),
+            ("tol", "q78_asof_tolerance",
+             {"a": "coin_id", "dt": "date", "x": "asof_price"}),
+            ("ohlc", "q79_ohlc_resample",
+             {"s": "event_type", "bs": "bucket_start", "c": "n_trades",
+              "o": "open", "h": "high", "l": "low", "cl": "close",
+              "v": "volume", "vw": "vwap"}),
+        ],
+        ("join", "timeseries", "agg"),
+    ),
+    _combo(
+        "q51_sketch_suite",
+        "Approximate distinct-count sketches, tagged: exact-checkable"
+        " KMV per coin (q51) and the mergeable cross-engine-exact"
+        " portable HLL rollup built at month grain and max-merged"
+        " (q80).",
+        [("a", "bigint"), ("c", "bigint"), ("x", "double")],
+        [
+            ("kmv", "q51_kmv_distinct_sketch",
+             {"a": "coin_id", "c": "n_min", "x": "kmv_estimate"}),
+            ("hll", "q80_portable_hll_rollup",
+             {"a": "coin_id", "c": "n_present", "x": "hll_estimate"}),
+        ],
+        ("agg", "sketch"),
+    ),
+    _combo(
         "q44_embedding_stats",
         "Embedding-corpus statistics, tagged: per-label centroids (q44)"
         " and per-dimension int8 quantization codes (q67).",
@@ -548,12 +584,10 @@ _STANDALONE = [
     "q29_dedup_canonical_clusters",
     "q30_exact_dedup",
     "q42_streaming_daily_rollup",
-    "q43_asof_price_join",
     "q45_trailing_window_frames",
     "q48_range_bucket_join",
     "q49_or_condition_join",
     "q50_sql_view_union",
-    "q51_kmv_distinct_sketch",
     "q61_hopping_windows",
     "q63_vocabulary_growth",
     "q64_source_contamination_matrix",

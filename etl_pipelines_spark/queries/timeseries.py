@@ -748,6 +748,157 @@ def q43(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("coin_id", "date", F.col("price").alias("asof_price"))
 
 
+# --------------------------------------------------------------------- q78
+@register(
+    "q78_asof_tolerance",
+    f"""
+    WITH daily AS ({DAILY_PRICES_SQL}),
+    quotes AS (SELECT * FROM daily WHERE day(date) % 3 = 0),
+    probes AS (SELECT DISTINCT coin_id, date FROM daily WHERE coin_id < 30)
+    SELECT p.coin_id, p.date,
+           CASE WHEN date_diff('day', q.date, p.date) <= 4 THEN q.price END
+               AS asof_price
+    FROM probes p ASOF LEFT JOIN quotes q
+      ON p.coin_id = q.coin_id AND p.date >= q.date
+    """,
+    description="As-of backward join with a staleness tolerance "
+    "(operators/asof.py tolerance guard, beyond the reference's J13): "
+    "quotes older than 4 days null out — the guard that stops a "
+    "week-old price valuing today's balance. Same one-shuffle "
+    "union-and-fill plan; the tolerance check is a map-side filter on "
+    "the forward-filled quote timestamp",
+    tags=("join", "timeseries"),
+)
+def q78(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.operators.asof import asof_join_backward
+
+    daily = daily_prices(spark, sf)
+    epoch = F.lit("1970-01-01").cast("date")
+    quotes = (
+        daily.filter(F.dayofmonth("date") % 3 == 0)
+        .select("coin_id", F.datediff("date", epoch).alias("d"), "price")
+    )
+    probes = (
+        daily.filter(F.col("coin_id") < 30)
+        .select("coin_id", "date", F.datediff("date", epoch).alias("d"))
+        .distinct()
+    )
+    out = asof_join_backward(probes, quotes, ["coin_id"], "d", ["price"], tolerance=4)
+    return out.select("coin_id", "date", F.col("price").alias("asof_price"))
+
+
+# --------------------------------------------------------------------- q79
+_OHLC_BUCKET_US = 6 * 3600 * 1_000_000  # 6-hour buckets
+
+
+@register(
+    "q79_ohlc_resample",
+    f"""
+    WITH ticks AS (
+        -- micro-price ticks: the 1e-6 fixed-point convention keeps
+        -- every price an exact integer-valued double in both engines
+        SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS DOUBLE) AS price,
+               CAST(COUNT(*) AS BIGINT) AS vol
+        FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT *, epoch_us(ts) AS us FROM ticks)
+    SELECT event_type,
+           make_timestamp(us - us % {_OHLC_BUCKET_US}) AS bucket_start,
+           arg_min(price, ts) AS open,
+           MAX(price) AS high,
+           MIN(price) AS low,
+           arg_max(price, ts) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_trades,
+           CAST(SUM(vol) AS DOUBLE) AS volume,
+           CAST(CAST(SUM(CAST(price AS BIGINT) * vol) AS DOUBLE)
+                / CAST(SUM(vol) AS DOUBLE) AS DOUBLE) AS vwap
+    FROM b GROUP BY 1, 2
+    """,
+    description="OHLC/VWAP resampling (operators/resample.py): the "
+    "canonical tick->bar pre-aggregation, one groupBy per grain with "
+    "open/close as min_by/max_by on the timestamp (no window, no "
+    "sort), 6-hour epoch-aligned buckets. Ticks pre-aggregate to "
+    "unique (key, ts) so open/close ties cannot exist, and prices ride "
+    "the 1e-6 fixed-point convention so every sum is exact in any "
+    "order and VWAP is one division of exact integers",
+    tags=("agg", "timeseries"),
+)
+def q79(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.operators.resample import resample_ohlc
+
+    ev = t(spark, sf, "events")
+    ticks = (
+        ev.groupBy("event_type", F.col("ts").cast("timestamp").alias("ts"))
+        .agg(
+            F.sum(F.floor(F.col("value") * F.lit(1e6)).cast("long"))
+            .cast("double")
+            .alias("price"),
+            F.count(F.lit(1)).alias("vol"),
+        )
+    )
+    return resample_ohlc(
+        ticks, ["event_type"], "ts", "price", volume_col="vol", grain="6 hours"
+    )
+
+
+# --------------------------------------------------------------------- q80
+def _hll_oracle() -> str:
+    from etl_pipelines_spark.operators.sketches import (
+        HLL_C,
+        HLL_M,
+        HLL_POW,
+        HLL_REG_SQL,
+        HLL_RHO_SQL,
+    )
+
+    return f"""
+    WITH x AS ({TRANSFERS_SQL}),
+    hashed AS (
+        SELECT coin_id, MD5(CAST(wallet_address AS VARCHAR)) AS _h FROM x
+    ),
+    rr AS (SELECT coin_id, {HLL_REG_SQL} AS reg, {HLL_RHO_SQL} AS rho FROM hashed),
+    regs AS (SELECT coin_id, reg, MAX(rho) AS rho FROM rr GROUP BY 1, 2),
+    agg AS (
+        SELECT coin_id, CAST(COUNT(*) AS BIGINT) AS n_present,
+               SUM(CAST(POW(2.0, 49 - rho) AS BIGINT)) AS _s
+        FROM regs GROUP BY 1
+    )
+    SELECT coin_id, n_present,
+           CAST({HLL_C!r} / CAST(_s + ({HLL_M} - n_present) * {HLL_POW}
+                AS DOUBLE) AS DOUBLE) AS hll_estimate
+    FROM agg
+    """
+
+
+@register(
+    "q80_portable_hll_rollup",
+    _hll_oracle(),
+    description="Mergeable HLL distinct-wallet rollup, CROSS-ENGINE "
+    "EXACT (operators/sketches.py portable HLL): per-coin register "
+    "tables built at month grain, max-merged to coin grain, then the "
+    "harmonic estimate — the stored-rollup pattern that answers "
+    "distinct-count questions from kilobytes of sketch rows instead "
+    "of a raw re-scan. The oracle recomputes registers straight from "
+    "the raw stream; equality holds because register max is "
+    "associative and the estimate is one division of exact integers",
+    tags=("agg", "sketch"),
+)
+def q80(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.operators.sketches import (
+        merge_hll_registers,
+        portable_hll_estimate,
+        portable_hll_registers,
+    )
+
+    x = transfers(spark, sf)
+    fine = portable_hll_registers(
+        x.withColumn("_m", F.month("date")), ["coin_id", "_m"], "wallet_address"
+    )
+    coarse = merge_hll_registers(fine, ["coin_id"])
+    return portable_hll_estimate(coarse, ["coin_id"])
+
+
 # --------------------------------------------------------------------- q45
 @register(
     "q45_trailing_window_frames",

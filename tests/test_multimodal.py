@@ -52,9 +52,83 @@ def test_sample_frames_even_spacing(media):
         assert len(pairs) == 4
 
 
-def test_decode_media_is_stub():
+def test_decode_media_audio_is_stub():
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x00", "image/png")
+        decode_media(b"\x00\x01", "audio/wav")
+
+
+def _make_png(width, height, pixel_fn, channels=3, row_filter=0):
+    """Minimal stdlib PNG writer (8-bit, non-interlaced): each scanline
+    carries `row_filter` (0=None or 1=Sub, encoded accordingly) so the
+    decoder's unfilter paths really execute."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+
+    def chunk(ctype, payload):
+        c = ctype + payload
+        return struct.pack(">I", len(payload)) + c + struct.pack(
+            ">I", zlib.crc32(c) & 0xFFFFFFFF
+        )
+
+    raw = bytearray()
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            row += bytes(pixel_fn(x, y))
+        if row_filter == 0:
+            raw.append(0)
+            raw += row
+        else:  # Sub-filter the row: store deltas against the left pixel
+            raw.append(1)
+            enc = bytearray(row)
+            for i in range(len(row) - 1, channels - 1, -1):
+                enc[i] = (row[i] - row[i - channels]) & 0xFF
+            raw += enc
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_media_decodes_real_png():
+    png = _make_png(5, 3, lambda x, y: (x * 10, y * 20, 7))
+    out = decode_media(png, "image/png")
+    assert (out["width"], out["height"], out["channels"]) == (5, 3, 3)
+    # spot-check a pixel: (x=2, y=1) -> (20, 20, 7)
+    off = (1 * 5 + 2) * 3
+    assert out["pixels"][off : off + 3] == bytes([20, 20, 7])
+
+
+def test_decode_media_unfilters_sub_rows():
+    png = _make_png(4, 4, lambda x, y: (x * 30 + 5, 200 - y * 3, x + y), row_filter=1)
+    plain = _make_png(4, 4, lambda x, y: (x * 30 + 5, 200 - y * 3, x + y), row_filter=0)
+    assert decode_media(png, "image/png")["pixels"] == decode_media(
+        plain, "image/png"
+    )["pixels"]
+
+
+def test_extract_image_features_end_to_end(spark):
+    """A generated PNG rides the binary column through the Arrow
+    boundary and comes back with DECODED width/height — the real-image
+    path of the multimodal plumbing."""
+    from etl_pipelines_spark.llm.multimodal import extract_image_features
+
+    rows = [
+        (1, _make_png(6, 4, lambda x, y: (x, y, 100))),
+        (2, _make_png(2, 2, lambda x, y: (255, 0, 0), row_filter=1)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary").withColumn(
+        "media_format", F.lit("image/png")
+    )
+    got = {r["doc_id"]: r for r in extract_image_features(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (6, 4, 3)
+    assert (got[2]["width"], got[2]["height"]) == (2, 2)
+    assert got[2]["mean_pixel"] == pytest.approx((255 + 0 + 0) / 3)
 
 
 def test_resize_media_scale_factors(media):

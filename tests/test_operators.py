@@ -381,6 +381,46 @@ class TestHllSketchRollups:
             assert abs(est - n) / n < 0.05, (n, est)
 
 
+class TestPortableHll:
+    def test_merge_of_fine_equals_direct(self, spark):
+        """Register tables built per (k, g) then max-merged to k must
+        equal registers built directly per k — the associativity that
+        makes the stored rollup answer any-grain questions."""
+        from etl_pipelines_spark.operators.sketches import (
+            merge_hll_registers,
+            portable_hll_registers,
+        )
+
+        rows = [(i % 5, f"g{i % 3}", f"v{(i * 7) % 400}") for i in range(1000)]
+        df = spark.createDataFrame(rows, "k int, g string, v string")
+        direct = portable_hll_registers(df, ["k"], "v")
+        merged = merge_hll_registers(
+            portable_hll_registers(df, ["k", "g"], "v"), ["k"]
+        ).select(*direct.columns)
+        assert direct.exceptAll(merged).count() == 0
+        assert merged.exceptAll(direct).count() == 0
+
+    def test_estimate_accuracy_and_duplicate_insensitivity(self, spark):
+        from etl_pipelines_spark.operators.sketches import (
+            portable_hll_estimate,
+            portable_hll_registers,
+        )
+
+        n = 5000
+        rows = [(1, f"val{i}") for i in range(n)]
+        df = spark.createDataFrame(rows, "k int, v string")
+        est = portable_hll_estimate(
+            portable_hll_registers(df, ["k"], "v"), ["k"]
+        ).first()["hll_estimate"]
+        # m=256 -> ~6.5% relative standard error; allow 3 sigma
+        assert abs(est - n) / n < 0.2
+        dup = df.unionByName(df)
+        est2 = portable_hll_estimate(
+            portable_hll_registers(dup, ["k"], "v"), ["k"]
+        ).first()["hll_estimate"]
+        assert est2 == est
+
+
 class TestKmeansCoarseQuantizer:
     def test_recovers_separated_clusters(self, spark):
         from etl_pipelines_spark.llm.similarity import (
