@@ -482,6 +482,7 @@ def connected_components_star(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 50,
+    driver_finish: int = 50_000,
 ) -> DataFrame:
     """(node, label) per node in `pairs`; label = component minimum.
     Same contract as `connected_components`, different round shape:
@@ -523,6 +524,48 @@ def connected_components_star(
         return (r["n"], r["h"])
 
     prev_sig = _sig(edges)
+    # Driver-finish tier: below `driver_finish` edges the whole graph
+    # is RESULT-SIZED (16 bytes/edge -> <1 MB at the default), and a
+    # single-pass union-find beats any number of distributed rounds —
+    # each star round costs 2+ fixed-floor jobs regardless of size
+    # (measured ~3 s for a 256-edge graph at sf0.1). The same
+    # size-dispatched design as Spark's own broadcast-join threshold:
+    # the distributed rounds remain the path the moment the edge set
+    # is not driver-sized, and equivalence is pinned in test_operators
+    # on chains and cliques through both tiers.
+    if prev_sig[0] <= driver_finish:
+        rows = edges.collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in rows:
+            ru, rv = find(row["u"]), find(row["v"])
+            if ru != rv:
+                # point the larger root at the smaller: the root stays
+                # the component MINIMUM by induction
+                parent[max(ru, rv)] = min(ru, rv)
+        nodes = {row["u"] for row in rows} | {row["v"] for row in rows}
+        spark = pairs.sparkSession
+        node_type = edges.schema["u"].dataType.simpleString()
+        lab = spark.createDataFrame(
+            [(x, find(x)) for x in sorted(nodes)],
+            f"node {node_type}, _lbl {node_type}",
+        )
+        all_nodes = (
+            pairs.select(F.col(id_a).alias("node"))
+            .union(pairs.select(F.col(id_b).alias("node")))
+            .distinct()
+        )
+        return all_nodes.join(F.broadcast(lab), "node", "left").select(
+            "node", F.coalesce("_lbl", "node").alias("label")
+        )
     converged = False
     for _ in range(max_iter):
         # large-star: around every center c, attach each LARGER

@@ -84,9 +84,34 @@ class TestConnectedComponentsStar:
 
     def _both(self, spark, pairs):
         df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
-        star = {r["node"]: r["label"] for r in connected_components_star(df).collect()}
+        # driver_finish=0 forces the DISTRIBUTED rounds — the driver
+        # union-find tier has its own equivalence test below
+        star = {
+            r["node"]: r["label"]
+            for r in connected_components_star(df, driver_finish=0).collect()
+        }
         plain = {r["node"]: r["label"] for r in connected_components(df).collect()}
         return star, plain
+
+    def test_driver_finish_tier_matches_distributed(self, spark):
+        """The union-find finish (edge count <= driver_finish) must
+        label identically to the distributed star rounds on chains,
+        cliques, and reversed edges."""
+        for pairs in (
+            [(i, i + 1) for i in range(1, 30)],
+            [(1, 2), (2, 3), (1, 3), (10, 11), (9, 4), (4, 20)],
+            [(9, 1), (5, 9)],
+        ):
+            df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+            fast = {
+                r["node"]: r["label"]
+                for r in connected_components_star(df).collect()
+            }
+            dist = {
+                r["node"]: r["label"]
+                for r in connected_components_star(df, driver_finish=0).collect()
+            }
+            assert fast == dist
 
     def test_long_chain(self, spark):
         star, plain = self._both(spark, [(i, i + 1) for i in range(1, 30)])
