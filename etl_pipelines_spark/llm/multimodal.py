@@ -138,6 +138,14 @@ def decode_media(payload: bytes, media_format: str) -> dict:
 
             img = Image.open(io.BytesIO(data))
             img.load()
+            if img.mode == "P":
+                # palette mode: tobytes() would return lookup-table
+                # INDICES, silently yielding nonsense intensities (the
+                # stdlib path rejects palette PNGs loudly instead) —
+                # expand to real samples first
+                img = img.convert(
+                    "RGBA" if "transparency" in img.info else "RGB"
+                )
             return {
                 "width": img.width,
                 "height": img.height,
@@ -187,11 +195,6 @@ def extract_media_features(
     return df.select(id_col, payload_col).mapInPandas(run, schema=MEDIA_FEATURE_SCHEMA)
 
 
-IMAGE_FEATURE_SCHEMA = (
-    "doc_id long, width int, height int, channels int, mean_pixel double"
-)
-
-
 def extract_image_features(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
     format_col: str = "media_format",
@@ -201,6 +204,9 @@ def extract_image_features(
     decoded dimensions and the mean pixel value. Same plan shape as
     extract_media_features — input pruned to (id, payload, format)
     before the Python boundary, output schema declared up front."""
+    schema = (
+        f"{id_col} long, width int, height int, channels int, mean_pixel double"
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -210,7 +216,7 @@ def extract_image_features(
             ]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].astype("int64"),
+                    id_col: pdf[id_col].astype("int64"),
                     "width": [d["width"] for d in decoded],
                     "height": [d["height"] for d in decoded],
                     "channels": [d["channels"] for d in decoded],
@@ -224,7 +230,7 @@ def extract_image_features(
             )
 
     return df.select(id_col, payload_col, format_col).mapInPandas(
-        run, schema=IMAGE_FEATURE_SCHEMA
+        run, schema=schema
     )
 
 

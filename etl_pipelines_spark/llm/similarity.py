@@ -237,72 +237,6 @@ def cosine_near_dups(
     )
 
 
-def bucketed_topk(
-    embeddings: DataFrame,
-    planes: list[list[float]],
-    k: int = 5,
-    n_queries: int = 20,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF-style approximate top-k: vectors are partitioned into
-    hyperplane-sign buckets; each query ranks only its own bucket.
-
-    At 100 TB the bucket column becomes the table's physical partition/
-    cluster key, so a query probes one partition instead of the corpus.
-    Returns (query_id, neighbor_id, rank, cosine).
-    """
-    bucketed = hyperplane_lsh_buckets(embeddings, planes, id_col, vec_col).join(
-        embeddings.select(id_col, vec_col), id_col
-    )
-    q = bucketed.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qvec"),
-        _norm(F.col(vec_col)).alias("_qn"),
-        F.col("bucket").alias("_qbucket"),
-    )
-    c = bucketed.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cvec"),
-        _norm(F.col(vec_col)).alias("_cn"),
-        F.col("bucket"),
-    )
-    dot = _dot_scaled_pandas()
-    scored = (
-        c.join(F.broadcast(q), F.col("bucket") == F.col("_qbucket"))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn")))
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-    )
-
-
-def hyperplane_lsh_buckets(
-    embeddings: DataFrame,
-    hyperplanes: list[list[float]],
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Sign-of-projection LSH bucket key per vector. `hyperplanes` must be
-    fixed/deterministic (pass seeds-expanded planes from the caller).
-    Bucketed ANN = equi-join on bucket + exact re-rank within bucket."""
-    bits = []
-    for plane in hyperplanes:
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        bits.append(
-            F.when(_dot_scaled(F.col(vec_col), p) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        )
-    return embeddings.select(
-        F.col(id_col), F.concat(*bits).alias("bucket")
-    )
-
-
 # ---------------------------------------------------------------- k-means
 #
 # Trained coarse quantizer for IVF (the upgrade over hyperplane signs

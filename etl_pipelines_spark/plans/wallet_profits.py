@@ -133,7 +133,11 @@ def splice_with_imputation(profits: DataFrame) -> DataFrame:
                 F.col("_pre").isNotNull()
                 & F.col("_act").isNull()
                 & is_pre
-                & (F.struct("date", "balance") == F.col("_pre")),
+                # null-safe: a NULL balance on the latest pre-price row
+                # must still match its own struct (plain == yields NULL
+                # and the pair's imputed row would silently vanish,
+                # diverging from the staged path)
+                & F.struct("date", "balance").eqNullSafe(F.col("_pre")),
                 F.lit(False),
             ),
         )

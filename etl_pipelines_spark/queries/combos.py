@@ -144,10 +144,16 @@ def _pair_suite_shared_scan(schema, members):
 
 
 def _shared_words_scan(schema, members, frames_fn):
-    """Generic shared-tokenization spark_fn: persist ONE pre-split
-    words frame (doc_id, lang, _w) per combo run and hand it to every
-    member that tokenizes (the q33 pair-suite pattern applied to the
-    doc-scoring and term-mining suites). `frames_fn(words)` returns
+    """Generic shared-tokenization spark_fn: ONE lazily-shared
+    pre-split words expression (doc_id, lang, _w) feeds every member
+    that tokenizes, fused into a single union plan. Deliberately NOT
+    persisted: unlike the pair suite's shingle arrays (expensive to
+    rebuild, cache is load-bearing), a split() over the documents scan
+    is cheaper to re-derive per branch than to materialize — the
+    persist variant measured SLOWER at sf0.1 (extra fill job + cache
+    write for a tiny scan; see SCALE.md). What the sharing buys is one
+    repartition exchange reused across branches and members that read
+    columns (q59) skipping their own scan. `frames_fn(words)` returns
     {part_tag: DataFrame}; members absent from it fall back to their
     standalone plan. Each part calls the SAME member helpers with the
     same parameters, so the oracle (the members' UNION ALL) and the
@@ -496,7 +502,8 @@ _COMBOS = [
         "q52_term_mining",
         "Corpus term statistics, tagged: TF-IDF top terms per doc (q52)"
         " and PMI-style bigram collocations (q69). Both members share"
-        " ONE persisted pre-split words frame inside the suite.",
+        " one lazily-shared pre-split words expression inside the"
+        " suite.",
         _Q52_SCHEMA,
         _Q52_MEMBERS,
         ("text", "agg"),
@@ -523,8 +530,8 @@ _COMBOS = [
         "q55_doc_scoring",
         "Per-doc corpus scoring, tagged: Gopher repetition ratio (q55),"
         " deterministic split assignment (q59), CCNet unigram-LM"
-        " likelihood (q62). The tokenizing members share ONE persisted"
-        " pre-split words frame inside the suite.",
+        " likelihood (q62). The tokenizing members share one"
+        " lazily-shared pre-split words expression inside the suite.",
         _Q55_SCHEMA,
         _Q55_MEMBERS,
         ("text",),

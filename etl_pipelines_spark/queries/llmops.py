@@ -1292,18 +1292,17 @@ def q63(spark: SparkSession, sf: str) -> DataFrame:
     description="Cross-source contamination matrix: trigram-shingle "
     "Jaccard between every source pair that shares at least one "
     "shingle (the corpus-provenance view of dedup — which crawl "
-    "sources overlap and how much). Instead of a shingle self-join "
-    "(which shuffles the shingle table twice and needs a pair-level "
-    "distinct), each shingle's source SET is built in one groupBy "
-    "(collect_set dedupes (source, shingle) in the same shuffle), and "
-    "source pairs expand map-side from the sorted set — the "
-    "per-shingle fan-out is bounded by the source count, never by "
-    "corpus size. Shingles shuffle as RAW trigrams: md5 hex digests "
-    "would be LONGER than the trigrams themselves (digest keys only "
-    "pay off for long chunk/document shingles, cf. q56). Pair counts "
-    "and per-source sizes are tiny after map-side partial aggregation "
-    "and share the one wide exchange (ReusedExchange under AQE) — no "
-    "persist. Jaccard = one integer division -> exact parity",
+    "sources overlap and how much). The source domain is a dimension, "
+    "so each shingle's source SET packs into one BIGINT bitmask "
+    "(bit_or, partial-aggregable): the wide exchange carries 8 bytes "
+    "per shingle, distinct mask PATTERNS aggregate to a result-sized "
+    "table, and the matrix (pair intersections + per-source sizes) "
+    "assembles driver-side from that table — per-shingle fan-out is "
+    "zero, not source-count-squared. Shingles shuffle as RAW "
+    "trigrams: md5 hex digests would be LONGER than the trigrams "
+    "themselves (digest keys only pay off for long chunk/document "
+    "shingles, cf. q56). Jaccard = one integer division -> exact "
+    "parity",
     tags=("dedup", "text"),
 )
 def q64(spark: SparkSession, sf: str) -> DataFrame:
@@ -1328,7 +1327,13 @@ def q64(spark: SparkSession, sf: str) -> DataFrame:
     if srcs is None:
         # dimension probe: the source domain is stable per corpus, so
         # cache it like the q38 codebook (same train-once class)
-        srcs = sorted(r[0] for r in docs.select("source").distinct().collect())
+        raw = [r[0] for r in docs.select("source").distinct().collect()]
+        if any(s is None for s in raw):
+            raise ValueError(
+                "contamination matrix: NULL source values in documents; "
+                "repair or filter provenance before computing overlap"
+            )
+        srcs = sorted(raw)
         _SRC_DOMAINS[sf] = srcs
     if len(srcs) > 63:
         raise NotImplementedError(
@@ -1350,6 +1355,14 @@ def q64(spark: SparkSession, sf: str) -> DataFrame:
     sizes = [0] * n
     for row in patterns:
         m, cnt = row["_m"], row["_cnt"]
+        if m is None:
+            # bit_or over only-NULL bits: a source outside the cached
+            # domain appeared (data changed under a cached sf path) —
+            # fail loud rather than silently dropping its shingles
+            raise ValueError(
+                "contamination matrix: source outside the cached domain; "
+                "data changed under this sf path — clear _SRC_DOMAINS"
+            )
         bits = [i for i in range(n) if (m >> i) & 1]
         for ai, a in enumerate(bits):
             sizes[a] += cnt

@@ -129,6 +129,12 @@ def test_extract_image_features_end_to_end(spark):
     assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (6, 4, 3)
     assert (got[2]["width"], got[2]["height"]) == (2, 2)
     assert got[2]["mean_pixel"] == pytest.approx((255 + 0 + 0) / 3)
+    # a custom id column keeps its name in the output schema
+    renamed = extract_image_features(
+        df.withColumnRenamed("doc_id", "img_id"), id_col="img_id"
+    )
+    assert renamed.columns[0] == "img_id"
+    assert renamed.count() == 2
 
 
 def test_resize_media_scale_factors(media):

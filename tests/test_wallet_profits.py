@@ -150,6 +150,29 @@ def test_fused_splice_matches_staged(spark, sample_transfers, sample_prices):
     assert staged.exceptAll(fused).count() == 0
 
 
+def test_fused_splice_handles_null_balance_pre_row(spark):
+    """A NULL balance on the pair's latest pre-price row must not make
+    the imputed row vanish from the fused path (plain struct equality
+    yields NULL on NULL fields; the flag is null-safe)."""
+    from etl_pipelines_spark.plans.wallet_profits import splice_with_imputation
+
+    transfers = make_transfers(
+        spark,
+        [
+            ("c1", "wn", D(2023, 12, 20), 10.0, None),  # pre-price, NULL balance
+            ("c1", "wn", D(2024, 1, 4), -5.0, 5.0),
+        ],
+    )
+    prices = make_prices(spark, [("c1", D(2024, 1, 1), 1.0), ("c1", D(2024, 1, 4), 2.0)])
+    merged = add_first_price_info(merge_prices_and_transfers(transfers, prices), prices)
+    staged = splice_imputed_records(merged, create_imputed_records(merged))
+    fused = splice_with_imputation(merged).select(*staged.columns)
+    assert fused.exceptAll(staged).count() == 0
+    assert staged.exceptAll(fused).count() == 0
+    # the imputed row is present (with NULL carried balance), not dropped
+    assert fused.filter(F.col("date") == D(2024, 1, 1)).count() == 1
+
+
 def test_pre_inflow_trim_drops_offsetting_first_day(spark):
     transfers = make_transfers(
         spark,
