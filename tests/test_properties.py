@@ -386,3 +386,126 @@ def test_asof_forward_and_tolerance_match_pandas(spark, fixture, tol):
         asof_join_backward(left, right, ["k"], "t", ["px"], tolerance=tol),
         "backward",
     )
+
+
+# ---------------------------------------------------------------- r3 props
+
+
+@st.composite
+def doc_corpus(draw):
+    """Tiny random corpora over a small word alphabet — small vocab
+    makes near-duplicate token sets actually occur."""
+    n_docs = draw(st.integers(2, 10))
+    vocab = [f"w{i}" for i in range(8)]
+    docs = []
+    for i in range(n_docs):
+        words = draw(st.lists(st.sampled_from(vocab), min_size=3, max_size=10))
+        docs.append((i, " ".join(words)))
+    return docs
+
+
+@settings(max_examples=10, deadline=None)
+@given(doc_corpus(), st.sampled_from([0.4, 0.5, 0.7]))
+def test_prefix_filter_has_exact_recall(spark, docs, threshold):
+    """PPJoin candidates (prefix + length + positional filters) must
+    contain EVERY pair whose token-set Jaccard >= threshold — the
+    exact-recall theorem the filters claim, for ANY corpus."""
+    from etl_pipelines_spark.llm.dedup import prefix_filter_pairs
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in prefix_filter_pairs(df, threshold).collect()
+    }
+    sets = {i: set(t.split(" ")) for i, t in docs}
+    for a in sets:
+        for b in sets:
+            if a >= b:
+                continue
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= threshold:
+                assert (a, b) in got, (a, b, inter / union, threshold)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(0, 500), min_size=1, max_size=200),
+    st.integers(2, 4),
+)
+def test_portable_hll_merge_is_grouping_invariant(spark, values, n_groups):
+    """Any partition of the value stream into fine groups must
+    max-merge to the same register table (and so the same estimate) as
+    a direct build — the associativity that makes the stored rollup
+    answer any-grain questions."""
+    from etl_pipelines_spark.operators.sketches import (
+        merge_hll_registers,
+        portable_hll_estimate,
+        portable_hll_registers,
+    )
+
+    rows = [(1, i % n_groups, f"v{v}") for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "k int, g int, v string")
+    direct = portable_hll_registers(df, ["k"], "v")
+    merged = merge_hll_registers(
+        portable_hll_registers(df, ["k", "g"], "v"), ["k"]
+    ).select(*direct.columns)
+    assert direct.exceptAll(merged).count() == 0
+    assert merged.exceptAll(direct).count() == 0
+    e1 = portable_hll_estimate(direct, ["k"]).first()["hll_estimate"]
+    e2 = portable_hll_estimate(merged, ["k"]).first()["hll_estimate"]
+    assert e1 == e2
+
+
+@st.composite
+def imputation_fixture(draw):
+    """Transfers around a delayed first-price date: pre-price rows,
+    first-day activity, NULL balances — every splice branch."""
+    rows = []
+    n_pairs = draw(st.integers(1, 4))
+    for p in range(n_pairs):
+        coin, wallet = f"c{p % 2}", f"w{p}"
+        days = sorted(draw(st.sets(st.integers(0, 9), min_size=1, max_size=6)))
+        for d in days:
+            amt = float(draw(st.integers(-20, 20)))
+            bal = draw(
+                st.one_of(st.none(), st.integers(0, 100).map(float))
+            )
+            rows.append((coin, wallet, BASE + dt.timedelta(days=d), amt, bal))
+    # prices start on day 4 for c0, day 5 for c1 -> days 0..4ish are pre-price
+    prices = [
+        (c, BASE + dt.timedelta(days=d), float(1 + d))
+        for c, start in (("c0", 4), ("c1", 5))
+        for d in range(start, 10)
+    ]
+    return rows, prices
+
+
+@settings(max_examples=12, deadline=None)
+@given(imputation_fixture())
+def test_fused_splice_equals_staged_for_any_input(spark, fixture):
+    """splice_with_imputation == create_imputed_records ->
+    splice_imputed_records for ANY transfer/price shape, including
+    NULL balances and pairs with no pre-price activity."""
+    from etl_pipelines_spark.plans.wallet_profits import (
+        add_first_price_info,
+        create_imputed_records,
+        merge_prices_and_transfers,
+        splice_imputed_records,
+        splice_with_imputation,
+    )
+
+    t_rows, p_rows = fixture
+    transfers = spark.createDataFrame(
+        t_rows,
+        "coin_id string, wallet_address string, date date, "
+        "net_transfers double, balance double",
+    )
+    prices = spark.createDataFrame(p_rows, "coin_id string, date date, price double")
+    merged = add_first_price_info(
+        merge_prices_and_transfers(transfers, prices), prices
+    )
+    staged = splice_imputed_records(merged, create_imputed_records(merged))
+    fused = splice_with_imputation(merged).select(*staged.columns)
+    assert fused.exceptAll(staged).count() == 0
+    assert staged.exceptAll(fused).count() == 0
