@@ -348,6 +348,40 @@ def assign_clusters(
     return embeddings.withColumn(out, nearest(F.col(vec_col)))
 
 
+def nearest_clusters(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int,
+    vec_col: str = "embedding",
+    out: str = "probes",
+) -> DataFrame:
+    """Array of the `nprobe` nearest cluster indices per vector,
+    nearest first — the multi-probe query side of IVF. Same exact
+    floor-scaled int64 distances as `assign_clusters`; ties break
+    toward the lower cluster index (np.argsort stable over an index-
+    ordered distance matrix == ORDER BY (d, cluster))."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.array(centroids, dtype="float64")
+    nprobe = min(nprobe, len(centroids))
+
+    @F.pandas_udf("array<int>")
+    def probes(v):
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        A = np.vstack(v.to_numpy()).astype("float64")
+        d = (
+            np.floor((A[:, None, :] - C[None, :, :]) ** 2 * SCALE)
+            .astype("int64")
+            .sum(axis=2)
+        )
+        order = np.argsort(d, axis=1, kind="stable")[:, :nprobe].astype("int32")
+        return pd.Series(list(order))
+
+    return embeddings.withColumn(out, probes(F.col(vec_col)))
+
+
 def ivf_topk(
     embeddings: DataFrame,
     centroids: list[list[float]],
@@ -355,22 +389,30 @@ def ivf_topk(
     n_queries: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF ANN with a TRAINED coarse quantizer: vectors partition into
     nearest-centroid cells (`assign_clusters` over a `kmeans_centroids`
-    codebook); each query exactly re-ranks only its own cell.
+    codebook); each query exactly re-ranks only its `nprobe` nearest
+    cells (FAISS's nprobe knob — the recall/cost dial: a neighbor just
+    across a cell boundary is invisible at nprobe=1 and found at 2+).
 
     At 100 TB the codebook is trained once (k x dim floats) and the
     cell id becomes the table's physical partition/cluster key, so a
-    query probes one partition instead of the corpus. Returns
+    query probes nprobe partitions instead of the corpus. Returns
     (query_id, neighbor_id, rank, cosine)."""
     bucketed = assign_clusters(embeddings, centroids, vec_col=vec_col, out="bucket")
     nrm = _norm_pandas()
-    q = bucketed.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qvec"),
-        nrm(F.col(vec_col)).alias("_qn"),
-        F.col("bucket").alias("_qbucket"),
+    q = (
+        nearest_clusters(
+            bucketed.filter(F.col(id_col) < n_queries), centroids, nprobe, vec_col
+        )
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qvec"),
+            nrm(F.col(vec_col)).alias("_qn"),
+            F.explode("probes").alias("_qbucket"),
+        )
     )
     c = bucketed.select(
         F.col(id_col).alias("neighbor_id"),

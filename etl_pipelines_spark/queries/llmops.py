@@ -464,9 +464,12 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
 KM_K = 4
 KM_ITER = 2
 KM_SEED = 42
+KM_NPROBE = 2
 
 
-def _kmeans_ivf_oracle(k: int, n_iter: int, seed: int, n_queries: int, topk: int) -> str:
+def _kmeans_ivf_oracle(
+    k: int, n_iter: int, seed: int, n_queries: int, topk: int, nprobe: int
+) -> str:
     """Unrolled cross-engine k-means + IVF rerank oracle: cents0 = the
     k vectors with the smallest md5('{seed}|'||id); each round is
     exact-BIGINT argmin assignment (ties -> lowest cluster) then
@@ -528,6 +531,12 @@ def _kmeans_ivf_oracle(k: int, n_iter: int, seed: int, n_queries: int, topk: int
         SELECT vec_id, cluster AS bucket FROM dist{f}
         QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) = 1
     ),
+    probes AS (
+        -- multi-probe query side: each query's {nprobe} nearest cells
+        SELECT vec_id, cluster FROM dist{f}
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster)
+            <= {nprobe}
+    ),
     norms AS (
         SELECT vec_id,
                SQRT(CAST(SUM(CAST(FLOOR(val * val * {S}) AS BIGINT))
@@ -536,8 +545,8 @@ def _kmeans_ivf_oracle(k: int, n_iter: int, seed: int, n_queries: int, topk: int
     ),
     pairs AS (
         SELECT bq.vec_id AS query_id, bc.vec_id AS neighbor_id
-        FROM buckets bq
-        JOIN buckets bc ON bc.bucket = bq.bucket AND bc.vec_id <> bq.vec_id
+        FROM probes bq
+        JOIN buckets bc ON bc.bucket = bq.cluster AND bc.vec_id <> bq.vec_id
         WHERE bq.vec_id < {n_queries}
     ),
     dots AS (
@@ -562,13 +571,17 @@ def _kmeans_ivf_oracle(k: int, n_iter: int, seed: int, n_queries: int, topk: int
 
 @register(
     "q38_ivf_bucketed_ann",
-    _kmeans_ivf_oracle(KM_K, KM_ITER, KM_SEED, n_queries=20, topk=5),
+    _kmeans_ivf_oracle(
+        KM_K, KM_ITER, KM_SEED, n_queries=20, topk=5, nprobe=KM_NPROBE
+    ),
     description="IVF ANN with a TRAINED k-means coarse quantizer "
     "(llm/similarity.py kmeans_centroids, Lloyd's as DataFrame algebra): "
     "the codebook partitions the corpus into nearest-centroid cells and "
-    "each query exactly re-ranks only its own cell (cell = physical "
-    "partition key at scale). The oracle recomputes the identical "
-    "codebook in SQL — training is cross-engine bit-exact",
+    "each query exactly re-ranks its nprobe=2 nearest cells (FAISS's "
+    "recall/cost dial; cell = physical partition key at scale, a query "
+    "touches nprobe partitions). The oracle recomputes the identical "
+    "codebook in SQL — training and probe selection are cross-engine "
+    "bit-exact",
     tags=("similarity",),
 )
 def q38(spark: SparkSession, sf: str) -> DataFrame:
@@ -583,7 +596,7 @@ def q38(spark: SparkSession, sf: str) -> DataFrame:
     if cents is None:
         cents = kmeans_centroids(emb, k=KM_K, n_iter=KM_ITER, seed=KM_SEED)
         _CODEBOOKS[sf] = cents
-    return ivf_topk(emb, cents, k=5, n_queries=20)
+    return ivf_topk(emb, cents, k=5, n_queries=20, nprobe=KM_NPROBE)
 
 
 _CODEBOOKS: dict[str, list[list[float]]] = {}

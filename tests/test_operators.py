@@ -406,6 +406,53 @@ class TestHllSketchRollups:
             assert abs(est - n) / n < 0.05, (n, est)
 
 
+class TestIvfMultiProbe:
+    def _emb(self, spark):
+        import random
+
+        rng = random.Random(11)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(40)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_full_probe_equals_brute_force(self, spark):
+        """nprobe = k probes every cell, so IVF must return EXACTLY the
+        brute-force ranking (same cosines, same tie-break)."""
+        from etl_pipelines_spark.llm.similarity import (
+            brute_force_topk,
+            ivf_topk,
+            kmeans_centroids,
+        )
+
+        emb = self._emb(spark)
+        cents = kmeans_centroids(emb, k=3, n_iter=2)
+        ivf = ivf_topk(emb, cents, k=4, n_queries=5, nprobe=3).collect()
+        brute = brute_force_topk(
+            emb, emb.filter("vec_id < 5"), k=4
+        ).collect()
+        key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+        assert sorted(map(key, ivf)) == sorted(map(key, brute))
+
+    def test_more_probes_never_degrade(self, spark):
+        """At equal rank, nprobe=2's neighbor is at least as close as
+        nprobe=1's — the recall dial only adds candidates."""
+        from etl_pipelines_spark.llm.similarity import ivf_topk, kmeans_centroids
+
+        emb = self._emb(spark)
+        cents = kmeans_centroids(emb, k=4, n_iter=2)
+        one = {
+            (r["query_id"], r["rank"]): r["cosine"]
+            for r in ivf_topk(emb, cents, k=3, n_queries=5, nprobe=1).collect()
+        }
+        two = {
+            (r["query_id"], r["rank"]): r["cosine"]
+            for r in ivf_topk(emb, cents, k=3, n_queries=5, nprobe=2).collect()
+        }
+        for key_, cos1 in one.items():
+            assert two[key_] >= cos1
+
+
 class TestPortableHll:
     def test_merge_of_fine_equals_direct(self, spark):
         """Register tables built per (k, g) then max-merged to k must
