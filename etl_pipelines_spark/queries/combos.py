@@ -211,6 +211,8 @@ _Q52_MEMBERS = [
     ("colloc", "q69_bigram_collocations",
      {"s1": "bigram", "c1": "c_xy", "c2": "c_x", "c3": "c_y",
       "x": "lift"}),
+    ("bm25", "q81_bm25_retrieval",
+     {"a": "doc_id", "c1": "n_hit", "c2": "rank", "x": "score"}),
 ]
 
 _Q55_SCHEMA = [
@@ -232,12 +234,14 @@ _Q55_MEMBERS = [
 def _q52_frames(words: DataFrame) -> dict[str, DataFrame]:
     from etl_pipelines_spark.queries.llmops import (
         _bigram_collocations,
+        _bm25_retrieval,
         _tfidf_top_terms,
     )
 
     return {
         "tfidf": _tfidf_top_terms(None, words=words),
         "colloc": _bigram_collocations(None, words=words),
+        "bm25": _bm25_retrieval(None, words=words),
     }
 
 
@@ -500,10 +504,11 @@ _COMBOS = [
     ),
     _combo(
         "q52_term_mining",
-        "Corpus term statistics, tagged: TF-IDF top terms per doc (q52)"
-        " and PMI-style bigram collocations (q69). Both members share"
-        " one lazily-shared pre-split words expression inside the"
-        " suite.",
+        "Corpus term statistics & retrieval, tagged: TF-IDF top terms"
+        " per doc (q52), PMI-style bigram collocations (q69), and BM25"
+        " top-10 retrieval for a deterministic query (q81). Members"
+        " share one lazily-shared pre-split words expression inside"
+        " the suite.",
         _Q52_SCHEMA,
         _Q52_MEMBERS,
         ("text", "agg"),

@@ -819,6 +819,128 @@ def _tfidf_top_terms(docs: DataFrame, words: DataFrame | None = None) -> DataFra
     )
 
 
+# --------------------------------------------------------------------- q81
+# BM25 constants; the per-term score is floor-scaled to BIGINT before
+# the per-doc sum so accumulation order cannot move a bit.
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@register(
+    "q81_bm25_retrieval",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS total_tokens
+        FROM dl
+    ),
+    dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    q AS (
+        SELECT DISTINCT token FROM toks WHERE doc_id = 0
+        ORDER BY token LIMIT 5
+    ),
+    terms AS (
+        SELECT t.doc_id,
+               CAST(FLOOR(
+                   ((CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+                    / (CAST(f.df AS DOUBLE) + 0.5))
+                   * (CAST(t.tf AS DOUBLE) * ({BM25_K1} + 1.0))
+                   / (CAST(t.tf AS DOUBLE)
+                      + {BM25_K1} * (1.0 - {BM25_B}
+                         + {BM25_B} * CAST(d.dl AS DOUBLE)
+                           / (CAST(s.total_tokens AS DOUBLE)
+                              / CAST(s.n_docs AS DOUBLE))))
+                   * 1e9) AS BIGINT) AS term_scaled
+        FROM tf t
+        JOIN q ON q.token = t.token
+        JOIN dfreq f ON f.token = t.token
+        JOIN dl d ON d.doc_id = t.doc_id
+        CROSS JOIN stats s
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_hit,
+               CAST(CAST(SUM(term_scaled) AS DOUBLE) / 1e9 AS DOUBLE) AS score
+        FROM terms GROUP BY 1
+    )
+    SELECT doc_id, n_hit, score,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+    description="BM25 retrieval (the RAG candidate scorer TF-IDF feeds "
+    "into): top-10 docs for a deterministic 5-term query (doc 0's "
+    "alphabetically-first tokens) under k1=1.2, b=0.75, with the q52 "
+    "RATIONAL idf — no ln(). Each per-term score floor-scales to "
+    "BIGINT before the per-doc sum, so accumulation order cannot move "
+    "a bit in either engine. The query-term set and vocabulary tables "
+    "broadcast; the token stream shuffles once on (doc, token)",
+    tags=("text", "similarity"),
+)
+def q81(spark: SparkSession, sf: str) -> DataFrame:
+    return _bm25_retrieval(t(spark, sf, "documents"))
+
+
+def _bm25_retrieval(docs: DataFrame, words: DataFrame | None = None) -> DataFrame:
+    """q81 body, shareable via a pre-split `words` frame (doc_id, _w)."""
+    from pyspark.sql import Window
+
+    if words is None:
+        toks = docs.repartition("doc_id").select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+    else:
+        toks = words.select("doc_id", F.explode("_w").alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens")
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    q = (
+        toks.filter(F.col("doc_id") == 0)
+        .select("token")
+        .distinct()
+        .orderBy("token")
+        .limit(5)
+    )
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
+    idf = (
+        (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    num = F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0)
+    den = F.col("tf").cast("double") + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl").cast("double") / avgdl
+    )
+    terms = (
+        tf.join(F.broadcast(q), "token")
+        .join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(idf * num / den * F.lit(1e9)).cast("long").alias("term_scaled"),
+        )
+    )
+    scored = terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hit"),
+        (F.sum("term_scaled").cast("double") / F.lit(1e9)).alias("score"),
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "n_hit", "score", "rank")
+    )
+
+
 # --------------------------------------------------------------------- q53
 @register(
     "q53_group_quantiles",
