@@ -35,7 +35,9 @@ from etl_pipelines_spark.llm.dedup import (
     cluster_labels,
     doc_shingles,
     exact_dedup,
+    exact_dedup_incremental,
     lsh_candidate_pairs,
+    lsh_dedup_incremental,
     minhash_signatures,
     token_jaccard,
 )
@@ -79,22 +81,7 @@ def prepare_corpus(
     deduped = exact_dedup(gated)
     report.stage_counts["exact_dedup"] = deduped.count()
 
-    sh = doc_shingles(deduped).persist()
-    sh.count()  # feeds signatures AND the Jaccard verify
-    sigs = minhash_signatures(deduped, shingles=sh)
-    pairs = lsh_candidate_pairs(sigs)
-    dup = token_jaccard(deduped, pairs, shingles=sh).filter(
-        F.col("jaccard") >= jaccard_threshold
-    )
-    # auto dispatch: star above the edge threshold (shape-insensitive
-    # O(log n)), diameter-bounded propagation below it — and propagation
-    # itself falls back to star if it exhausts its round budget
-    labels = cluster_labels(dup, algorithm="auto")
-    canonical = (
-        deduped.join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
-        .filter(F.coalesce(F.col("label"), F.col("doc_id")) == F.col("doc_id"))
-        .drop("label")
-    )
+    canonical = near_dup_canonical(deduped, jaccard_threshold)
     report.stage_counts["near_dup_canonical"] = canonical.count()
 
     cleaned = chunk_dedup(canonical).filter(F.col("n_kept") > 0)
@@ -116,8 +103,69 @@ def prepare_corpus(
     report.stage_counts["sampled"] = report.out_rows = (
         spark.read.parquet(out_dir).count()
     )
-    sh.unpersist()
+    spark.catalog.clearCache()  # release the shingle frame near_dup persisted
     return report
+
+
+def near_dup_canonical(
+    deduped: DataFrame, jaccard_threshold: float = 0.5
+) -> DataFrame:
+    """One-shot near-dup canonicalization: MinHash-LSH candidates,
+    exact Jaccard verify, connected components, keep the lowest id per
+    cluster. One persisted shingle scan feeds signatures AND verify."""
+    sh = doc_shingles(deduped).persist()
+    sh.count()  # feeds signatures AND the Jaccard verify
+    sigs = minhash_signatures(deduped, shingles=sh)
+    pairs = lsh_candidate_pairs(sigs)
+    dup = token_jaccard(deduped, pairs, shingles=sh).filter(
+        F.col("jaccard") >= jaccard_threshold
+    )
+    # auto dispatch: star above the edge threshold (shape-insensitive
+    # O(log n)), diameter-bounded propagation below it — and propagation
+    # itself falls back to star if it exhausts its round budget
+    labels = cluster_labels(dup, algorithm="auto")
+    return (
+        deduped.join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .filter(F.coalesce(F.col("label"), F.col("doc_id")) == F.col("doc_id"))
+        .drop("label")
+    )
+
+
+def ingest_corpus_batch(
+    batch: DataFrame,
+    state: dict | None = None,
+    jaccard_threshold: float = 0.5,
+) -> tuple[DataFrame, dict]:
+    """Incrementally-sound corpus ingestion: quality gate -> exact
+    dedup -> near-dup canonicalization for ONE new batch against
+    accumulated state, returning (canonical_survivor_ids, state).
+
+    Composes the two incremental dedup operators: the exact stage
+    keeps one digest row per doc ever kept (exact_dedup_incremental),
+    and the near-dup stage keeps band memberships + shingle arrays +
+    the verified pair graph (lsh_dedup_incremental) so only the new
+    batch is ever shingled. With id-ordered disjoint batches the
+    survivor set after each run is BIT-IDENTICAL to rebuilding the
+    one-shot gate -> exact_dedup -> near_dup_canonical pipeline over
+    everything seen so far (pinned in test_corpus_plan) — the
+    reference's I1 high-water-mark ingestion applied to corpus prep.
+    State frames are tables at scale: digests keyed by digest, bands
+    by band_key, arrays by doc id.
+    """
+    gated = (
+        with_quality_filter(batch)
+        .filter(F.col("quality_pass"))
+        .select(*batch.columns)
+    )
+    fresh, digests = exact_dedup_incremental(
+        gated, state["digests"] if state else None
+    )
+    survivors, lsh_state = lsh_dedup_incremental(
+        fresh.select("doc_id", "text"),
+        state["lsh"] if state else None,
+        threshold=jaccard_threshold,
+    )
+    return survivors, {"digests": digests, "lsh": lsh_state}
 
 
 def stage_summary(report: CorpusReport) -> DataFrame:  # pragma: no cover

@@ -121,6 +121,37 @@ class TestIncrementalLshDedup:
         # state grows with all seen docs, not just survivors
         assert state["arrays"].count() == len(rows)
 
+    def test_ingest_corpus_batch_matches_one_shot_pipeline(self, spark):
+        """The composed incremental ingestion (quality gate -> exact
+        dedup state -> LSH band state) must keep exactly the canonical
+        ids the one-shot gate -> exact_dedup -> near_dup_canonical
+        pipeline keeps on the union."""
+        from etl_pipelines_spark.llm.dedup import exact_dedup
+        from etl_pipelines_spark.llm.text import with_quality_filter
+        from etl_pipelines_spark.plans.corpus import (
+            ingest_corpus_batch,
+            near_dup_canonical,
+        )
+        from etl_pipelines_spark.sources.registry import load_table
+        from pyspark.sql import functions as F
+
+        docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 400)
+        gated = (
+            with_quality_filter(docs)
+            .filter(F.col("quality_pass"))
+            .select(*docs.columns)
+        )
+        one_shot = near_dup_canonical(exact_dedup(gated))
+        want = {r["doc_id"] for r in one_shot.select("doc_id").collect()}
+        spark.catalog.clearCache()
+
+        b1 = docs.filter(F.col("doc_id") < 200)
+        b2 = docs.filter(F.col("doc_id") >= 200)
+        _, state = ingest_corpus_batch(b1, None)
+        survivors, state = ingest_corpus_batch(b2, state)
+        got = {r["doc_id"] for r in survivors.collect()}
+        assert got == want
+
     def test_batches_on_testdata_slice(self, spark):
         """Same equivalence over real documents rows."""
         from etl_pipelines_spark.llm.dedup import lsh_dedup_incremental
