@@ -193,6 +193,31 @@ class TestLLMPipelineShapes:
         assert "Join" not in plan and "collect_set" not in plan
         assert shuffle_exchanges(plan) <= 3  # repartition, shingle agg, mask agg
 
+    def test_q80_hll_rollup_single_exchange_no_window(self, spark):
+        # the portable HLL is partial-aggregable end to end: register
+        # assignment is map-side string math, bit_or/max partials ride
+        # the one transfers-derivation exchange, and the estimate is a
+        # plain groupBy — no Window, no sort, 8 bytes per shingle key.
+        plan = plan_of(spark, "q80_portable_hll_rollup")
+        assert shuffle_exchanges(plan) <= 2
+        assert not re.search(r"^\(\d+\) Window", plan, flags=re.M)
+
+    def test_q81_bm25_joins_broadcast(self, spark):
+        # query-term set, vocabulary, sizes, and corpus stats all ride
+        # broadcasts onto the (doc, token) stream — a shuffled join on
+        # token or doc would mean a dimension stopped broadcasting
+        plan = plan_of(spark, "q81_bm25_retrieval")
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_q38_trained_ivf_python_is_arrow_only(self, spark):
+        # training + assignment + probes + rerank cross to Python only
+        # as Arrow batches; a BatchEvalPython node would mean a
+        # row-at-a-time UDF crept into the ANN path
+        plan = plan_of(spark, "q38_ivf_bucketed_ann")
+        assert "ArrowEvalPython" in plan
+        assert "BatchEvalPython" not in plan
+
     def test_q37_python_boundary_is_arrow_only(self, spark):
         # pandas UDFs surface as ArrowEvalPython; BatchEvalPython would
         # mean a row-at-a-time Python UDF crept into the hot path
