@@ -31,15 +31,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipelines_spark.llm.dedup import (
+    array_jaccard_verify,
     chunk_dedup,
     cluster_labels,
-    doc_shingles,
+    doc_shingle_arrays,
     exact_dedup,
     exact_dedup_incremental,
     lsh_candidate_pairs,
     lsh_dedup_incremental,
     minhash_signatures,
-    token_jaccard,
 )
 from etl_pipelines_spark.llm.mixing import temperature_sample
 from etl_pipelines_spark.llm.text import with_quality_filter
@@ -113,11 +113,12 @@ def near_dup_canonical(
     """One-shot near-dup canonicalization: MinHash-LSH candidates,
     exact Jaccard verify, connected components, keep the lowest id per
     cluster. One persisted shingle scan feeds signatures AND verify."""
-    sh = doc_shingles(deduped).persist()
-    sh.count()  # feeds signatures AND the Jaccard verify
+    arrs = doc_shingle_arrays(deduped).persist()
+    arrs.count()  # feeds signatures AND the array-intersect verify
+    sh = arrs.select("doc_id", F.explode("_toks").alias("shingle"))
     sigs = minhash_signatures(deduped, shingles=sh)
     pairs = lsh_candidate_pairs(sigs)
-    dup = token_jaccard(deduped, pairs, shingles=sh).filter(
+    dup = array_jaccard_verify(pairs, arrays=arrs).filter(
         F.col("jaccard") >= jaccard_threshold
     )
     # auto dispatch: star above the edge threshold (shape-insensitive

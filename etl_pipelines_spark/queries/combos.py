@@ -110,7 +110,6 @@ def _pair_suite_shared_scan(schema, members):
             lsh_candidate_pairs,
             minhash_signatures,
             prefix_filter_pairs,
-            token_jaccard,
         )
         from etl_pipelines_spark.sources.registry import load_table
 
@@ -122,7 +121,7 @@ def _pair_suite_shared_scan(schema, members):
         toks = sh.withColumnRenamed("shingle", "token")
         frames = {
             "minhash": sigs,
-            "lsh": token_jaccard(docs, lsh_candidate_pairs(sigs), shingles=sh),
+            "lsh": array_jaccard_verify(lsh_candidate_pairs(sigs), arrays=arrs),
             "prefix": (
                 array_jaccard_verify(
                     prefix_filter_pairs(docs, 0.5, tokens=toks), arrays=arrs

@@ -17,7 +17,6 @@ from etl_pipelines_spark.llm.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     simhash_near_dups,
-    token_jaccard,
 )
 from etl_pipelines_spark.llm.similarity import (
     brute_force_topk,
@@ -121,12 +120,15 @@ BANDED_SQL = """
     tags=("dedup", "iterative"),
 )
 def q29(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.llm.dedup import array_jaccard_verify, doc_shingle_arrays
+
     docs = t(spark, sf, "documents")
-    sh = doc_shingles(docs).persist()
-    sh.count()  # one shingle scan feeds signatures AND the Jaccard verify
+    arrs = doc_shingle_arrays(docs).persist()
+    arrs.count()  # feeds signatures AND the array-intersect verify
+    sh = arrs.select("doc_id", F.explode("_toks").alias("shingle"))
     sigs = minhash_signatures(docs, shingles=sh)
     pairs = lsh_candidate_pairs(sigs)
-    dup = token_jaccard(docs, pairs, shingles=sh).filter(F.col("jaccard") >= 0.5)
+    dup = array_jaccard_verify(pairs, arrays=arrs).filter(F.col("jaccard") >= 0.5)
     labels = cluster_labels(dup, algorithm="star")
     return (
         docs.select("doc_id")
@@ -262,14 +264,18 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
     tags=("dedup",),
 )
 def q34(spark: SparkSession, sf: str) -> DataFrame:
-    from etl_pipelines_spark.llm.dedup import doc_shingles
+    from etl_pipelines_spark.llm.dedup import array_jaccard_verify, doc_shingle_arrays
 
     docs = t(spark, sf, "documents")
-    sh = doc_shingles(docs).persist()
-    sh.count()  # one shingle scan feeds signatures AND the Jaccard verify
+    # persist the COMPACT per-doc array form; the exploded stream
+    # re-derives as a cheap Generate and the verify fetches arrays by
+    # id (the q74 lesson: 2 exchanges after the generator, not 4)
+    arrs = doc_shingle_arrays(docs).persist()
+    arrs.count()
+    sh = arrs.select("doc_id", F.explode("_toks").alias("shingle"))
     sigs = minhash_signatures(docs, shingles=sh)
     pairs = lsh_candidate_pairs(sigs)
-    return token_jaccard(docs, pairs, shingles=sh)
+    return array_jaccard_verify(pairs, arrays=arrs)
 
 
 # --------------------------------------------------------------------- q35
