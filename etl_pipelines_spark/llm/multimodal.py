@@ -13,9 +13,15 @@ Design (mirrors how a 100 TB training-data pipeline carries media):
 Images decode for REAL: `decode_media` uses PIL when importable and
 falls back to a pure-stdlib PNG decoder (zlib inflate + scanline
 unfiltering) otherwise, driven end-to-end by `extract_image_features`.
-Audio/video decoders (librosa / pyav) are NOT in this container and
-stay a clearly-marked stub; the deterministic byte-level features keep
-that plumbing testable end-to-end too.
+Audio decodes for REAL too: PCM WAV via the stdlib `wave` module
+(`extract_audio_features` emits decoded sample rate / duration / RMS /
+zero-crossings). Video: uncompressed Y4M (YUV4MPEG2) parses for real —
+header + per-frame luma planes — while compressed codecs (h264 etc.,
+which need pyav/ffmpeg not present in this container) remain a
+clearly-marked stub. `resize_images` does REAL nearest/bilinear pixel
+resampling (numpy) over decoded images; the deterministic byte-level
+features in `extract_media_features` keep the plumbing testable even
+for payloads with no real codec.
 """
 
 from __future__ import annotations
@@ -119,16 +125,118 @@ def _png_decode_stdlib(data: bytes) -> dict:
     }
 
 
+def _wav_decode_stdlib(data: bytes) -> dict:
+    """Pure-stdlib PCM WAV decoder (`wave` + numpy frombuffer): returns
+    {sample_rate, n_channels, n_samples, samples} where samples is an
+    int numpy array of shape (n_samples, n_channels). 8-bit unsigned
+    and 16/32-bit signed PCM; compressed WAV (µ-law etc.) raises from
+    `wave` itself."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        n_channels = w.getnchannels()
+        sampwidth = w.getsampwidth()
+        sample_rate = w.getframerate()
+        n_samples = w.getnframes()
+        frames = w.readframes(n_samples)
+    dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(sampwidth)
+    if dtype is None:
+        raise NotImplementedError(f"{8 * sampwidth}-bit PCM not supported")
+    samples = np.frombuffer(frames, dtype=dtype).astype(np.int64)
+    if sampwidth == 1:  # 8-bit WAV is unsigned, centre at 0
+        samples = samples - 128
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "n_samples": n_samples,
+        "samples": samples.reshape(n_samples, n_channels),
+    }
+
+
+_Y4M_MAGIC = b"YUV4MPEG2 "
+
+
+def _y4m_decode_stdlib(data: bytes) -> dict:
+    """Pure-stdlib Y4M (YUV4MPEG2) parser: stream header, then one raw
+    YUV frame per FRAME marker. Returns {width, height, n_frames,
+    frames} where frames is a list of luma (Y) planes as bytes —
+    chroma subsampling only changes the chroma plane size we skip
+    over. Uncompressed-only by format definition, so this is a REAL
+    video decode path with no codec dependency."""
+    if not data.startswith(_Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 payload")
+    hdr_end = data.index(b"\n")
+    width = height = None
+    chroma = "420"
+    for tok in data[len(_Y4M_MAGIC) : hdr_end].split(b" "):
+        if tok[:1] == b"W":
+            width = int(tok[1:])
+        elif tok[:1] == b"H":
+            height = int(tok[1:])
+        elif tok[:1] == b"C":
+            chroma = tok[1:].decode("ascii")
+    if width is None or height is None:
+        raise ValueError("Y4M header missing W/H")
+    y_size = width * height
+    if chroma.startswith("420"):
+        chroma_size = 2 * ((width + 1) // 2) * ((height + 1) // 2)
+    elif chroma.startswith("422"):
+        chroma_size = 2 * ((width + 1) // 2) * height
+    elif chroma.startswith("444"):
+        chroma_size = 2 * y_size
+    elif chroma == "mono":
+        chroma_size = 0
+    else:
+        raise NotImplementedError(f"Y4M chroma mode {chroma!r}")
+    frames = []
+    pos = hdr_end + 1
+    while pos < len(data):
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        pos = data.index(b"\n", pos) + 1
+        frames.append(data[pos : pos + y_size])
+        if len(frames[-1]) != y_size:
+            raise ValueError("truncated Y4M frame")
+        pos += y_size + chroma_size
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": len(frames),
+        "frames": frames,
+    }
+
+
 def decode_media(payload: bytes, media_format: str) -> dict:
-    """Decode a media payload into {width, height, channels, pixels}.
+    """Decode a media payload into a typed dict per modality.
 
     Images are REAL: PIL when importable (any format), else a stdlib
-    PNG decoder (`_png_decode_stdlib`) for image/png. Audio/video stay
-    a clearly-marked stub — librosa/pyav are not in this container —
-    and the Spark side (binary transport, Arrow batching, declared
+    PNG decoder (`_png_decode_stdlib`) for image/png →
+    {width, height, channels, pixels}. Audio is REAL for PCM WAV
+    (stdlib `wave`) → {sample_rate, n_channels, n_samples, samples}.
+    Video is REAL for uncompressed Y4M → {width, height, n_frames,
+    frames}. Compressed audio/video codecs (mp3/h264/…, which need
+    librosa/pyav not present in this container) stay a clearly-marked
+    stub — the Spark side (binary transport, Arrow batching, declared
     output schema) is identical whichever inner decoder runs.
     """
     data = bytes(payload)
+    if media_format.startswith("audio/") or data[:4] == b"RIFF":
+        if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+            return _wav_decode_stdlib(data)
+        raise NotImplementedError(
+            f"audio format {media_format!r} needs librosa/soundfile "
+            "(not installed); PCM WAV decodes via the stdlib path"
+        )
+    if media_format.startswith("video/") or data[:10] == _Y4M_MAGIC:
+        if data[:10] == _Y4M_MAGIC:
+            return _y4m_decode_stdlib(data)
+        raise NotImplementedError(
+            f"video format {media_format!r} needs pyav/ffmpeg "
+            "(not installed); uncompressed Y4M decodes via the stdlib path"
+        )
     is_image = media_format.startswith("image/") or data[:8] == _PNG_MAGIC
     if is_image:
         try:
@@ -160,7 +268,7 @@ def decode_media(payload: bytes, media_format: str) -> dict:
                 "only PNG has a stdlib fallback"
             ) from None
     raise NotImplementedError(
-        "audio/video decoders (librosa/pyav) are not installed; use "
+        f"no decoder for media format {media_format!r}; use "
         "extract_media_features for the byte-level plumbing path"
     )
 
@@ -232,6 +340,171 @@ def extract_image_features(
     return df.select(id_col, payload_col, format_col).mapInPandas(
         run, schema=schema
     )
+
+
+def extract_audio_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
+    format_col: str = "media_format",
+) -> DataFrame:
+    """Arrow-batched REAL audio decoding over a binary column: PCM WAV
+    payloads decode via `decode_media` (stdlib `wave`), emitting the
+    decoded stream parameters plus the two classic signal features —
+    RMS amplitude and the zero-crossing count of the first channel.
+    Same plan contract as the image path: input pruned to (id, payload,
+    format) before the Python boundary, output schema declared."""
+    schema = (
+        f"{id_col} long, sample_rate int, n_channels int, n_samples long, "
+        "duration_s double, rms double, zero_crossings long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                id_col: pdf[id_col].astype("int64"),
+                "sample_rate": [], "n_channels": [], "n_samples": [],
+                "duration_s": [], "rms": [], "zero_crossings": [],
+            }
+            for p, fmt in zip(pdf[payload_col], pdf[format_col]):
+                d = decode_media(p, fmt)
+                ch0 = d["samples"][:, 0]
+                out["sample_rate"].append(d["sample_rate"])
+                out["n_channels"].append(d["n_channels"])
+                out["n_samples"].append(d["n_samples"])
+                out["duration_s"].append(d["n_samples"] / d["sample_rate"])
+                out["rms"].append(
+                    float(np.sqrt(np.mean(np.square(d["samples"], dtype=np.float64))))
+                    if d["n_samples"]
+                    else 0.0
+                )
+                out["zero_crossings"].append(
+                    int(np.count_nonzero(np.signbit(ch0[1:]) != np.signbit(ch0[:-1])))
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col, format_col).mapInPandas(run, schema=schema)
+
+
+def extract_video_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
+    format_col: str = "media_format", n_samples: int = 4,
+) -> DataFrame:
+    """Arrow-batched REAL video decoding over a binary column: Y4M
+    payloads parse via `decode_media`, then the evenly-spaced frame
+    rule (same formula as `sample_frames`: floor(i * n_frames / n)) is
+    applied INSIDE the decoder loop so only the selected frames' luma
+    planes are touched. Emits one row per (doc, sampled frame) with the
+    frame's mean luma — the decode side of the sample_frames plan."""
+    schema = (
+        f"{id_col} long, width int, height int, n_frames int, "
+        "frame_idx long, luma_mean double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p, fmt in zip(
+                pdf[id_col].astype("int64"), pdf[payload_col], pdf[format_col]
+            ):
+                d = decode_media(p, fmt)
+                nf = d["n_frames"]
+                for i in sorted({i * nf // n_samples for i in range(n_samples) if nf}):
+                    plane = d["frames"][i]
+                    rows.append(
+                        {
+                            id_col: doc_id,
+                            "width": d["width"],
+                            "height": d["height"],
+                            "n_frames": nf,
+                            "frame_idx": i,
+                            "luma_mean": float(sum(plane)) / len(plane),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "n_frames", "frame_idx", "luma_mean"
+                ],
+            )
+
+    return df.select(id_col, payload_col, format_col).mapInPandas(run, schema=schema)
+
+
+def resize_images(
+    df: DataFrame,
+    dst_w: int,
+    dst_h: int,
+    method: str = "nearest",
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    format_col: str = "media_format",
+) -> DataFrame:
+    """REAL image resampling over mapInPandas: each payload decodes via
+    `decode_media`, resamples to (dst_w, dst_h) with numpy — nearest
+    (the index-gather every vision pipeline's fast path uses) or
+    bilinear (align-corners=False, the torchvision/PIL convention) —
+    and the resized RGB/grey bytes return as a binary column next to
+    the decoded source dims. The per-image work is pure vectorized
+    numpy: no per-pixel Python loops."""
+    if method not in ("nearest", "bilinear"):
+        raise ValueError(f"unknown resize method {method!r}")
+    schema = (
+        f"{id_col} long, src_w int, src_h int, channels int, "
+        "resized binary, mean_pixel double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def resample(d: dict) -> np.ndarray:
+            w, h, c = d["width"], d["height"], d["channels"]
+            img = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(h, w, c)
+            if method == "nearest":
+                ys = np.minimum((np.arange(dst_h) + 0.5) * h / dst_h, h - 1).astype(int)
+                xs = np.minimum((np.arange(dst_w) + 0.5) * w / dst_w, w - 1).astype(int)
+                return img[ys[:, None], xs[None, :]]
+            # bilinear, align-corners=False: src = (dst + 0.5) * scale - 0.5
+            sy = np.clip((np.arange(dst_h) + 0.5) * h / dst_h - 0.5, 0, h - 1)
+            sx = np.clip((np.arange(dst_w) + 0.5) * w / dst_w - 0.5, 0, w - 1)
+            y0 = np.floor(sy).astype(int)
+            x0 = np.floor(sx).astype(int)
+            y1 = np.minimum(y0 + 1, h - 1)
+            x1 = np.minimum(x0 + 1, w - 1)
+            fy = (sy - y0)[:, None, None]
+            fx = (sx - x0)[None, :, None]
+            img = img.astype(np.float64)
+            top = img[y0][:, x0] * (1 - fx) + img[y0][:, x1] * fx
+            bot = img[y1][:, x0] * (1 - fx) + img[y1][:, x1] * fx
+            return np.clip(
+                np.rint(top * (1 - fy) + bot * fy), 0, 255
+            ).astype(np.uint8)
+
+        for pdf in batches:
+            rows = []
+            for doc_id, p, fmt in zip(
+                pdf[id_col].astype("int64"), pdf[payload_col], pdf[format_col]
+            ):
+                d = decode_media(p, fmt)
+                out = resample(d)
+                rows.append(
+                    {
+                        id_col: doc_id,
+                        "src_w": d["width"],
+                        "src_h": d["height"],
+                        "channels": d["channels"],
+                        "resized": out.tobytes(),
+                        "mean_pixel": float(out.mean()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "src_w", "src_h", "channels", "resized", "mean_pixel"
+                ],
+            )
+
+    return df.select(id_col, payload_col, format_col).mapInPandas(run, schema=schema)
 
 
 def sample_frames(

@@ -52,9 +52,118 @@ def test_sample_frames_even_spacing(media):
         assert len(pairs) == 4
 
 
-def test_decode_media_audio_is_stub():
+def test_decode_media_compressed_codecs_are_stubs():
+    # non-RIFF audio and non-Y4M video need codec libs -> loud stub
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x00\x01", "audio/wav")
+        decode_media(b"\xff\xfb\x90\x00", "audio/mpeg")
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
+
+
+def _make_wav(samples, sample_rate=8000, n_channels=1):
+    """Stdlib WAV writer: 16-bit signed PCM."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+def test_decode_media_decodes_real_wav():
+    sq = [1000, -1000] * 8  # square wave
+    out = decode_media(_make_wav(sq, sample_rate=4000), "audio/wav")
+    assert out["sample_rate"] == 4000
+    assert out["n_channels"] == 1
+    assert out["n_samples"] == 16
+    assert list(out["samples"][:, 0][:4]) == [1000, -1000, 1000, -1000]
+
+
+def test_extract_audio_features_end_to_end(spark):
+    from etl_pipelines_spark.llm.multimodal import extract_audio_features
+
+    sq = [1000, -1000] * 8
+    ramp = [0, 100, 200, 300]
+    df = spark.createDataFrame(
+        [(1, _make_wav(sq, 4000)), (2, _make_wav(ramp, 8000))],
+        "doc_id long, payload binary",
+    ).withColumn("media_format", F.lit("audio/wav"))
+    got = {r["doc_id"]: r for r in extract_audio_features(df).collect()}
+    assert got[1]["sample_rate"] == 4000 and got[1]["n_samples"] == 16
+    assert got[1]["duration_s"] == pytest.approx(16 / 4000)
+    assert got[1]["rms"] == pytest.approx(1000.0)  # square wave: RMS == amplitude
+    assert got[1]["zero_crossings"] == 15  # sign flips between every adjacent pair
+    assert got[2]["rms"] == pytest.approx((sum(s * s for s in ramp) / 4) ** 0.5)
+    assert got[2]["zero_crossings"] == 0
+
+
+def _make_y4m(width, height, frame_luma_fns, chroma="420"):
+    """Stdlib Y4M writer: header + FRAME markers + Y/U/V planes."""
+    out = bytearray(f"YUV4MPEG2 W{width} H{height} F25:1 C{chroma}\n".encode())
+    cw, ch_ = (width + 1) // 2, (height + 1) // 2
+    for fn in frame_luma_fns:
+        out += b"FRAME\n"
+        for y in range(height):
+            out += bytes(fn(x, y) for x in range(width))
+        if chroma != "mono":
+            out += bytes(128 for _ in range(2 * cw * ch_))  # neutral chroma
+    return bytes(out)
+
+
+def test_decode_media_decodes_real_y4m():
+    v = _make_y4m(4, 2, [lambda x, y: 10, lambda x, y: x * 8 + y])
+    out = decode_media(v, "video/y4m")
+    assert (out["width"], out["height"], out["n_frames"]) == (4, 2, 2)
+    assert out["frames"][0] == bytes([10] * 8)
+    assert out["frames"][1] == bytes([0, 8, 16, 24, 1, 9, 17, 25])
+
+
+def test_extract_video_features_samples_frames(spark):
+    from etl_pipelines_spark.llm.multimodal import extract_video_features
+
+    # 8 frames of constant luma == frame index * 10
+    v = _make_y4m(2, 2, [lambda x, y, k=k: k * 10 for k in range(8)])
+    df = spark.createDataFrame([(7, v)], "doc_id long, payload binary").withColumn(
+        "media_format", F.lit("video/y4m")
+    )
+    rows = extract_video_features(df, n_samples=4).collect()
+    # evenly spaced: floor(i * 8 / 4) -> frames 0, 2, 4, 6
+    assert [(r["frame_idx"], r["luma_mean"]) for r in sorted(rows, key=lambda r: r["frame_idx"])] == [
+        (0, 0.0), (2, 20.0), (4, 40.0), (6, 60.0)
+    ]
+    assert all((r["width"], r["height"], r["n_frames"]) == (2, 2, 8) for r in rows)
+
+
+def test_resize_images_nearest_and_bilinear(spark):
+    from etl_pipelines_spark.llm.multimodal import resize_images
+
+    # 4x4 grey gradient PNG: pixel value = x*4 + y*64
+    png = _make_png(4, 4, lambda x, y: (x * 4 + y * 64,), channels=1)
+    df = spark.createDataFrame([(1, png)], "doc_id long, payload binary").withColumn(
+        "media_format", F.lit("image/png")
+    )
+    near = resize_images(df, 2, 2, method="nearest").collect()[0]
+    assert (near["src_w"], near["src_h"], near["channels"]) == (4, 4, 1)
+    # nearest with centre sampling picks src indices floor((i+0.5)*4/2)= {1, 3}
+    assert list(near["resized"]) == [
+        1 * 4 + 1 * 64, 3 * 4 + 1 * 64, 1 * 4 + 3 * 64, 3 * 4 + 3 * 64
+    ]
+    bil = resize_images(df, 2, 2, method="bilinear").collect()[0]
+    # exact 2x downsample with align-corners=False == 2x2 block average
+    assert list(bil["resized"]) == [
+        round((0 + 4 + 64 + 68) / 4), round((8 + 12 + 72 + 76) / 4),
+        round((128 + 132 + 192 + 196) / 4), round((136 + 140 + 200 + 204) / 4),
+    ]
+    assert bil["mean_pixel"] == pytest.approx(sum(bil["resized"]) / 4)
+    # identity resize reproduces the source exactly (both methods)
+    for m in ("nearest", "bilinear"):
+        same = resize_images(df, 4, 4, method=m).collect()[0]
+        assert list(same["resized"]) == [x * 4 + y * 64 for y in range(4) for x in range(4)]
 
 
 def _make_png(width, height, pixel_fn, channels=3, row_filter=0):
