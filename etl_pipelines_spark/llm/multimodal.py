@@ -342,6 +342,134 @@ def extract_image_features(
     )
 
 
+def encode_png(
+    width: int, height: int, pixels: bytes, channels: int = 1, row_filter: int = 1
+) -> bytes:
+    """Pure-stdlib PNG encoder (struct + zlib), the inverse of
+    `_png_decode_stdlib`: 8-bit grey/RGB/grey+alpha/RGBA, None or Sub
+    scanline filtering. Sub is the default so every decode of an
+    encoded payload exercises real unfiltering, not a memcpy."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        c = ctype + payload
+        return (
+            struct.pack(">I", len(payload))
+            + c
+            + struct.pack(">I", zlib.crc32(c) & 0xFFFFFFFF)
+        )
+
+    stride = width * channels
+    raw = bytearray()
+    for y in range(height):
+        row = pixels[y * stride : (y + 1) * stride]
+        if row_filter == 0:
+            raw.append(0)
+            raw += row
+        else:
+            raw.append(1)
+            enc = bytearray(row)
+            for i in range(stride - 1, channels - 1, -1):
+                enc[i] = (row[i] - row[i - channels]) & 0xFF
+            raw += enc
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_wav(samples, sample_rate: int = 16000) -> bytes:
+    """Stdlib PCM WAV encoder (16-bit signed mono)."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def encode_y4m(width: int, height: int, luma_frames: list[bytes]) -> bytes:
+    """Stdlib Y4M encoder: C420 stream with neutral chroma planes."""
+    out = bytearray(f"YUV4MPEG2 W{width} H{height} F25:1 C420\n".encode())
+    chroma = bytes([128]) * (2 * ((width + 1) // 2) * ((height + 1) // 2))
+    for plane in luma_frames:
+        out += b"FRAME\n" + plane + chroma
+    return bytes(out)
+
+
+def synthetic_media_payloads(
+    df: DataFrame, kind: str, id_col: str = "doc_id", size_col: str = "n_chars"
+) -> DataFrame:
+    """Deterministic REAL media payloads derived from (id, size):
+    encode each row as an actual PNG / PCM WAV / Y4M stream whose
+    content follows a closed-form pixel/sample formula — so a SQL
+    oracle can recompute what a real decode must recover, putting the
+    encoder→decoder round-trip inside the cross-engine correctness
+    gate. Formulas (all arithmetic stays inside one byte / int16, no
+    wraparound, so the closed forms are mod-free):
+
+    - image: w = size%24+2, h = size%16+2, grey pixel(x, y) =
+      3x + 5y + id%97 (Sub-filtered PNG: decode must really unfilter).
+    - audio: n = (size%50)*2+4 samples at 16 kHz, s_i = sign_i*(A+i)
+      with A = id%50+1 and sign alternating -/+ — RMS and the
+      zero-crossing count have exact closed forms.
+    - video: w=4, h=2, F = size%6+2 frames, luma(x, y, f) =
+      3x + 7y + 11f + id%64.
+    """
+    if kind not in ("image", "audio", "video"):
+        raise ValueError(f"unknown synthetic media kind {kind!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, size in zip(
+                pdf[id_col].astype("int64"), pdf[size_col].astype("int64")
+            ):
+                if kind == "image":
+                    w, h = int(size % 24 + 2), int(size % 16 + 2)
+                    base = int(doc_id % 97)
+                    px = bytes(
+                        3 * x + 5 * y + base for y in range(h) for x in range(w)
+                    )
+                    payload, fmt = encode_png(w, h, px), "image/png"
+                elif kind == "audio":
+                    n = int(size % 50) * 2 + 4
+                    amp = int(doc_id % 50) + 1
+                    samples = [
+                        (i % 2 * 2 - 1) * (amp + i) for i in range(n)
+                    ]
+                    payload, fmt = encode_wav(samples), "audio/wav"
+                else:
+                    nf = int(size % 6 + 2)
+                    base = int(doc_id % 64)
+                    frames = [
+                        bytes(
+                            3 * x + 7 * y + 11 * f + base
+                            for y in range(2)
+                            for x in range(4)
+                        )
+                        for f in range(nf)
+                    ]
+                    payload, fmt = encode_y4m(4, 2, frames), "video/y4m"
+                rows.append({id_col: doc_id, "payload": payload, "media_format": fmt})
+            yield pd.DataFrame(rows, columns=[id_col, "payload", "media_format"])
+
+    return df.select(id_col, size_col).mapInPandas(
+        run, schema=f"{id_col} long, payload binary, media_format string"
+    )
+
+
 def extract_audio_features(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
     format_col: str = "media_format",

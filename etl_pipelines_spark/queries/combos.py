@@ -437,15 +437,30 @@ _COMBOS = [
     _combo(
         "q39_multimodal_suite",
         "Binary-column multimodal plumbing, tagged: Arrow-batched byte"
-        " features (q39) and evenly-spaced frame sampling (q40).",
+        " features (q39), evenly-spaced frame sampling (q40), and the"
+        " REAL codec round-trips — synthetic PNG/WAV/Y4M payloads"
+        " encoded then genuinely decoded, with the oracle recomputing"
+        " the decoded stats from each generator's closed form (q82"
+        " image, q83 audio, q84 video).",
         [("doc", "bigint"), ("b", "bigint"), ("c", "bigint"),
-         ("s", "string"), ("x", "double")],
+         ("d", "bigint"), ("e", "bigint"), ("s", "string"),
+         ("x", "double"), ("y", "double")],
         [
             ("bytes", "q39_multimodal_features",
              {"doc": "doc_id", "b": "n_bytes", "s": "sha256",
               "x": "byte_mean"}),
             ("frames", "q40_frame_sampling",
              {"doc": "doc_id", "b": "sample_no", "c": "frame_idx"}),
+            ("img", "q82_image_decode",
+             {"doc": "doc_id", "b": "width", "c": "height",
+              "d": "channels", "x": "mean_pixel"}),
+            ("wav", "q83_audio_decode",
+             {"doc": "doc_id", "b": "n_samples", "c": "zero_crossings",
+              "d": "sample_rate", "e": "n_channels",
+              "x": "duration_s", "y": "rms"}),
+            ("vid", "q84_video_decode",
+             {"doc": "doc_id", "b": "frame_idx", "c": "n_frames",
+              "d": "width", "e": "height", "x": "luma_mean"}),
         ],
         ("multimodal",),
     ),

@@ -1974,3 +1974,104 @@ def q74(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+# --------------------------------------------------------------------- q82
+@register(
+    "q82_image_decode",
+    """
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           1 AS channels,
+           CAST(3 * h * (w * (w - 1) // 2)
+                + 5 * w * (h * (h - 1) // 2)
+                + w * h * (doc_id % 97) AS DOUBLE) / (w * h) AS mean_pixel
+    FROM (
+        SELECT doc_id, n_chars % 24 + 2 AS w, n_chars % 16 + 2 AS h
+        FROM documents
+    )
+    """,
+    description="REAL image decode in the gate: deterministic grey PNGs "
+    "(Sub-filtered, pixel = 3x+5y+id%97) are ENCODED then DECODED "
+    "through the stdlib/PIL path inside Arrow batches; the oracle "
+    "recomputes width/height/mean from the closed form, so a decoder "
+    "that mangles one pixel (bad unfilter, bad inflate) hash-mismatches",
+    tags=("multimodal",),
+)
+def q82(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.llm.multimodal import (
+        extract_image_features,
+        synthetic_media_payloads,
+    )
+
+    docs = t(spark, sf, "documents")
+    return extract_image_features(synthetic_media_payloads(docs, "image"))
+
+
+# --------------------------------------------------------------------- q83
+@register(
+    "q83_audio_decode",
+    """
+    SELECT doc_id,
+           16000 AS sample_rate,
+           1 AS n_channels,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n AS DOUBLE) / 16000 AS duration_s,
+           sqrt(CAST(((a + n - 1) * (a + n) * (2 * (a + n - 1) + 1) // 6
+                      - (a - 1) * a * (2 * (a - 1) + 1) // 6)
+                AS DOUBLE) / n) AS rms,
+           CAST(n - 1 AS BIGINT) AS zero_crossings
+    FROM (
+        SELECT doc_id, (n_chars % 50) * 2 + 4 AS n, doc_id % 50 + 1 AS a
+        FROM documents
+    )
+    """,
+    description="REAL audio decode in the gate: alternating-sign PCM "
+    "ramps (s_i = sign_i*(A+i)) are ENCODED as 16-bit WAV then DECODED "
+    "via the stdlib wave path; RMS has the exact square-pyramidal "
+    "closed form (integer sums -> one division -> IEEE-correctly-"
+    "rounded sqrt on both engines) and zero-crossings = n-1",
+    tags=("multimodal",),
+)
+def q83(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.llm.multimodal import (
+        extract_audio_features,
+        synthetic_media_payloads,
+    )
+
+    docs = t(spark, sf, "documents")
+    return extract_audio_features(synthetic_media_payloads(docs, "audio"))
+
+
+# --------------------------------------------------------------------- q84
+@register(
+    "q84_video_decode",
+    """
+    SELECT doc_id,
+           4 AS width,
+           2 AS height,
+           CAST(nf AS INT) AS n_frames,
+           CAST(UNNEST([0, nf // 2]) AS BIGINT) AS frame_idx,
+           CAST(64 + 88 * UNNEST([0, nf // 2])
+                + 8 * (doc_id % 64) AS DOUBLE) / 8 AS luma_mean
+    FROM (
+        SELECT doc_id, n_chars % 6 + 2 AS nf FROM documents
+    )
+    """,
+    description="REAL video decode in the gate: multi-frame Y4M streams "
+    "(luma = 3x+7y+11f+id%64) are ENCODED then PARSED by the stdlib "
+    "YUV4MPEG2 path with evenly-spaced frame sampling (frames 0 and "
+    "nf//2); per-frame luma means follow the closed form",
+    tags=("multimodal",),
+)
+def q84(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.llm.multimodal import (
+        extract_video_features,
+        synthetic_media_payloads,
+    )
+
+    docs = t(spark, sf, "documents")
+    return extract_video_features(
+        synthetic_media_payloads(docs, "video"), n_samples=2
+    )

@@ -255,3 +255,34 @@ def test_resize_media_scale_factors(media):
     assert r["scale_x"] == 224 / 12 and r["scale_y"] == 224 / 12
     assert r["n_bytes_out"] == 224 * 224 * 3
     assert set(rows) == {1, 2, 3}
+
+
+def test_encode_png_roundtrips_through_decoder():
+    from etl_pipelines_spark.llm.multimodal import encode_png
+
+    for ch in (1, 3):
+        px = bytes((x * 3 + c) % 256 for x in range(6 * 4) for c in range(ch))
+        for rf in (0, 1):
+            out = decode_media(encode_png(6, 4, px, channels=ch, row_filter=rf), "image/png")
+            assert (out["width"], out["height"], out["channels"]) == (6, 4, ch)
+            assert out["pixels"] == px
+
+
+def test_synthetic_media_payloads_decode_to_closed_forms(spark):
+    from etl_pipelines_spark.llm.multimodal import synthetic_media_payloads
+
+    docs = spark.createDataFrame(
+        [(5, 13), (98, 0)], "doc_id long, n_chars long"
+    )
+    img = {r["doc_id"]: r for r in synthetic_media_payloads(docs, "image").collect()}
+    d = decode_media(img[5]["payload"], img[5]["media_format"])
+    w, h = 13 % 24 + 2, 13 % 16 + 2
+    assert (d["width"], d["height"]) == (w, h)
+    assert sum(d["pixels"]) == 3 * h * (w * (w - 1) // 2) + 5 * w * (h * (h - 1) // 2) + w * h * (5 % 97)
+    wav = {r["doc_id"]: r for r in synthetic_media_payloads(docs, "audio").collect()}
+    a = decode_media(wav[98]["payload"], "audio/wav")
+    assert a["n_samples"] == 4 and list(a["samples"][:, 0]) == [-49, 50, -51, 52]
+    vid = {r["doc_id"]: r for r in synthetic_media_payloads(docs, "video").collect()}
+    v = decode_media(vid[5]["payload"], "video/y4m")
+    assert v["n_frames"] == 13 % 6 + 2
+    assert sum(v["frames"][1]) == 64 + 88 * 1 + 8 * (5 % 64)
