@@ -49,21 +49,29 @@ def main() -> None:
         _warm("id")
     ).write.format("noop").mode("overwrite").save()
 
-    # min over N_RUNS: run 1 pays per-query codegen/JIT compilation,
-    # which a long-running cluster amortizes to zero — the min measures
-    # steady-state engine throughput and damps co-tenant noise
-    N_RUNS = 2
+    # min over adaptive runs: early runs pay per-query codegen + JVM
+    # JIT compilation, which a long-running cluster amortizes to zero —
+    # the min measures steady-state engine throughput and damps
+    # co-tenant noise. Most queries converge in 2 runs; big fused plans
+    # (q75) keep improving 2-4x for a couple more, so keep re-running
+    # while the latest run still beats the best so far by >20%,
+    # bounded at 4 runs.
+    MIN_RUNS, MAX_RUNS = 2, 4
     timings: dict[str, float] = {}
     for name, spec in sorted(QUERIES.items()):
-        best = float("inf")
-        for _ in range(N_RUNS):
+        runs: list[float] = []
+        while len(runs) < MAX_RUNS:
             t0 = time.time()
             spec.spark_fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
+            t_run = time.time() - t0
             # LSH queries persist signature/bucket tables (read from
             # multiple join branches); free them between runs
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+            still_warming = runs and t_run < 0.8 * min(runs)
+            runs.append(t_run)
+            if len(runs) >= MIN_RUNS and not still_warming:
+                break
+        timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     # The driver captures only a bounded tail of stdout: emit ONE compact

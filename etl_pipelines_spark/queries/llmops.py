@@ -1316,18 +1316,21 @@ def _unigram_likelihood(docs: DataFrame, words: DataFrame | None = None) -> Data
         toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     else:
         toks = words.select("doc_id", F.explode("_w").alias("token"))
+    from pyspark.sql import Window
+
+    # ONE pass over the token stream: the corpus frequency of each
+    # token is a window sum over the tf frame (a broadcast-joined
+    # vocab table would re-execute the scan+split+explode subtree to
+    # BUILD the broadcast — the q52 df lesson), and the corpus total
+    # is a global window over the doc-level aggregate (20k rows, not
+    # the token stream), so nothing upstream runs twice.
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
-    vocab = tf.groupBy("token").agg(F.sum("cnt").alias("c"))
-    total = vocab.agg(F.sum("c").alias("corpus_tokens"))
-    agg = (
-        tf.join(F.broadcast(vocab), "token")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("cnt").alias("n_tokens"),
-            F.sum(F.col("cnt") * F.col("c")).alias("freq_mass"),
-        )
+    tfc = tf.withColumn("c", F.sum("cnt").over(Window.partitionBy("token")))
+    agg = tfc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.sum(F.col("cnt") * F.col("c")).alias("freq_mass"),
     )
-    return agg.crossJoin(F.broadcast(total)).select(
+    return agg.select(
         "doc_id",
         "n_tokens",
         "freq_mass",
@@ -1335,7 +1338,7 @@ def _unigram_likelihood(docs: DataFrame, words: DataFrame | None = None) -> Data
             F.col("freq_mass").cast("double")
             / (
                 F.col("n_tokens").cast("double")
-                * F.col("corpus_tokens").cast("double")
+                * F.sum("n_tokens").over(Window.partitionBy()).cast("double")
             )
         ).alias("avg_token_prob"),
     )

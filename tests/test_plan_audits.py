@@ -139,13 +139,17 @@ class TestLLMPipelineShapes:
         assert "Generate" in plan and "BroadcastHashJoin" in plan
         assert shuffle_exchanges(plan) == 2
 
-    def test_q62_vocab_join_broadcasts(self, spark):
-        # the vocabulary table must broadcast onto the per-doc term
-        # counts; a sort-merge join here re-shuffles the whole token
-        # stream on token just to look up corpus counts
+    def test_q62_single_pass_no_self_join(self, spark):
+        # corpus token frequencies ride a window over the tf frame and
+        # the corpus total a global window over the doc-level aggregate
+        # — NO self-derived join (building a broadcast from the tf
+        # subtree re-executes scan+split+explode once per consumer),
+        # so the token stream is scanned exactly once
         plan = plan_of(spark, "q62_unigram_likelihood")
-        assert "BroadcastHashJoin" in plan
-        assert "SortMergeJoin" not in plan
+        assert "Join" not in plan
+        # formatted explain prints each node twice (tree + detail)
+        assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)) == 1
+        assert "Window" in plan
 
     def test_q63_growth_curve_aggregates_before_global_window(self, spark):
         # the single-partition running-sum window is tolerated ONLY
