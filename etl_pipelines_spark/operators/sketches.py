@@ -225,3 +225,137 @@ def sketch_estimate(sketch_col: str = "sketch", out: str = "n_distinct_est") -> 
     """Column expression: read the distinct-count estimate off a
     sketch."""
     return F.hll_sketch_estimate(F.col(sketch_col)).alias(out)
+
+
+# ---------------------------------------------------- portable Bloom filter
+#
+# Membership pre-filtering at 100 TB: build a compact bit array over
+# the small side's key set, broadcast it, and drop probe rows that
+# cannot match BEFORE the real join's shuffle (the runtime equivalent
+# of Spark's own bloom-join optimization, but as an explicit, storable,
+# mergeable operator — filters for different partitions/days union via
+# bitwise OR exactly like the HLL registers max-merge).
+#
+# Portable tier (here): bit indices come from the same md5 idiom as
+# KMV/HLL (first 12 hex chars of md5(value + '#' + i) mod m), so the
+# filter CONTENTS — and therefore every false positive — are
+# bit-identical in Spark and DuckDB and the whole build+probe sits in
+# the correctness gate (q85). Production tier: Bloom pushdown via AQE
+# (spark.sql.optimizer.runtime.bloomFilter.enabled) when portability
+# does not matter.
+
+BLOOM_BITS = 4096  # m: power of two so `mod` is a mask at any scale
+BLOOM_HASHES = 4  # k
+
+
+def _shl1(bits: F.Column) -> F.Column:
+    """1L << bits with a COLUMN shift amount (the python shiftleft
+    wrapper only takes a literal int)."""
+    return F.call_function("shiftleft", F.lit(1).cast("long"), bits)
+
+
+def _bloom_bit(value: F.Column, i: int, m_bits: int) -> F.Column:
+    """Bit index of hash function i: kmv_hash(value + '#' + i) mod m."""
+    return kmv_hash(F.concat(value, F.lit(f"#{i}"))) % F.lit(m_bits)
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    m_bits: int = BLOOM_BITS,
+    k: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Build a Bloom filter over a column: ONE row with
+    (words array<bigint> of length m/64, m_bits, k).
+
+    The set-bit stream pre-aggregates map-side (groupBy word index +
+    bit_or partials), so the shuffle carries at most m/64 rows per
+    partition no matter how many build values there are; the dense
+    array assembles from the word-count-sized sparse table. Filters
+    built over disjoint slices merge with `bloom_merge` (bitwise OR,
+    associative) — the stored-rollup discipline.
+    """
+    n_words = m_bits // 64
+    val = F.col(value_col).cast("string")
+    bits = df.select(
+        F.explode(
+            F.array(*[_bloom_bit(val, i, m_bits) for i in range(k)])
+        ).alias("_bit")
+    )
+    sparse = bits.groupBy((F.col("_bit") / 64).cast("int").alias("_w")).agg(
+        F.bit_or(_shl1((F.col("_bit") % 64).cast("int"))).alias(
+            "_word"
+        )
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0).cast("long")),
+    )
+    return (
+        sparse.groupBy()
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("_w", "_word"))).alias("_m")
+        )
+        .select(
+            dense.alias("words"),
+            F.lit(m_bits).alias("m_bits"),
+            F.lit(k).alias("k"),
+        )
+    )
+
+
+def bloom_merge(filters: DataFrame) -> DataFrame:
+    """OR-merge Bloom filters built with identical (m_bits, k): one row
+    per (m_bits, k) whose words are the element-wise bit_or — the same
+    mergeable-state contract as the HLL register max-merge."""
+    exploded = filters.select(
+        "m_bits", "k", F.posexplode("words").alias("_w", "_word")
+    )
+    ored = exploded.groupBy("m_bits", "k", "_w").agg(
+        F.bit_or("_word").alias("_word")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), (F.col("m_bits") / 64).cast("int") - 1),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0).cast("long")),
+    )
+    return (
+        ored.groupBy("m_bits", "k")
+        .agg(F.map_from_entries(F.collect_list(F.struct("_w", "_word"))).alias("_m"))
+        .select(dense.alias("words"), "m_bits", "k")
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    value_col: str,
+    bloom: DataFrame,
+    out_col: str = "in_bloom",
+    m_bits: int = BLOOM_BITS,
+    k: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Probe: append `out_col` (boolean) = all k bits set.
+
+    The 1-row filter broadcasts; each probe's k word lookups + mask
+    tests are pure codegen expressions (element_at + bitwiseAND) — no
+    explode, no extra shuffle, so the probe side never moves. No false
+    negatives by construction; false positives are deterministic given
+    the hash idiom (and therefore oracle-checkable)."""
+    val = F.col(value_col).cast("string")
+    checks = [
+        (
+            F.element_at(
+                F.col("words"),
+                (_bloom_bit(val, i, m_bits) / 64).cast("int") + 1,
+            ).bitwiseAND(_shl1((_bloom_bit(val, i, m_bits) % 64).cast("int")))
+            != 0
+        )
+        for i in range(k)
+    ]
+    cond = checks[0]
+    for c in checks[1:]:
+        cond = cond & c
+    return (
+        df.crossJoin(F.broadcast(bloom.select("words")))
+        .withColumn(out_col, cond)
+        .drop("words")
+    )

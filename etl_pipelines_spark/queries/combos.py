@@ -487,16 +487,21 @@ _COMBOS = [
     ),
     _combo(
         "q51_sketch_suite",
-        "Approximate distinct-count sketches, tagged: exact-checkable"
-        " KMV per coin (q51) and the mergeable cross-engine-exact"
-        " portable HLL rollup built at month grain and max-merged"
-        " (q80).",
-        [("a", "bigint"), ("c", "bigint"), ("x", "double")],
+        "Cross-engine-exact portable sketches, tagged: KMV distinct"
+        " count per coin (q51), the mergeable portable HLL rollup"
+        " built at month grain and max-merged (q80), and the portable"
+        " Bloom filter build+probe whose false-positive set matches"
+        " the oracle bit-for-bit (q85).",
+        [("a", "bigint"), ("c", "bigint"), ("d", "bigint"),
+         ("x", "double")],
         [
             ("kmv", "q51_kmv_distinct_sketch",
              {"a": "coin_id", "c": "n_min", "x": "kmv_estimate"}),
             ("hll", "q80_portable_hll_rollup",
              {"a": "coin_id", "c": "n_present", "x": "hll_estimate"}),
+            ("bloom", "q85_bloom_filter",
+             {"a": "cust_id", "c": "CAST(in_bloom AS BIGINT)",
+              "d": "CAST(is_member AS BIGINT)"}),
         ],
         ("agg", "sketch"),
     ),

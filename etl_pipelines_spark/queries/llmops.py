@@ -2078,3 +2078,105 @@ def q84(spark: SparkSession, sf: str) -> DataFrame:
     return extract_video_features(
         synthetic_media_payloads(docs, "video"), n_samples=2
     )
+
+
+# --------------------------------------------------------------------- q85
+from etl_pipelines_spark.operators.sketches import (  # noqa: E402
+    BLOOM_BITS,
+    BLOOM_HASHES,
+    kmv_hash_sql,
+)
+
+
+def _bloom_oracle_sql() -> str:
+    """DuckDB twin of the q85 build+probe: identical md5 bit indices,
+    word packing via bit_or over 1<<bit, probe via left join on the
+    word index — so every false positive matches Spark's exactly."""
+    m, k = BLOOM_BITS, BLOOM_HASHES
+    bit = lambda expr: f"({kmv_hash_sql(expr)} % {m})"  # noqa: E731
+    arms = []
+    for i in range(k):
+        arm_expr = bit("CAST(v AS VARCHAR) || '#%d'" % i)
+        arms.append("SELECT %s AS bit FROM members" % arm_expr)
+    build_arms = "\nUNION ALL\n".join(arms)
+    return f"""
+    WITH members AS (
+        SELECT DISTINCT o_custkey AS v FROM orders WHERE o_totalprice > 150000
+    ),
+    bits AS (
+        {build_arms}
+    ),
+    words AS (
+        SELECT bit // 64 AS w, bit_or(
+                   CASE WHEN bit % 64 = 63 THEN (-9223372036854775807 - 1)
+                        ELSE CAST(1 AS BIGINT) << CAST(bit % 64 AS INT) END
+               ) AS word
+        FROM bits GROUP BY 1
+    ),
+    probe_bits AS (
+        SELECT c_custkey,
+               {bit("CAST(c_custkey AS VARCHAR) || '#' || CAST(t.i AS VARCHAR)")} AS bit
+        FROM customer, range(0, {k}) t(i)
+    ),
+    checks AS (
+        SELECT p.c_custkey,
+               COUNT(*) FILTER (
+                   WHERE (COALESCE(w.word, 0)
+                          & (CASE WHEN p.bit % 64 = 63
+                                  THEN (-9223372036854775807 - 1)
+                                  ELSE CAST(1 AS BIGINT)
+                                       << CAST(p.bit % 64 AS INT) END)) != 0
+               ) AS n_set
+        FROM probe_bits p LEFT JOIN words w ON w.w = p.bit // 64
+        GROUP BY 1
+    )
+    SELECT c.c_custkey AS cust_id,
+           (ch.n_set = {k}) AS in_bloom,
+           (m.v IS NOT NULL) AS is_member
+    FROM customer c
+    JOIN checks ch ON ch.c_custkey = c.c_custkey
+    LEFT JOIN members m ON m.v = c.c_custkey
+    """
+
+
+@register(
+    "q85_bloom_filter",
+    _bloom_oracle_sql(),
+    description="Portable Bloom filter, CROSS-ENGINE EXACT (operators/"
+    "sketches.py bloom_build/bloom_probe): build a 4096-bit/4-hash "
+    "filter over big-spender customer ids (bit indices from the KMV "
+    "md5 idiom, words via map-side-combinable bit_or — the shuffle "
+    "carries at most m/64 words per partition regardless of build "
+    "cardinality), broadcast the ONE-row filter, and probe every "
+    "customer with pure-codegen element_at+mask checks (no explode, no "
+    "probe-side shuffle). No false negatives by construction; the "
+    "false-positive SET matches the oracle bit-for-bit because the "
+    "hashes do. Filters over disjoint slices OR-merge (bloom_merge) — "
+    "the same mergeable-state contract as the HLL rollup. Production "
+    "tier at 100 TB: the filter prunes the probe side BEFORE the real "
+    "join's shuffle; Spark's AQE bloom pushdown is the built-in twin",
+    tags=("sketch", "join"),
+)
+def q85(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.operators.sketches import bloom_build, bloom_probe
+
+    orders = t(spark, sf, "orders")
+    customer = t(spark, sf, "customer")
+    members = orders.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("v")
+    ).distinct()
+    bf = bloom_build(members, "v")
+    probed = bloom_probe(
+        customer.select(F.col("c_custkey").alias("cust_id")), "cust_id", bf
+    )
+    return probed.join(
+        members.withColumnRenamed("v", "cust_id").withColumn(
+            "is_member", F.lit(True)
+        ),
+        "cust_id",
+        "left",
+    ).select(
+        "cust_id",
+        "in_bloom",
+        F.coalesce("is_member", F.lit(False)).alias("is_member"),
+    )

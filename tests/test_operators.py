@@ -528,3 +528,47 @@ class TestKmeansCoarseQuantizer:
         a = kmeans_centroids(df, k=3, n_iter=3)
         b = kmeans_centroids(df, k=3, n_iter=3)
         assert a == b
+
+
+class TestBloomFilter:
+    """Portable Bloom filter: build/probe/merge contracts."""
+
+    def test_no_false_negatives_and_low_fpp(self, spark):
+        from etl_pipelines_spark.operators.sketches import bloom_build, bloom_probe
+
+        members = spark.range(0, 300).withColumnRenamed("id", "v")
+        bf = bloom_build(members, "v")
+        row = bf.collect()[0]
+        assert len(row["words"]) == 4096 // 64
+        out = bloom_probe(
+            spark.range(0, 3000).withColumnRenamed("id", "v"), "v", bf
+        ).collect()
+        assert all(r["in_bloom"] for r in out if r["v"] < 300)  # no FNs, ever
+        fp = sum(1 for r in out if r["v"] >= 300 and r["in_bloom"])
+        # m=4096, k=4, n=300 -> fpp ~ (1 - e^(-1200/4096))^4 ~ 0.4%
+        assert fp <= 2700 * 0.02
+
+    def test_merge_equals_one_shot_build(self, spark):
+        from etl_pipelines_spark.operators.sketches import bloom_build, bloom_merge
+
+        members = spark.range(0, 250).withColumnRenamed("id", "v")
+        whole = bloom_build(members, "v").collect()[0]
+        parts = bloom_merge(
+            bloom_build(members.filter("v % 3 = 0"), "v")
+            .unionByName(bloom_build(members.filter("v % 3 = 1"), "v"))
+            .unionByName(bloom_build(members.filter("v % 3 = 2"), "v"))
+        ).collect()[0]
+        assert parts["words"] == whole["words"]
+        assert (parts["m_bits"], parts["k"]) == (4096, 4)
+
+    def test_empty_build_rejects_everything(self, spark):
+        from etl_pipelines_spark.operators.sketches import bloom_build, bloom_probe
+
+        bf = bloom_build(
+            spark.range(0, 100).filter("id < 0").withColumnRenamed("id", "v"), "v"
+        )
+        assert bf.collect()[0]["words"] == [0] * 64
+        out = bloom_probe(
+            spark.range(0, 50).withColumnRenamed("id", "v"), "v", bf
+        ).collect()
+        assert not any(r["in_bloom"] for r in out)

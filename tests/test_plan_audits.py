@@ -310,3 +310,15 @@ class TestAQESkewHandling:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestBloomFilterShape:
+    def test_q85_probe_is_broadcast_and_build_combines_map_side(self, spark):
+        # the 1-row filter must broadcast onto the probe side (no
+        # shuffle of customers to check membership), and the set-bit
+        # stream must pre-aggregate map-side (partial bit_or) so the
+        # build shuffle carries at most m/64 words per partition
+        plan = plan_of(spark, "q85_bloom_filter")
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        assert "partial_bit_or" in plan
+        assert "SortMergeJoin" not in plan
