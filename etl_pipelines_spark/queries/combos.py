@@ -304,8 +304,9 @@ _COMBOS = [
     ),
     _combo(
         "q10_grouping_suite",
-        "A4 conditional-count census (q10) and A12 ROLLUP subtotals"
-        " (q46), tagged.",
+        "A4 conditional-count census (q10), A12 ROLLUP subtotals"
+        " (q46), and arbitrary GROUPING SETS with grouping_id (q87),"
+        " tagged.",
         [("s1", "string"), ("s2", "string"), ("c1", "bigint"),
          ("c2", "bigint"), ("c3", "bigint"), ("x", "double")],
         [
@@ -315,6 +316,9 @@ _COMBOS = [
             ("rollup", "q46_rollup_totals",
              {"s1": "returnflag", "s2": "linestatus", "c1": "n_rows",
               "x": "sum_qty"}),
+            ("gsets", "q87_grouping_sets",
+             {"s1": "status", "s2": "priority", "c1": "gid",
+              "c2": "n_orders", "x": "total_price"}),
         ],
         ("agg",),
     ),
@@ -364,16 +368,21 @@ _COMBOS = [
     ),
     _combo(
         "q24_window_suite",
-        "A11/W5 rank within group (q24) and W3 global running total"
-        " (q25), tagged.",
+        "A11/W5 rank within group (q24), W3 global running total"
+        " (q25), and the distribution-rank window family — ntile /"
+        " percent_rank / cume_dist / nth_value on one sort (q86),"
+        " tagged.",
         [("a", "bigint"), ("b", "bigint"), ("s", "string"),
-         ("r", "bigint"), ("x", "double")],
+         ("r", "bigint"), ("x", "double"), ("y", "double")],
         [
             ("rank", "q24_rank_within_group",
              {"a": "s_nationkey", "b": "s_suppkey", "s": "s_name",
               "r": "bal_rank"}),
             ("running", "q25_global_running_total",
              {"a": "o_orderkey", "x": "running_total"}),
+            ("family", "q86_window_family",
+             {"a": "c_custkey", "b": "nation", "r": "bal_quartile",
+              "x": "bal_pct_rank", "y": "bal_cume_dist"}),
         ],
         ("window",),
     ),
@@ -596,6 +605,23 @@ _COMBOS = [
         ],
         ("mixing",),
     ),
+    _combo(
+        "q77_mutation_suite",
+        "Mapping-table mutations, tagged: MERGE upsert as one"
+        " anti-join+union plan with conflicting-update dedupe (q77)"
+        " and SCD2 snapshot-to-history application — close changed"
+        " versions, re-open new ones, keep the history (q88).",
+        [("a", "bigint"), ("s1", "string"), ("s2", "string"),
+         ("s3", "string"), ("x", "double")],
+        [
+            ("merge", "q77_merge_upsert",
+             {"a": "id", "s1": "name", "x": "v"}),
+            ("scd2", "q88_scd2_history",
+             {"a": "id", "s1": "name", "s2": "valid_from",
+              "s3": "valid_to", "x": "price"}),
+        ],
+        ("merge", "mutation"),
+    ),
 ]
 
 _STANDALONE = [
@@ -628,7 +654,6 @@ _STANDALONE = [
     "q73_pivot_unpivot",
     "q75_wallet_profits_pipeline",
     "q76_external_snapshot_scan",
-    "q77_merge_upsert",
 ]
 
 

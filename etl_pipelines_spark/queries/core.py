@@ -1087,3 +1087,162 @@ def q77(spark: SparkSession, sf: str) -> DataFrame:
     )
     updates = stale.unionByName(fresh).unionByName(inserted)
     return merge_upsert(target, updates, ["id"], order_col="v")
+
+
+# --------------------------------------------------------------------- q86
+@register(
+    "q86_window_family",
+    """
+    SELECT c_custkey,
+           CAST(c_nationkey AS BIGINT) AS nation,
+           CAST(ntile(4) OVER w AS BIGINT) AS bal_quartile,
+           CAST(percent_rank() OVER w AS DOUBLE) AS bal_pct_rank,
+           CAST(cume_dist() OVER w AS DOUBLE) AS bal_cume_dist,
+           CAST(nth_value(c_custkey, 2) OVER (
+               PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS BIGINT) AS second_richest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    description="W-series completion: the distribution-rank window "
+    "family (ntile quartiles, percent_rank, cume_dist, nth_value over "
+    "the full-frame window) per nation — all four ride ONE sort on the "
+    "same (nation, balance) ordering, so the family costs a single "
+    "exchange + sort no matter how many rank flavors stack",
+    tags=("window",),
+)
+def q86(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return t(spark, sf, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.ntile(4).over(w).cast("long").alias("bal_quartile"),
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"),
+        F.nth_value("c_custkey", 2).over(w_full).cast("long").alias(
+            "second_richest"
+        ),
+    )
+
+
+# --------------------------------------------------------------------- q87
+@register(
+    "q87_grouping_sets",
+    """
+    SELECT COALESCE(o_orderstatus, '<all>') AS status,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38, 6))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority), ())
+    """,
+    description="A12 completion: arbitrary GROUPING SETS (not just the "
+    "ROLLUP prefix chain — the (priority)-only set is unreachable by "
+    "rollup/cube) with grouping_id disambiguating NULL-as-group from "
+    "NULL-as-subtotal. One shuffle covers all four sets via Spark's "
+    "Expand+partial-aggregate, which is the right use of Expand (each "
+    "input row feeds every set it belongs to); sums are DECIMAL-exact",
+    tags=("agg",),
+)
+def q87(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "orders")
+        .groupingSets(
+            [
+                [F.col("o_orderstatus"), F.col("o_orderpriority")],
+                [F.col("o_orderstatus")],
+                [F.col("o_orderpriority")],
+                [],
+            ],
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_price"),
+            (
+                F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
+            ).cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "gid",
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+# --------------------------------------------------------------------- q88
+@register(
+    "q88_scd2_history",
+    """
+    WITH s1 AS (
+        SELECT p_partkey AS id, p_name AS name,
+               CAST(p_retailprice AS DOUBLE) AS price
+        FROM part
+    )
+    SELECT id, name, price,
+           '2024-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+    FROM s1 WHERE id % 100 != 17 AND id % 10 NOT IN (3, 7)
+    UNION ALL
+    SELECT id, name, price, '2024-01-01', '2024-02-01'
+    FROM s1 WHERE id % 100 = 17 OR id % 10 IN (3, 7)
+    UNION ALL
+    SELECT id,
+           CASE WHEN id % 10 = 7 THEN name || '+' ELSE name END,
+           CASE WHEN id % 10 = 3 THEN price + 1.5 ELSE price END,
+           '2024-02-01', NULL
+    FROM s1 WHERE id % 100 != 17 AND id % 10 IN (3, 7)
+    UNION ALL
+    SELECT id + 9000000, 'NEW ' || name, price + 1.0, '2024-02-01', NULL
+    FROM s1 WHERE id % 100 = 11
+    """,
+    description="SCD2 history build (operators/scd2.py, the M2/M3 "
+    "mutation family extended to KEEP history): bootstrap the part "
+    "dimension at 2024-01-01, then apply a second snapshot (renames on "
+    "id%10=7, reprices on id%10=3, hard-deletes on id%100=17 with "
+    "close_missing, inserts on id%100=11) — changed rows close at the "
+    "effective date and re-open as new versions, one full-outer join "
+    "on the key with the snapshot side broadcast, historical rows "
+    "untouched. The oracle enumerates the outcome arms directly",
+    tags=("merge", "mutation"),
+)
+def q88(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.operators.scd2 import scd2_apply, scd2_init
+
+    s1 = t(spark, sf, "part").select(
+        F.col("p_partkey").alias("id"),
+        F.col("p_name").alias("name"),
+        F.col("p_retailprice").cast("double").alias("price"),
+    )
+    changed = s1.filter(F.col("id") % 100 != 17).select(
+        "id",
+        F.when(F.col("id") % 10 == 7, F.concat("name", F.lit("+")))
+        .otherwise(F.col("name"))
+        .alias("name"),
+        F.when(F.col("id") % 10 == 3, F.col("price") + 1.5)
+        .otherwise(F.col("price"))
+        .alias("price"),
+    )
+    inserted = s1.filter(F.col("id") % 100 == 11).select(
+        (F.col("id") + 9000000).alias("id"),
+        F.concat(F.lit("NEW "), "name").alias("name"),
+        (F.col("price") + 1.0).alias("price"),
+    )
+    s2 = changed.unionByName(inserted)
+    dim1 = scd2_init(s1, ["id"], ["name", "price"], "2024-01-01")
+    return scd2_apply(
+        dim1, s2, ["id"], ["name", "price"], "2024-02-01", close_missing=True
+    )
