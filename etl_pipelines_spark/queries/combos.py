@@ -390,7 +390,9 @@ _COMBOS = [
         "q31_text_profile",
         "Per-doc text profiling: token stats + TTR quality (q31),"
         " language ID (q32), Gopher/C4 quality gate + rolling"
-        " fingerprint (q41), deny-list scrub counts (q65), tagged.",
+        " fingerprint (q41), deny-list scrub counts (q65), and"
+        " trained-BPE tokenization — the merge-training loop unrolled"
+        " by the oracle as CTE rounds (q89), tagged.",
         [("doc", "bigint"), ("c1", "bigint"), ("c2", "bigint"),
          ("c3", "bigint"), ("s1", "string"), ("s2", "string"),
          ("x", "double"), ("y", "double")],
@@ -408,6 +410,8 @@ _COMBOS = [
             ("scrub", "q65_denylist_scrub",
              {"doc": "doc_id", "c1": "n_blocked", "c2": "scrub_chars",
               "s1": "scrub_digest"}),
+            ("bpe", "q89_bpe_tokenizer",
+             {"doc": "doc_id", "c1": "n_tokens", "s1": "tokens_joined"}),
         ],
         ("text",),
     ),

@@ -2180,3 +2180,130 @@ def q85(spark: SparkSession, sf: str) -> DataFrame:
         "in_bloom",
         F.coalesce("is_member", F.lit(False)).alias("is_member"),
     )
+
+
+# --------------------------------------------------------------------- q89
+BPE_MERGES = 6
+
+
+def _bpe_oracle_sql(k: int = BPE_MERGES) -> str:
+    """DuckDB twin of q89: BPE training UNROLLED as k CTE rounds over
+    the word vocabulary, then tokenization of every document with the
+    learned merges.
+
+    Representation trick: a symbol sequence rides as the concatenation
+    of ' <sym> ' per symbol (every symbol wrapped in its own spaces, so
+    adjacent symbols are separated by TWO spaces). On that string,
+    SQL replace(s, ' a  b ', ' ab ') IS the BPE merge fold: left-to-
+    right, non-overlapping, and the single-wrapped replacement cannot
+    re-trigger within the round. Cross-word false merges cannot happen
+    because a trained merge's left element never ends with the
+    end-of-word mark (such symbols are word-final, so their following-
+    pair count is zero and they are never selected as a left element).
+    """
+    parts = ["""
+    WITH words AS (
+        SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+        WHERE w != '' GROUP BY 1
+    ),
+    v0 AS MATERIALIZED (
+        SELECT array_to_string(
+                   list_transform(
+                       list_append(string_split(word, ''), '▁'),
+                       c -> ' ' || c || ' '
+                   ), ''
+               ) AS s, n
+        FROM words
+    )"""]
+    for r in range(k):
+        parts.append(f""",
+    p{r} AS (
+        SELECT list_extract(l, i) AS a, list_extract(l, i + 1) AS b,
+               SUM(n) AS cnt
+        FROM (
+            SELECT list_filter(string_split(s, ' '), x -> x != '') AS l, n
+            FROM v{r}
+        ), UNNEST(range(1, len(l))) t(i)
+        GROUP BY 1, 2
+    ),
+    t{r} AS MATERIALIZED (SELECT a, b FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+    v{r + 1} AS MATERIALIZED (
+        SELECT replace(s,
+                   ' ' || (SELECT a FROM t{r}) || '  '
+                       || (SELECT b FROM t{r}) || ' ',
+                   ' ' || (SELECT a FROM t{r}) || (SELECT b FROM t{r}) || ' '
+               ) AS s, n
+        FROM v{r}
+    )""")
+    doc0 = """,
+    d0 AS MATERIALIZED (
+        SELECT doc_id,
+               array_to_string(
+                   flatten(list_transform(
+                       list_filter(string_split(text, ' '), w -> w != ''),
+                       w -> list_transform(
+                           list_append(string_split(w, ''), '▁'),
+                           c -> ' ' || c || ' '
+                       )
+                   )), ''
+               ) AS s
+        FROM documents
+    )"""
+    parts.append(doc0)
+    for r in range(k):
+        parts.append(f""",
+    d{r + 1} AS MATERIALIZED (
+        SELECT doc_id,
+               replace(s,
+                   ' ' || (SELECT a FROM t{r}) || '  '
+                       || (SELECT b FROM t{r}) || ' ',
+                   ' ' || (SELECT a FROM t{r}) || (SELECT b FROM t{r}) || ' '
+               ) AS s
+        FROM d{r}
+    )""")
+    parts.append(f"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(s, ' '), x -> x != ''))
+                AS BIGINT) AS n_tokens,
+           array_to_string(
+               list_filter(string_split(s, ' '), x -> x != ''), ' '
+           ) AS tokens_joined
+    FROM d{k}
+    """)
+    return "".join(parts)
+
+
+_BPE_MERGE_CACHE: dict[str, list] = {}
+
+
+@register(
+    "q89_bpe_tokenizer",
+    _bpe_oracle_sql(),
+    description="Distributed BPE-merge TRAINING in the gate (llm/bpe.py "
+    "bpe_train/bpe_apply): the tokenizer-training loop — count adjacent "
+    "pairs weighted by word frequency (map-side-combinable, shuffle "
+    "carries distinct pairs), pick the global argmax (1-row collect, "
+    "lexicographic tie-break), merge via a JVM aggregate() fold over "
+    "symbol arrays — unrolled by the oracle as CTE rounds where SQL "
+    "replace on a double-delimited symbol string reproduces the exact "
+    "left-to-right merge fold. Training runs on the vocab table (the "
+    "corpus collapses once up front — the 100 TB feasibility property); "
+    "tokenization is map-only. Merges cache per corpus: train-once/"
+    "apply-many, the tokenizer lifecycle",
+    tags=("text", "train"),
+)
+def q89(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.llm.bpe import bpe_apply, bpe_train
+
+    docs = t(spark, sf, "documents")
+    merges = _BPE_MERGE_CACHE.get(sf)
+    if merges is None:
+        merges = bpe_train(docs, BPE_MERGES)
+        _BPE_MERGE_CACHE[sf] = merges
+    toks = bpe_apply(docs, merges)
+    return toks.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join("tokens", " ").alias("tokens_joined"),
+    )
