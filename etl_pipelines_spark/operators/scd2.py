@@ -7,11 +7,13 @@ carries versioned rows with [valid_from, valid_to) intervals and a
 current flag, and applying a new snapshot closes changed rows and
 inserts new versions instead of overwriting.
 
-One plan, one shuffle: historical rows pass through untouched; the
-current rows full-outer-join the snapshot on the keys (the snapshot
-side broadcasts when small — the typical daily-delta case — so the
-dimension never shuffles); each join outcome maps to union arms that
-are all cheap projections of that single join.
+One plan, one pass: historical rows pass through untouched; the
+current rows full-outer-join the snapshot on the keys (one key
+shuffle per side — the same shape as a MERGE; a genuine full outer
+cannot broadcast, and a union of filtered arms would make Catalyst
+replicate the join per arm); each join row then yields its 1-2 output
+rows as an exploded array of structs, so the dimension is scanned and
+joined exactly once.
 """
 
 from __future__ import annotations
@@ -57,7 +59,7 @@ def scd2_apply(
         *[F.col(c).alias(f"_s_{c}") for c in tracked],
     )
     cond = [F.col(k) == F.col(f"_s_{k}") for k in keys]
-    j = cur.join(F.broadcast(snap), cond, "full_outer")
+    j = cur.join(snap, cond, "full_outer")
 
     in_dim = F.col(keys[0]).isNotNull()
     in_snap = F.col(f"_s_{keys[0]}").isNotNull()
@@ -68,29 +70,40 @@ def scd2_apply(
         F.lit(False),
     )
 
-    # arm 1: surviving current rows (unchanged, or missing-and-kept)
-    keep_cond = in_dim & (
-        (in_snap & ~changed) if close_missing else (~in_snap | ~changed)
+    # each join row yields 1-2 output rows, built as an array of
+    # structs and exploded ONCE — a union of filtered arms would make
+    # Catalyst replicate the join per arm (no cross-arm subtree reuse),
+    # i.e. re-scan the dimension once per outcome at scale
+    ts_from = F.lit(effective).cast(dim.schema[valid_from].dataType)
+    null_to = F.lit(None).cast(dim.schema[valid_to].dataType)
+
+    def row(key_src, trk_src, vf, vt):
+        return F.struct(
+            *[F.col(key_src(k)).alias(k) for k in keys],
+            *[F.col(trk_src(c)).alias(c) for c in tracked],
+            vf.alias(valid_from),
+            vt.alias(valid_to),
+        )
+
+    old = lambda c: c  # noqa: E731
+    new = lambda c: f"_s_{c}"  # noqa: E731
+    cur_row = row(old, old, F.col(valid_from), F.col(valid_to))
+    closed_row = row(old, old, F.col(valid_from), ts)
+    opened_row = row(new, new, ts_from, null_to)
+
+    out_rows = (
+        F.when(in_dim & in_snap & changed, F.array(closed_row, opened_row))
+        .when(in_dim & in_snap, F.array(cur_row))
+        .when(
+            in_dim,  # key missing from the snapshot
+            F.array(closed_row) if close_missing else F.array(cur_row),
+        )
+        .otherwise(F.array(opened_row))  # new key
     )
-    kept = j.filter(keep_cond).select(*keys, *tracked, valid_from, valid_to)
-    # arm 2: rows closed at `effective` (changed, or missing under
-    # close_missing)
-    close_cond = in_dim & (
-        (in_snap & changed) | (F.lit(close_missing) & ~in_snap)
-    )
-    closed = j.filter(close_cond).select(
-        *keys, *tracked, valid_from, ts.alias(valid_to)
-    )
-    # arm 3: fresh versions (new keys, or the new side of a change)
-    opened = j.filter(in_snap & (~in_dim | changed)).select(
-        *[F.col(f"_s_{k}").alias(k) for k in keys],
-        *[F.col(f"_s_{c}").alias(c) for c in tracked],
-        F.lit(effective).cast(dim.schema[valid_from].dataType).alias(valid_from),
-        F.lit(None).cast(dim.schema[valid_to].dataType).alias(valid_to),
-    )
+    applied = j.select(F.explode(out_rows).alias("_r")).select("_r.*")
     return hist.select(*keys, *tracked, valid_from, valid_to).unionByName(
-        kept
-    ).unionByName(closed).unionByName(opened)
+        applied
+    )
 
 
 def scd2_init(

@@ -1214,9 +1214,11 @@ def q87(spark: SparkSession, sf: str) -> DataFrame:
     "dimension at 2024-01-01, then apply a second snapshot (renames on "
     "id%10=7, reprices on id%10=3, hard-deletes on id%100=17 with "
     "close_missing, inserts on id%100=11) — changed rows close at the "
-    "effective date and re-open as new versions, one full-outer join "
-    "on the key with the snapshot side broadcast, historical rows "
-    "untouched. The oracle enumerates the outcome arms directly",
+    "effective date and re-open as new versions via ONE full-outer "
+    "join on the key whose rows explode into their 1-2 output "
+    "versions (a union of filtered arms would replicate the join per "
+    "arm), historical rows untouched. The oracle enumerates the "
+    "outcome arms directly",
     tags=("merge", "mutation"),
 )
 def q88(spark: SparkSession, sf: str) -> DataFrame:
