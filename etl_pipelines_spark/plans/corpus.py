@@ -49,6 +49,7 @@ from etl_pipelines_spark.llm.text import with_quality_filter
 class CorpusReport:
     stage_counts: dict[str, int] = field(default_factory=dict)
     out_rows: int = 0
+    merges: list[tuple[str, str]] = field(default_factory=list)
 
     @property
     def monotone(self) -> bool:
@@ -62,11 +63,18 @@ def prepare_corpus(
     out_dir: str,
     budget_frac: float = 0.5,
     jaccard_threshold: float = 0.5,
+    n_merges: int | None = None,
 ) -> CorpusReport:
     """Run the full preparation pipeline over `sf_dir/documents.parquet`
     and write the sampled clean corpus to `out_dir`, partitioned by
     lang (the downstream mixture consumer's natural read key).
-    Deterministic end to end: same input -> same surviving doc ids."""
+    Deterministic end to end: same input -> same surviving doc ids.
+
+    With `n_merges` set, the pipeline finishes the way a training run
+    does: a BPE tokenizer trains ON THE CLEANED SAMPLE (training after
+    dedup/sampling is deliberate — merge statistics should reflect what
+    the model will actually see, not boilerplate the pipeline dropped)
+    and the tokenized corpus writes to `out_dir`_tokens."""
     report = CorpusReport()
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     report.stage_counts["raw"] = docs.count()
@@ -103,6 +111,16 @@ def prepare_corpus(
     report.stage_counts["sampled"] = report.out_rows = (
         spark.read.parquet(out_dir).count()
     )
+    if n_merges:
+        from etl_pipelines_spark.llm.bpe import bpe_apply, bpe_train
+
+        clean = spark.read.parquet(out_dir)
+        report.merges = bpe_train(clean, n_merges)
+        toks = bpe_apply(clean, report.merges)
+        toks.write.mode("overwrite").parquet(out_dir + "_tokens")
+        report.stage_counts["tokenized_docs"] = (
+            spark.read.parquet(out_dir + "_tokens").count()
+        )
     spark.catalog.clearCache()  # release the shingle frame near_dup persisted
     return report
 

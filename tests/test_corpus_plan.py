@@ -13,14 +13,14 @@ class TestPrepareCorpus:
     @pytest.fixture(scope="class")
     def run(self, spark, tmp_path_factory):
         out = str(tmp_path_factory.mktemp("corpus") / "clean")
-        report = prepare_corpus(spark, SF, out)
+        report = prepare_corpus(spark, SF, out, n_merges=4)
         return report, out
 
     def test_stages_only_shrink(self, run):
         report, _ = run
         assert list(report.stage_counts) == [
             "raw", "quality_gate", "exact_dedup", "near_dup_canonical",
-            "boilerplate_removed", "sampled",
+            "boilerplate_removed", "sampled", "tokenized_docs",
         ]
         assert report.monotone
         assert report.stage_counts["raw"] > 0
@@ -37,8 +37,29 @@ class TestPrepareCorpus:
     def test_deterministic_rerun(self, run, spark, tmp_path_factory):
         report, _ = run
         out2 = str(tmp_path_factory.mktemp("corpus") / "clean2")
-        report2 = prepare_corpus(spark, SF, out2)
+        report2 = prepare_corpus(spark, SF, out2, n_merges=4)
         assert report2.stage_counts == report.stage_counts
+        assert report2.merges == report.merges
+
+    def test_tokenizer_trains_on_clean_sample(self, run, spark):
+        report, out = run
+        assert len(report.merges) == 4
+        toks = spark.read.parquet(out + "_tokens")
+        # every sampled doc tokenized, tokens reconstruct non-trivially
+        assert toks.count() == report.out_rows
+        assert toks.filter("n_tokens <= 0").count() == 0
+        # merges actually compress: fewer tokens than raw chars+marks
+        from pyspark.sql import functions as F
+
+        clean = spark.read.parquet(out)
+        n_chars = clean.select(
+            F.sum(
+                F.length(F.regexp_replace("text", " ", ""))
+                + F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+            ).alias("n")
+        ).collect()[0]["n"]
+        n_tokens = toks.agg({"n_tokens": "sum"}).collect()[0][0]
+        assert 0 < n_tokens < n_chars
 
 
 def test_incremental_exact_dedup_matches_full_rebuild(spark):
