@@ -359,3 +359,108 @@ def bloom_probe(
         .withColumn(out_col, cond)
         .drop("words")
     )
+
+
+# ---------------------------------------------------- portable count-min
+#
+# Frequency estimation with fixed memory: a d x w counter matrix where
+# item occurrences add 1 at (row i, bucket h_i(item)) and the estimate
+# is the MIN over rows — never an undercount, overcounts bounded by
+# n/w per row. The streaming answer to "how often does any given
+# token/url/wallet appear" at 100 TB without a per-item groupBy.
+# Same portable discipline as KMV/HLL/Bloom: md5 bucket indices, exact
+# BIGINT sums, so sketch contents AND estimates are oracle-diffable.
+# Sketches over disjoint slices merge by element-wise ADDITION (counts
+# are linear), the third mergeable-state flavor next to the HLL's max
+# and the Bloom's OR.
+
+CM_DEPTH = 4  # d hash rows
+CM_WIDTH = 256  # w buckets per row
+
+
+def _cm_bucket(value: F.Column, i: int, width: int) -> F.Column:
+    """Bucket of hash row i: kmv_hash(value + '@' + i) mod w."""
+    return kmv_hash(F.concat(value, F.lit(f"@{i}"))) % F.lit(width)
+
+
+def countmin_build(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str | None = None,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Build a count-min sketch over a column: (row, bucket, cnt) —
+    the sparse counter matrix, at most d*w rows total. The shuffle
+    carries one partial per (row, bucket, partition): map-side
+    combinable no matter the stream length. `weight_col` aggregates
+    pre-counted streams (e.g. a (token, n) vocabulary)."""
+    val = F.col(value_col).cast("string")
+    w_expr = (
+        F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    )
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _cm_bucket(val, i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("_c"),
+        w_expr.alias("_w"),
+    )
+    return (
+        cells.groupBy(F.col("_c.row").alias("row"), F.col("_c.bucket").alias("bucket"))
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def countmin_merge(sketches: DataFrame) -> DataFrame:
+    """Sum-merge count-min sketches built with identical (d, w):
+    counts are linear, so element-wise addition of the sparse matrices
+    is exact — the same stored-rollup contract as the HLL max-merge
+    and Bloom OR-merge."""
+    return sketches.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def countmin_estimate(
+    df: DataFrame,
+    value_col: str,
+    sketch: DataFrame,
+    out_col: str = "cm_estimate",
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Point-query the sketch for each probe row: min over the d
+    (row, bucket) cells. The sketch is at most d*w rows -> broadcast;
+    each probe explodes its d cells, left-joins the sparse matrix
+    (absent cell = 0), and takes the min — never below the true count."""
+    val = F.col(value_col).cast("string")
+    probes = df.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _cm_bucket(val, i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("_c"),
+    )
+    joined = probes.join(
+        F.broadcast(sketch),
+        (F.col("_c.row") == F.col("row")) & (F.col("_c.bucket") == F.col("bucket")),
+        "left",
+    ).drop("row", "bucket")
+    others = [c for c in df.columns]
+    return (
+        joined.groupBy(*others)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias(out_col))
+    )

@@ -502,11 +502,13 @@ _COMBOS = [
         "q51_sketch_suite",
         "Cross-engine-exact portable sketches, tagged: KMV distinct"
         " count per coin (q51), the mergeable portable HLL rollup"
-        " built at month grain and max-merged (q80), and the portable"
+        " built at month grain and max-merged (q80), the portable"
         " Bloom filter build+probe whose false-positive set matches"
-        " the oracle bit-for-bit (q85).",
+        " the oracle bit-for-bit (q85), and count-min frequency"
+        " estimation next to its exact counts (q90) — the three"
+        " mergeable-state flavors: max, OR, sum.",
         [("a", "bigint"), ("c", "bigint"), ("d", "bigint"),
-         ("x", "double")],
+         ("s", "string"), ("x", "double")],
         [
             ("kmv", "q51_kmv_distinct_sketch",
              {"a": "coin_id", "c": "n_min", "x": "kmv_estimate"}),
@@ -515,6 +517,8 @@ _COMBOS = [
             ("bloom", "q85_bloom_filter",
              {"a": "cust_id", "c": "CAST(in_bloom AS BIGINT)",
               "d": "CAST(is_member AS BIGINT)"}),
+            ("cmin", "q90_countmin_frequency",
+             {"s": "user_id", "c": "cm_estimate", "d": "exact_cnt"}),
         ],
         ("agg", "sketch"),
     ),

@@ -2307,3 +2307,86 @@ def q89(spark: SparkSession, sf: str) -> DataFrame:
         "n_tokens",
         F.array_join("tokens", " ").alias("tokens_joined"),
     )
+
+
+# --------------------------------------------------------------------- q90
+from etl_pipelines_spark.operators.sketches import (  # noqa: E402
+    CM_DEPTH,
+    CM_WIDTH,
+)
+
+
+def _countmin_oracle_sql(d: int = CM_DEPTH, w: int = CM_WIDTH) -> str:
+    """DuckDB twin of q90: identical md5 bucket math, exact BIGINT
+    counter sums, min-over-rows estimate."""
+    bucket = lambda expr: f"({kmv_hash_sql(expr)} % {w})"  # noqa: E731
+    build_arms = "\nUNION ALL\n".join(
+        "SELECT %d AS row, %s AS bucket FROM events"
+        % (i, bucket("CAST(user_id AS VARCHAR) || '@%d'" % i))
+        for i in range(d)
+    )
+    probe_arms = "\nUNION ALL\n".join(
+        "SELECT user_id, %d AS row, %s AS bucket FROM probes"
+        % (i, bucket("CAST(user_id AS VARCHAR) || '@%d'" % i))
+        for i in range(d)
+    )
+    return f"""
+    WITH cells AS (
+        {build_arms}
+    ),
+    matrix AS (
+        SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY 1, 2
+    ),
+    probes AS (SELECT DISTINCT user_id FROM events),
+    probe_cells AS (
+        {probe_arms}
+    ),
+    est AS (
+        SELECT p.user_id,
+               MIN(COALESCE(m.cnt, 0)) AS cm_estimate
+        FROM probe_cells p
+        LEFT JOIN matrix m ON m.row = p.row AND m.bucket = p.bucket
+        GROUP BY 1
+    ),
+    exact AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+        FROM events GROUP BY 1
+    )
+    SELECT e.user_id, est.cm_estimate, e.exact_cnt
+    FROM exact e JOIN est ON est.user_id = e.user_id
+    """
+
+
+@register(
+    "q90_countmin_frequency",
+    _countmin_oracle_sql(),
+    description="Portable count-min sketch, CROSS-ENGINE EXACT "
+    "(operators/sketches.py countmin_build/estimate/merge): per-user "
+    "event frequencies from a fixed d x w counter matrix — the build "
+    "shuffle is map-side combinable (at most d*w cells per partition "
+    "regardless of stream length), the matrix broadcasts for point "
+    "queries, and the min-over-rows estimate never undercounts. "
+    "Emitted next to the exact count per user, so the gate checks "
+    "BOTH that the sketch math matches DuckDB bit-for-bit AND the "
+    "estimate>=exact invariant on real data. Counts are linear, so "
+    "sketches over disjoint slices sum-merge — the third mergeable-"
+    "state flavor next to HLL max and Bloom OR",
+    tags=("sketch", "agg"),
+)
+def q90(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.operators.sketches import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    ev = t(spark, sf, "events")
+    sketch = countmin_build(ev, "user_id")
+    probes = ev.select("user_id").distinct()
+    est = countmin_estimate(probes, "user_id", sketch)
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    )
+    return exact.join(est, "user_id").select(
+        "user_id", "cm_estimate", "exact_cnt"
+    )

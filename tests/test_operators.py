@@ -572,3 +572,59 @@ class TestBloomFilter:
             spark.range(0, 50).withColumnRenamed("id", "v"), "v", bf
         ).collect()
         assert not any(r["in_bloom"] for r in out)
+
+
+class TestCountMinSketch:
+    """Portable count-min: never-undercount, merge linearity."""
+
+    def test_estimate_never_undercounts_and_bounds_overcount(self, spark):
+        from etl_pipelines_spark.operators.sketches import (
+            countmin_build,
+            countmin_estimate,
+        )
+        from pyspark.sql import functions as F
+
+        # zipf-ish stream: value v repeated (300 - v) times
+        stream = spark.range(0, 300).selectExpr(
+            "explode(sequence(1, 300 - id)) AS rep", "id AS v"
+        )
+        sketch = countmin_build(stream, "v")
+        exact = stream.groupBy("v").agg(F.count("*").alias("n"))
+        probes = stream.select("v").distinct()
+        est = countmin_estimate(probes, "v", sketch)
+        rows = est.join(exact, "v").collect()
+        assert all(r["cm_estimate"] >= r["n"] for r in rows)
+        # d=4, w=256, N=45150: overshoot bounded in practice well
+        # under e*N/w ~ 480 per the classic analysis
+        assert max(r["cm_estimate"] - r["n"] for r in rows) < 1000
+        # with 300 items over 4x256 buckets most items collide with
+        # nothing in at least one row -> the typical estimate is exact
+        exact_hits = sum(1 for r in rows if r["cm_estimate"] == r["n"])
+        assert exact_hits > len(rows) * 0.6
+
+    def test_merge_equals_one_shot_and_weighted_build(self, spark):
+        from etl_pipelines_spark.operators.sketches import (
+            countmin_build,
+            countmin_merge,
+        )
+
+        stream = spark.range(0, 500).selectExpr("id % 37 AS v")
+        whole = {
+            (r["row"], r["bucket"]): r["cnt"]
+            for r in countmin_build(stream, "v").collect()
+        }
+        halves = countmin_merge(
+            countmin_build(stream.filter("id < 250"), "v").unionByName(
+                countmin_build(stream.filter("id >= 250"), "v")
+            )
+        )
+        assert {
+            (r["row"], r["bucket"]): r["cnt"] for r in halves.collect()
+        } == whole
+        # a pre-counted (value, weight) vocabulary builds the same matrix
+        vocab = stream.groupBy("v").count()
+        weighted = {
+            (r["row"], r["bucket"]): r["cnt"]
+            for r in countmin_build(vocab, "v", weight_col="count").collect()
+        }
+        assert weighted == whole
