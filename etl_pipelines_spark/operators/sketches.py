@@ -354,10 +354,16 @@ def bloom_probe(
     cond = checks[0]
     for c in checks[1:]:
         cond = cond & c
+    # probing with parameters that differ from the filter's build would
+    # silently hash into the wrong bit space: fail loudly instead
+    guard = F.assert_true(
+        (F.col("m_bits") == F.lit(m_bits)) & (F.col("k") == F.lit(k)),
+        F.lit("bloom_probe (m_bits, k) do not match the filter's build"),
+    )
     return (
-        df.crossJoin(F.broadcast(bloom.select("words")))
-        .withColumn(out_col, cond)
-        .drop("words")
+        df.crossJoin(F.broadcast(bloom.select("words", "m_bits", "k")))
+        .withColumn(out_col, F.when(guard.isNull(), cond))
+        .drop("words", "m_bits", "k")
     )
 
 
