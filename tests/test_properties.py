@@ -509,3 +509,59 @@ def test_fused_splice_equals_staged_for_any_input(spark, fixture):
     fused = splice_with_imputation(merged).select(*staged.columns)
     assert fused.exceptAll(staged).count() == 0
     assert staged.exceptAll(fused).count() == 0
+
+
+# ---------------------------------------------------------------- SCD2
+
+
+def snapshot_fixture():
+    """A short random sequence of snapshots over a tiny key space:
+    each snapshot maps key -> (name, price), with keys appearing and
+    disappearing across snapshots."""
+    snap = st.dictionaries(
+        st.integers(min_value=1, max_value=6),
+        st.tuples(st.sampled_from(["a", "b", "c"]),
+                  st.sampled_from([1.0, 2.0, 3.0])),
+        min_size=1, max_size=6,
+    )
+    return st.lists(snap, min_size=2, max_size=4)
+
+
+@settings(max_examples=8, deadline=None)
+@given(snapshot_fixture(), st.booleans())
+def test_scd2_invariants_hold_for_any_snapshot_sequence(spark, snaps, close_missing):
+    from etl_pipelines_spark.operators.scd2 import scd2_apply, scd2_at, scd2_init
+
+    def frame(d):
+        return spark.createDataFrame(
+            [(k, v[0], v[1]) for k, v in sorted(d.items())],
+            "id long, name string, price double",
+        )
+
+    dates = [f"2024-0{i + 1}-01" for i in range(len(snaps))]
+    dim = scd2_init(frame(snaps[0]), ["id"], ["name", "price"], dates[0])
+    for d, s in zip(dates[1:], snaps[1:]):
+        dim = scd2_apply(
+            dim, frame(s), ["id"], ["name", "price"], d,
+            close_missing=close_missing,
+        )
+    rows = dim.collect()
+    spans = {}
+    for r in rows:
+        spans.setdefault(r["id"], []).append((r["valid_from"], r["valid_to"]))
+    for key, ss in spans.items():
+        opens = [s for s in ss if s[1] is None]
+        # at most one open version per key, intervals never overlap
+        assert len(opens) <= 1
+        closed = sorted(s for s in ss if s[1] is not None)
+        seq = closed + opens
+        for (f1, t1), (f2, _) in zip(seq, seq[1:]):
+            assert t1 is not None and t1 <= f2
+    # the point-in-time view at the last date equals the last snapshot
+    # exactly when deletions close (close_missing)
+    if close_missing:
+        live = {
+            r["id"]: (r["name"], r["price"])
+            for r in scd2_at(dim, dates[-1]).collect()
+        }
+        assert live == snaps[-1]
