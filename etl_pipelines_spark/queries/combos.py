@@ -195,7 +195,8 @@ _PAIR_MEMBERS = [
     ("decontam", "q60_decontamination",
      {"a": "train_doc_id", "b": "benchmark_doc_id", "c": "n_shared_chunks"}),
     ("prefix", "q74_prefix_filter_pairs",
-     {"a": "doc_a", "b": "doc_b", "x": "jaccard"}),
+     {"a": "doc_a", "b": "doc_b", "x": "jaccard"}),    ("fuzzy", "q92_fuzzy_name_match",
+     {"s": "name_a || '|' || name_b", "c": "distance"}),
 ]
 
 
@@ -369,11 +370,12 @@ _COMBOS = [
     _combo(
         "q24_window_suite",
         "A11/W5 rank within group (q24), W3 global running total"
-        " (q25), and the distribution-rank window family — ntile /"
-        " percent_rank / cume_dist / nth_value on one sort (q86),"
-        " tagged.",
+        " (q25), the distribution-rank window family — ntile /"
+        " percent_rank / cume_dist / nth_value on one sort (q86), and"
+        " the cohort retention matrix (q91), tagged.",
         [("a", "bigint"), ("b", "bigint"), ("s", "string"),
-         ("r", "bigint"), ("x", "double"), ("y", "double")],
+         ("dt", "date"), ("r", "bigint"), ("x", "double"),
+         ("y", "double")],
         [
             ("rank", "q24_rank_within_group",
              {"a": "s_nationkey", "b": "s_suppkey", "s": "s_name",
@@ -383,6 +385,9 @@ _COMBOS = [
             ("family", "q86_window_family",
              {"a": "c_custkey", "b": "nation", "r": "bal_quartile",
               "x": "bal_pct_rank", "y": "bal_cume_dist"}),
+            ("cohort", "q91_cohort_retention",
+             {"dt": "cohort_day", "a": "days_since",
+              "b": "active_users"}),
         ],
         ("window",),
     ),

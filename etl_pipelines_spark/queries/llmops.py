@@ -2390,3 +2390,56 @@ def q90(spark: SparkSession, sf: str) -> DataFrame:
     return exact.join(est, "user_id").select(
         "user_id", "cm_estimate", "exact_cnt"
     )
+
+
+# --------------------------------------------------------------------- q92
+@register(
+    "q92_fuzzy_name_match",
+    """
+    WITH named AS (
+        SELECT DISTINCT p_name AS name,
+               string_split(p_name, ' ')[1] AS w1,
+               substring(string_split(p_name, ' ')[2], 1, 1) AS c2
+        FROM part
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS distance
+    FROM named a
+    JOIN named b ON a.w1 = b.w1 AND a.c2 = b.c2 AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 3
+    """,
+    description="Fuzzy entity resolution (beyond the reference): near-"
+    "duplicate part NAMES via blocking + edit-distance verify — the "
+    "same candidates-then-verify ladder as the LSH dedup family, with "
+    "levenshtein as the verifier (built-in JVM codegen in Spark, "
+    "identical integer metric in DuckDB). Two scale decisions: match "
+    "DISTINCT names, not rows (names << rows — entity resolution "
+    "works on the entity table), and block on (first word, second-"
+    "word initial) so candidates are within-block pairs, never the "
+    "quadratic cross",
+    tags=("dedup", "join", "text"),
+)
+def q92(spark: SparkSession, sf: str) -> DataFrame:
+    named = (
+        t(spark, sf, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+        .select(
+            "name",
+            F.split("name", " ")[0].alias("w1"),
+            F.substring(F.split("name", " ")[1], 1, 1).alias("c2"),
+        )
+    )
+    a = named.select(
+        F.col("name").alias("name_a"), "w1", "c2"
+    )
+    b = named.select(
+        F.col("name").alias("name_b"), "w1", "c2"
+    )
+    d = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, ["w1", "c2"])
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(d.between(1, 3))
+        .select("name_a", "name_b", d.cast("long").alias("distance"))
+    )

@@ -1328,3 +1328,44 @@ def q73(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("n") > 0)
         .select("user_id", "event_type", F.col("n").cast("long").alias("n"))
     )
+
+
+# --------------------------------------------------------------------- q91
+@register(
+    "q91_cohort_retention",
+    """
+    WITH activity AS (
+        SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS aday
+        FROM events
+    ),
+    cohorts AS (
+        SELECT user_id, aday,
+               MIN(aday) OVER (PARTITION BY user_id) AS cohort_day
+        FROM activity
+    )
+    SELECT cohort_day,
+           CAST(datediff('day', cohort_day, aday) AS BIGINT) AS days_since,
+           CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM cohorts
+    GROUP BY 1, 2
+    """,
+    description="Cohort retention matrix (the classic warehouse "
+    "activity analysis, beyond the reference): cohort = day of each "
+    "user's first event via a window MIN over the per-user distinct "
+    "activity days — ONE shuffle on user_id serves the distinct, the "
+    "window, and (as a subset-key clustering) feeds the final "
+    "(cohort, days_since) rollup. No self-join of the events table, "
+    "which is the naive formulation's scale-killer",
+    tags=("window", "agg", "timeseries"),
+)
+def q91(spark: SparkSession, sf: str) -> DataFrame:
+    ev = t(spark, sf, "events")
+    activity = ev.select(
+        "user_id", F.col("ts").cast("date").alias("aday")
+    ).distinct()
+    w = Window.partitionBy("user_id")
+    cohorts = activity.withColumn("cohort_day", F.min("aday").over(w))
+    return cohorts.groupBy(
+        "cohort_day",
+        F.datediff("aday", "cohort_day").cast("long").alias("days_since"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("active_users"))
