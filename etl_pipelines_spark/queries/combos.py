@@ -354,16 +354,23 @@ _COMBOS = [
     ),
     _combo(
         "q20_ts_repair_suite",
-        "Q4/W7 single-day dip removal (q20) and D1/D2 densify +"
-        " forward-fill with days_imputed (q21), tagged.",
+        "Q4/W7 single-day dip removal (q20), D1/D2 densify +"
+        " forward-fill with days_imputed (q21), and the rolling"
+        " z-score anomaly gate — trailing-7 mean/sigma from exact"
+        " milli-integer sums (q93), tagged.",
         [("coin", "bigint"), ("d", "date"), ("price", "double"),
-         ("days", "bigint")],
+         ("days", "bigint"), ("c2", "bigint"), ("x", "double"),
+         ("y", "double"), ("flag", "bigint")],
         [
             ("dip", "q20_lag_lead_dip_removal",
              {"coin": "coin_id", "d": "date", "price": "price"}),
             ("densify", "q21_gap_fill_densify",
              {"coin": "coin_id", "d": "date", "price": "price",
               "days": "days_imputed"}),
+            ("zscore", "q93_rolling_zscore_anomaly",
+             {"coin": "coin_id", "d": "date", "days": "price_milli",
+              "c2": "trail_n", "x": "trail_mean", "y": "trail_var",
+              "flag": "is_anomaly"}),
         ],
         ("timeseries",),
     ),

@@ -1369,3 +1369,83 @@ def q91(spark: SparkSession, sf: str) -> DataFrame:
         "cohort_day",
         F.datediff("aday", "cohort_day").cast("long").alias("days_since"),
     ).agg(F.count(F.lit(1)).cast("long").alias("active_users"))
+
+
+# --------------------------------------------------------------------- q93
+@register(
+    "q93_rolling_zscore_anomaly",
+    f"""
+    WITH daily AS ({DAILY_PRICES_SQL}),
+    milli AS (
+        SELECT coin_id, date,
+               CAST(round(price * 1000) AS BIGINT) AS p
+        FROM daily
+    ),
+    stats AS (
+        SELECT coin_id, date, p,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(SUM(p) OVER w AS BIGINT) AS sp,
+               CAST(SUM(p * p) OVER w AS BIGINT) AS spp
+        FROM milli
+        WINDOW w AS (PARTITION BY coin_id ORDER BY date
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT coin_id, date, p AS price_milli, n AS trail_n,
+           CAST(CAST(sp AS DOUBLE) / n AS DOUBLE) AS trail_mean,
+           CAST(CAST(n * spp - sp * sp AS DOUBLE) / (n * n) AS DOUBLE)
+               AS trail_var,
+           CAST(n = 7 AND
+                CAST(abs(n * p - sp) AS DOUBLE)
+                    > 2 * n * sqrt(CAST(n * spp - sp * sp AS DOUBLE)
+                                   / (n * n))
+                AS BIGINT) AS is_anomaly
+    FROM stats
+    """,
+    description="Rolling z-score anomaly flag (the Q-series outlier "
+    "family generalized to a trailing statistical gate, beyond the "
+    "reference's fixed rules): per coin, |price - trailing-7 mean| > "
+    "2 sigma. Cross-engine exact by construction — prices quantize to "
+    "milli-integers so the trailing sums and the variance numerator "
+    "n*Sxx - Sx^2 are exact BIGINTs inside one ordered ROWS frame, "
+    "then ONE division and an IEEE sqrt on each side of the "
+    "comparison (the flag compares an exact integer |n*x - Sx| "
+    "against the sigma expression, never chained roundings). One "
+    "coin_id shuffle serves the daily aggregate and the window",
+    tags=("window", "quality", "timeseries"),
+)
+def q93(spark: SparkSession, sf: str) -> DataFrame:
+    daily = daily_prices(spark, sf)
+    milli = daily.select(
+        "coin_id", "date", F.round(F.col("price") * 1000).cast("long").alias("p")
+    )
+    w = (
+        Window.partitionBy("coin_id")
+        .orderBy("date")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    stats = milli.select(
+        "coin_id",
+        "date",
+        "p",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("p").over(w).cast("long").alias("sp"),
+        F.sum(F.col("p") * F.col("p")).over(w).cast("long").alias("spp"),
+    )
+    var = (F.col("n") * F.col("spp") - F.col("sp") * F.col("sp")).cast(
+        "double"
+    ) / (F.col("n") * F.col("n"))
+    return stats.select(
+        "coin_id",
+        "date",
+        F.col("p").alias("price_milli"),
+        F.col("n").alias("trail_n"),
+        (F.col("sp").cast("double") / F.col("n")).alias("trail_mean"),
+        var.alias("trail_var"),
+        (
+            (F.col("n") == 7)
+            & (
+                F.abs(F.col("n") * F.col("p") - F.col("sp")).cast("double")
+                > 2 * F.col("n") * F.sqrt(var)
+            )
+        ).cast("long").alias("is_anomaly"),
+    )
