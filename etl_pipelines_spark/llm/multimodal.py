@@ -223,21 +223,29 @@ def decode_media(payload: bytes, media_format: str) -> dict:
     output schema) is identical whichever inner decoder runs.
     """
     data = bytes(payload)
-    if media_format.startswith("audio/") or data[:4] == b"RIFF":
+    is_image = media_format.startswith("image/") or data[:8] == _PNG_MAGIC
+    # image formats dispatch FIRST: some image containers are RIFF too
+    # (WebP), and PIL must keep handling them — only non-image RIFF
+    # payloads sniff as WAV
+    if not is_image and (
+        media_format.startswith("audio/")
+        or (data[:4] == b"RIFF" and data[8:12] == b"WAVE")
+    ):
         if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
             return _wav_decode_stdlib(data)
         raise NotImplementedError(
             f"audio format {media_format!r} needs librosa/soundfile "
             "(not installed); PCM WAV decodes via the stdlib path"
         )
-    if media_format.startswith("video/") or data[:10] == _Y4M_MAGIC:
+    if not is_image and (
+        media_format.startswith("video/") or data[:10] == _Y4M_MAGIC
+    ):
         if data[:10] == _Y4M_MAGIC:
             return _y4m_decode_stdlib(data)
         raise NotImplementedError(
             f"video format {media_format!r} needs pyav/ffmpeg "
             "(not installed); uncompressed Y4M decodes via the stdlib path"
         )
-    is_image = media_format.startswith("image/") or data[:8] == _PNG_MAGIC
     if is_image:
         try:
             import io

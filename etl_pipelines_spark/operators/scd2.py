@@ -57,12 +57,17 @@ def scd2_apply(
     snap = snapshot.select(
         *[F.col(k).alias(f"_s_{k}") for k in keys],
         *[F.col(c).alias(f"_s_{c}") for c in tracked],
+        F.lit(True).alias("_in_snap"),
     )
-    cond = [F.col(k) == F.col(f"_s_{k}") for k in keys]
+    # presence markers, not key-null sniffing: a NULL-keyed dim row
+    # must fall into the missing-from-snapshot arm (kept/closed), not
+    # be rewritten as an all-NULL insert
+    cur = cur.withColumn("_in_dim", F.lit(True))
+    cond = [F.col(k).eqNullSafe(F.col(f"_s_{k}")) for k in keys]
     j = cur.join(snap, cond, "full_outer")
 
-    in_dim = F.col(keys[0]).isNotNull()
-    in_snap = F.col(f"_s_{keys[0]}").isNotNull()
+    in_dim = F.coalesce(F.col("_in_dim"), F.lit(False))
+    in_snap = F.coalesce(F.col("_in_snap"), F.lit(False))
     changed = F.coalesce(
         ~F.struct(*[F.col(c) for c in tracked]).eqNullSafe(
             F.struct(*[F.col(f"_s_{c}") for c in tracked])

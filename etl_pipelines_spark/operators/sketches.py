@@ -362,7 +362,9 @@ def bloom_probe(
     )
     return (
         df.crossJoin(F.broadcast(bloom.select("words", "m_bits", "k")))
-        .withColumn(out_col, F.when(guard.isNull(), cond))
+        .withColumn(
+            out_col, F.when(guard.isNull(), F.coalesce(cond, F.lit(False)))
+        )
         .drop("words", "m_bits", "k")
     )
 

@@ -12,7 +12,6 @@ from etl_pipelines_spark.llm.dedup import (
     SIMHASH_CHUNKS,
     _simhash_bit_sql,
     cluster_labels,
-    doc_shingles,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,

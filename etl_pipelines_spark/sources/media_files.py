@@ -92,16 +92,26 @@ def ingest_media_dir(
     )
 
     files = read_media_files(spark, path, glob)
-    kind = F.split(F.col("media_format"), "/")[0]
+    # route only formats the decoders can actually handle: PNG always,
+    # JPEG only when PIL is importable, WAV and Y4M via the stdlib
+    # paths — compressed codecs (mp4 etc.) stay in "files" undecoded,
+    # keeping the "a mixed directory never fails ingestion" contract
+    try:
+        import PIL  # noqa: F401
+
+        image_formats = ["image/png", "image/jpeg"]
+    except ImportError:
+        image_formats = ["image/png"]
+    fmt = F.col("media_format")
     return {
         "files": files,
         "images": extract_image_features(
-            files.filter(kind == "image"), id_col="media_id"
+            files.filter(fmt.isin(image_formats)), id_col="media_id"
         ),
         "audio": extract_audio_features(
-            files.filter(kind == "audio"), id_col="media_id"
+            files.filter(fmt == "audio/wav"), id_col="media_id"
         ),
         "video": extract_video_features(
-            files.filter(kind == "video"), id_col="media_id"
+            files.filter(fmt == "video/y4m"), id_col="media_id"
         ),
     }

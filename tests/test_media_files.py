@@ -65,3 +65,13 @@ def test_ingest_media_dir_decodes_every_modality(spark, media_dir):
     assert by_idx[1] == 10.0
     # the unknown-format file rides "files" but is never decoded
     assert out["files"].count() == 5
+
+
+def test_ingest_skips_undecodable_formats(spark, tmp_path):
+    # a compressed-codec file rides "files" but never reaches a decoder
+    (tmp_path / "clip.mp4").write_bytes(b"\x00\x00\x00\x18ftypmp42data")
+    (tmp_path / "a.png").write_bytes(encode_png(2, 2, bytes(4)))
+    out = ingest_media_dir(spark, str(tmp_path))
+    assert out["files"].count() == 2
+    assert out["video"].count() == 0  # mp4 not routed to the Y4M parser
+    assert out["images"].count() == 1

@@ -286,3 +286,16 @@ def test_synthetic_media_payloads_decode_to_closed_forms(spark):
     v = decode_media(vid[5]["payload"], "video/y4m")
     assert v["n_frames"] == 13 % 6 + 2
     assert sum(v["frames"][1]) == 64 + 88 * 1 + 8 * (5 % 64)
+
+
+def test_riff_image_formats_stay_on_the_image_path():
+    # WebP is a RIFF container: it must dispatch to the image branch
+    # (PIL when importable, a PIL-pointing error otherwise) — never be
+    # sniffed as audio
+    webp_ish = b"RIFF\x24\x00\x00\x00WEBPVP8 "
+    try:
+        decode_media(webp_ish, "image/webp")
+    except NotImplementedError as e:
+        assert "PIL" in str(e)  # image-branch stub, not the audio stub
+    except Exception:
+        pass  # PIL present and rejects the truncated payload: image path

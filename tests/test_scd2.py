@@ -90,3 +90,35 @@ def test_incremental_equals_direct(spark, dims):
         closed = sorted(s for s in spans if s[1] is not None)
         for (f1, t1), (f2, _) in zip(closed, closed[1:] + opens):
             assert t1 <= f2
+
+
+def test_null_keyed_rows_survive(spark):
+    """A NULL-keyed current row must fall into the missing-from-
+    snapshot arm (kept or closed), never be rewritten as an all-NULL
+    insert; a NULL-keyed snapshot row matches it null-safely."""
+    from pyspark.sql import functions as F
+
+    dim = spark.createDataFrame(
+        [(None, "x", 1.0, "2024-01-01", None), (1, "a", 2.0, "2024-01-01", None)],
+        "id long, name string, price double, valid_from string, valid_to string",
+    )
+    s = snap(spark, [(1, "a", 2.0)])
+    out = scd2_apply(dim, s, ["id"], ["name", "price"], "2024-02-01")
+    null_rows = [r for r in out.collect() if r["id"] is None]
+    assert [(r["name"], r["price"], r["valid_to"]) for r in null_rows] == [
+        ("x", 1.0, None)
+    ]
+    # null-safe match: a NULL-keyed snapshot row updates the NULL-keyed
+    # current row instead of inserting a duplicate NULL entity
+    s2 = spark.createDataFrame(
+        [(None, "x2", 9.0)], "id long, name string, price double"
+    )
+    out2 = scd2_apply(dim, s2, ["id"], ["name", "price"], "2024-02-01",
+                      close_missing=False)
+    nulls = sorted(
+        (r["name"], r["valid_from"], r["valid_to"])
+        for r in out2.collect() if r["id"] is None
+    )
+    assert nulls == [
+        ("x", "2024-01-01", "2024-02-01"), ("x2", "2024-02-01", None)
+    ]
