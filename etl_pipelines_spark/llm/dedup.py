@@ -850,6 +850,21 @@ def lsh_dedup_incremental(
     return survivors, {"bands": bands_all, "arrays": arrs_all, "pairs": pairs_all}
 
 
+def persisted_shingle_arrays(
+    df, text_col: str = "text", id_col: str = "doc_id"
+):
+    """(arrs, shingle_stream): the shared-scan idiom every multi-branch
+    shingle consumer uses — persist the COMPACT per-doc array frame,
+    materialize it eagerly (multi-branch consumers schedule upstream
+    stages independently before a lazy cache completes; see SCALE.md
+    "Eager cache materialization"), and re-derive the exploded stream
+    as a cheap Generate over cached arrays. Caller owns the cache
+    lifecycle (bench/driver clearCache between queries)."""
+    arrs = doc_shingle_arrays(df, text_col, id_col).persist()
+    arrs.count()
+    return arrs, arrs.select(id_col, F.explode("_toks").alias("shingle"))
+
+
 def doc_shingle_arrays(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

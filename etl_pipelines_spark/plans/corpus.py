@@ -38,6 +38,7 @@ from etl_pipelines_spark.llm.dedup import (
     exact_dedup,
     exact_dedup_incremental,
     lsh_candidate_pairs,
+    persisted_shingle_arrays,
     lsh_dedup_incremental,
     minhash_signatures,
 )
@@ -131,9 +132,7 @@ def near_dup_canonical(
     """One-shot near-dup canonicalization: MinHash-LSH candidates,
     exact Jaccard verify, connected components, keep the lowest id per
     cluster. One persisted shingle scan feeds signatures AND verify."""
-    arrs = doc_shingle_arrays(deduped).persist()
-    arrs.count()  # feeds signatures AND the array-intersect verify
-    sh = arrs.select("doc_id", F.explode("_toks").alias("shingle"))
+    arrs, sh = persisted_shingle_arrays(deduped)
     sigs = minhash_signatures(deduped, shingles=sh)
     pairs = lsh_candidate_pairs(sigs)
     dup = array_jaccard_verify(pairs, arrays=arrs).filter(

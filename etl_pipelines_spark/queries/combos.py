@@ -106,17 +106,16 @@ def _pair_suite_shared_scan(schema, members):
     def spark_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         from etl_pipelines_spark.llm.dedup import (
             array_jaccard_verify,
-            doc_shingle_arrays,
             lsh_candidate_pairs,
             minhash_signatures,
+            persisted_shingle_arrays,
             prefix_filter_pairs,
         )
         from etl_pipelines_spark.sources.registry import load_table
 
         docs = load_table(spark, sf_dir, "documents")
-        arrs = doc_shingle_arrays(docs).persist()
-        arrs.count()  # one shingle scan feeds minhash, both verifies, prefixes
-        sh = arrs.select("doc_id", F.explode("_toks").alias("shingle"))
+        # one shingle scan feeds minhash, both verifies, and prefixes
+        arrs, sh = persisted_shingle_arrays(docs)
         sigs = minhash_signatures(docs, shingles=sh)
         toks = sh.withColumnRenamed("shingle", "token")
         frames = {

@@ -119,12 +119,13 @@ BANDED_SQL = """
     tags=("dedup", "iterative"),
 )
 def q29(spark: SparkSession, sf: str) -> DataFrame:
-    from etl_pipelines_spark.llm.dedup import array_jaccard_verify, doc_shingle_arrays
+    from etl_pipelines_spark.llm.dedup import (
+        array_jaccard_verify,
+        persisted_shingle_arrays,
+    )
 
     docs = t(spark, sf, "documents")
-    arrs = doc_shingle_arrays(docs).persist()
-    arrs.count()  # feeds signatures AND the array-intersect verify
-    sh = arrs.select("doc_id", F.explode("_toks").alias("shingle"))
+    arrs, sh = persisted_shingle_arrays(docs)
     sigs = minhash_signatures(docs, shingles=sh)
     pairs = lsh_candidate_pairs(sigs)
     dup = array_jaccard_verify(pairs, arrays=arrs).filter(F.col("jaccard") >= 0.5)
@@ -263,15 +264,16 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
     tags=("dedup",),
 )
 def q34(spark: SparkSession, sf: str) -> DataFrame:
-    from etl_pipelines_spark.llm.dedup import array_jaccard_verify, doc_shingle_arrays
+    from etl_pipelines_spark.llm.dedup import (
+        array_jaccard_verify,
+        persisted_shingle_arrays,
+    )
 
     docs = t(spark, sf, "documents")
-    # persist the COMPACT per-doc array form; the exploded stream
+    # the COMPACT per-doc array form persists; the exploded stream
     # re-derives as a cheap Generate and the verify fetches arrays by
     # id (the q74 lesson: 2 exchanges after the generator, not 4)
-    arrs = doc_shingle_arrays(docs).persist()
-    arrs.count()
-    sh = arrs.select("doc_id", F.explode("_toks").alias("shingle"))
+    arrs, sh = persisted_shingle_arrays(docs)
     sigs = minhash_signatures(docs, shingles=sh)
     pairs = lsh_candidate_pairs(sigs)
     return array_jaccard_verify(pairs, arrays=arrs)
@@ -1958,18 +1960,17 @@ def q70(spark: SparkSession, sf: str) -> DataFrame:
 def q74(spark: SparkSession, sf: str) -> DataFrame:
     from etl_pipelines_spark.llm.dedup import (
         array_jaccard_verify,
-        doc_shingle_arrays,
+        persisted_shingle_arrays,
         prefix_filter_pairs,
     )
 
     docs = t(spark, sf, "documents")
-    # Persist the COMPACT form: one (doc, shingle-array, n) row per doc
-    # — the expensive split+trigram work runs once, and the df-ranking,
-    # prefix, and verify branches all read cached arrays (the exploded
-    # token stream re-derives as a cheap Generate). Cache lifecycle:
-    # bench/driver clear the cache between queries.
-    arrs = doc_shingle_arrays(docs).persist()
-    toks = arrs.select("doc_id", F.explode("_toks").alias("token"))
+    # The COMPACT form persists: one (doc, shingle-array, n) row per
+    # doc — the expensive split+trigram work runs once, and the
+    # df-ranking, prefix, and verify branches all read cached arrays
+    # (the exploded token stream re-derives as a cheap Generate).
+    arrs, sh = persisted_shingle_arrays(docs)
+    toks = sh.withColumnRenamed("shingle", "token")
     cands = prefix_filter_pairs(docs, 0.5, tokens=toks)
     return (
         array_jaccard_verify(cands, arrays=arrs)
