@@ -142,3 +142,38 @@ def scd2_at(
         (F.col(valid_from) <= F.lit(as_of))
         & (F.col(valid_to).isNull() | (F.col(valid_to) > F.lit(as_of)))
     )
+
+
+def scd2_from_events(
+    events: DataFrame,
+    keys: list[str],
+    tracked: list[str],
+    ts_col: str,
+    delete_col: str | None = None,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Build the full SCD2 history directly from a CDC change log:
+    each change row becomes a version valid [its ts, next change's ts)
+    per key — ONE lead() window on the key partition, no join at all
+    (the change log IS the history; snapshot-diffing via scd2_apply is
+    only needed when upstream cannot emit changes).
+
+    `delete_col` (boolean) marks tombstones: a delete bounds the
+    previous version (its ts still feeds lead) but opens no version of
+    its own — the filter runs AFTER the window so the bound survives.
+    Rows per key must have distinct `ts_col` values (a real CDC log's
+    ordering key; enforce upstream with dedupe_keep_first otherwise).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    versions = events.withColumn("_vt", F.lead(ts_col).over(w))
+    if delete_col is not None:
+        versions = versions.filter(~F.col(delete_col))
+    return versions.select(
+        *keys,
+        *tracked,
+        F.col(ts_col).alias(valid_from),
+        F.col("_vt").alias(valid_to),
+    )

@@ -627,10 +627,13 @@ _COMBOS = [
     _combo(
         "q77_mutation_suite",
         "Mapping-table mutations, tagged: MERGE upsert as one"
-        " anti-join+union plan with conflicting-update dedupe (q77)"
-        " and SCD2 snapshot-to-history application — close changed"
-        " versions, re-open new ones, keep the history (q88).",
-        [("a", "bigint"), ("s1", "string"), ("s2", "string"),
+        " anti-join+union plan with conflicting-update dedupe (q77),"
+        " SCD2 snapshot-to-history application — close changed"
+        " versions, re-open new ones, keep the history (q88) — and"
+        " SCD2 built straight from a CDC change log with tombstones"
+        " (q94).",
+        [("a", "bigint"), ("b", "bigint"), ("c", "bigint"),
+         ("d", "bigint"), ("s1", "string"), ("s2", "string"),
          ("s3", "string"), ("x", "double")],
         [
             ("merge", "q77_merge_upsert",
@@ -638,6 +641,9 @@ _COMBOS = [
             ("scd2", "q88_scd2_history",
              {"a": "id", "s1": "name", "s2": "valid_from",
               "s3": "valid_to", "x": "price"}),
+            ("cdc", "q94_scd2_from_change_log",
+             {"a": "user_id", "b": "event_id", "c": "valid_from_us",
+              "d": "valid_to_us", "x": "value"}),
         ],
         ("merge", "mutation"),
     ),

@@ -1449,3 +1449,57 @@ def q93(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).cast("long").alias("is_anomaly"),
     )
+
+
+# --------------------------------------------------------------------- q94
+@register(
+    "q94_scd2_from_change_log",
+    """
+    WITH log AS (
+        SELECT user_id, event_id, CAST(value AS DOUBLE) AS value,
+               CAST(ts AS TIMESTAMP) AS ts,
+               event_type = 'error' AS is_delete
+        FROM events
+    ),
+    versions AS (
+        SELECT user_id, event_id, value, is_delete,
+               epoch_us(ts) AS valid_from_us,
+               epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                   AS valid_to_us
+        FROM log
+    )
+    SELECT user_id, event_id, value, valid_from_us, valid_to_us
+    FROM versions WHERE NOT is_delete
+    """,
+    description="SCD2 history from a CDC change log (operators/scd2.py "
+    "scd2_from_events): each change becomes a version valid [its ts, "
+    "next change's ts) via ONE lead() window per key — no join, no "
+    "snapshot diffing; 'error' events are tombstones that bound the "
+    "previous version but open none (the delete filter runs AFTER the "
+    "window so the bound survives). Validity rides epoch-microsecond "
+    "BIGINTs for cross-engine exactness",
+    tags=("window", "mutation", "timeseries"),
+)
+def q94(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.operators.scd2 import scd2_from_events
+
+    ev = t(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        F.col("value").cast("double").alias("value"),
+        "ts",
+        (F.col("event_type") == "error").alias("is_delete"),
+    )
+    out = scd2_from_events(
+        ev, ["user_id"], ["event_id", "value"], "ts", delete_col="is_delete",
+        valid_from="_vf", valid_to="_vt2",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "value",
+        # ts loads as TIMESTAMP_NTZ; the UTC session makes the LTZ
+        # cast wall-clock-identical, matching DuckDB's epoch_us
+        F.unix_micros(F.col("_vf").cast("timestamp")).alias("valid_from_us"),
+        F.unix_micros(F.col("_vt2").cast("timestamp")).alias("valid_to_us"),
+    )

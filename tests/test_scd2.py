@@ -122,3 +122,26 @@ def test_null_keyed_rows_survive(spark):
     assert nulls == [
         ("x", "2024-01-01", "2024-02-01"), ("x2", "2024-02-01", None)
     ]
+
+
+def test_scd2_from_events_tombstones_bound_versions(spark):
+    from etl_pipelines_spark.operators.scd2 import scd2_from_events
+
+    log = spark.createDataFrame(
+        [
+            (1, "2024-01-01", 10.0, False),
+            (1, "2024-02-01", 20.0, False),
+            (1, "2024-03-01", 0.0, True),   # tombstone: closes v2, opens none
+            (1, "2024-04-01", 30.0, False),  # re-created after the delete
+            (2, "2024-01-15", 5.0, False),
+        ],
+        "id long, ts string, price double, is_delete boolean",
+    )
+    out = scd2_from_events(log, ["id"], ["price"], "ts", delete_col="is_delete")
+    got = sorted((r["id"], r["price"], r["valid_from"], r["valid_to"]) for r in out.collect())
+    assert got == [
+        (1, 10.0, "2024-01-01", "2024-02-01"),
+        (1, 20.0, "2024-02-01", "2024-03-01"),  # bounded by the tombstone
+        (1, 30.0, "2024-04-01", None),
+        (2, 5.0, "2024-01-15", None),
+    ]
