@@ -472,3 +472,106 @@ def countmin_estimate(
         joined.groupBy(*others)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias(out_col))
     )
+
+
+# ------------------------------------------- mergeable quantile sketch
+#
+# Bottom-k uniform row sample (the "bottom-k sketch" of Cohen &
+# Kaplan): rank every row by a 48-bit md5 hash of its IDENTITY
+# columns; the k smallest-ranked rows per key are a uniform sample of
+# that key's rows, and the state is MERGE-CLOSED — bottom-k over a
+# union of bottom-k states equals bottom-k over the union of the raw
+# rows, because a row in the global bottom-k is necessarily in its own
+# slice's bottom-k. That gives the quantile analogue of the HLL
+# register max-merge (q80) / Bloom bit-OR (q85) / count-min sum (q90):
+# persist one <=k-row sample per (key, grain), answer quantile
+# questions at ANY coarser grain by re-ranking unioned sample rows —
+# never re-scanning raw data. Fourth mergeable-state flavor: top-k
+# selection.
+#
+# Cross-engine exact: ranks are the KMV md5 idiom, selection is
+# percentile_disc semantics (sorted sample value at floor(q*(n-1))),
+# so the whole build -> merge -> estimate pipeline evaluates
+# bit-identically in Spark and DuckDB and sits in the correctness
+# gate (q95). Production twin: percentile_approx / approx_percentile
+# (KLL-style, tighter error per byte) when portability doesn't matter.
+
+QS_K = 32
+
+
+def quantile_sketch_build(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    id_cols: list[str],
+    k: int = QS_K,
+) -> DataFrame:
+    """Per-key bottom-k sample table (keys..., _h, value), <= k rows
+    per key. `id_cols` must identify rows uniquely (they seed the
+    rank hash); ties on (_h, value) are interchangeable so the kept
+    multiset is deterministic. One shuffle; the per-key row_number is
+    the same rank idiom as kmv_distinct."""
+    rank = kmv_hash(
+        F.concat_ws("|", *[F.col(c).cast("string") for c in id_cols])
+    )
+    w = Window.partitionBy(*keys).orderBy("_h", "value")
+    return (
+        df.select(
+            *keys,
+            rank.alias("_h"),
+            F.col(value_col).cast("double").alias("value"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def quantile_sketch_merge(
+    df: DataFrame, keys: list[str], k: int = QS_K
+) -> DataFrame:
+    """Re-rank unioned sample tables to a coarser grain: keep the k
+    globally-smallest (_h, value) rows per coarse key. Algebra over
+    sketch rows only; merge(fine) == build(direct) is pinned in
+    test_operators."""
+    w = Window.partitionBy(*keys).orderBy("_h", "value")
+    return (
+        df.select(*keys, "_h", "value")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def quantile_sketch_estimate(
+    df: DataFrame, keys: list[str], qs: tuple[float, ...] = (0.25, 0.5, 0.9)
+) -> DataFrame:
+    """Long-form estimates from a sample table: one row per (keys...,
+    q) with n_sample and the sampled quantile — percentile_disc
+    semantics, value at rank floor(q*(n-1))+1 of the value-sorted
+    sample (exact when the key has <= k rows, since then the sample
+    IS the population). Ties order by (_h) after value so the picked
+    row is engine-independent."""
+    w = Window.partitionBy(*keys).orderBy("value", "_h")
+    ranked = df.withColumn("_vr", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    )
+    picks = ranked.groupBy(*keys).agg(
+        F.max("_n").cast("long").alias("n_sample"),
+        *[
+            F.max(
+                F.when(
+                    F.col("_vr")
+                    == F.floor(F.lit(q) * (F.col("_n") - 1)).cast("int") + 1,
+                    F.col("value"),
+                )
+            ).alias(f"_q{i}")
+            for i, q in enumerate(qs)
+        ],
+    )
+    stack = ", ".join(f"'{q:.2f}', _q{i}" for i, q in enumerate(qs))
+    return picks.select(
+        *keys,
+        "n_sample",
+        F.expr(f"stack({len(qs)}, {stack}) AS (q, quantile_value)"),
+    ).select(*keys, "q", "n_sample", F.col("quantile_value").cast("double"))

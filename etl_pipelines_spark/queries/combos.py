@@ -515,9 +515,10 @@ _COMBOS = [
         " count per coin (q51), the mergeable portable HLL rollup"
         " built at month grain and max-merged (q80), the portable"
         " Bloom filter build+probe whose false-positive set matches"
-        " the oracle bit-for-bit (q85), and count-min frequency"
-        " estimation next to its exact counts (q90) — the three"
-        " mergeable-state flavors: max, OR, sum.",
+        " the oracle bit-for-bit (q85), count-min frequency"
+        " estimation next to its exact counts (q90), and the bottom-k"
+        " quantile-sample rollup (q95) — the four mergeable-state"
+        " flavors: max, OR, sum, top-k selection.",
         [("a", "bigint"), ("c", "bigint"), ("d", "bigint"),
          ("s", "string"), ("x", "double")],
         [
@@ -530,6 +531,9 @@ _COMBOS = [
               "d": "CAST(is_member AS BIGINT)"}),
             ("cmin", "q90_countmin_frequency",
              {"s": "user_id", "c": "cm_estimate", "d": "exact_cnt"}),
+            ("qsk", "q95_quantile_sketch_rollup",
+             {"a": "coin_id", "c": "n_sample", "s": "q",
+              "x": "quantile_value"}),
         ],
         ("agg", "sketch"),
     ),

@@ -899,6 +899,91 @@ def q80(spark: SparkSession, sf: str) -> DataFrame:
     return portable_hll_estimate(coarse, ["coin_id"])
 
 
+# --------------------------------------------------------------------- q95
+def _quantile_sketch_oracle() -> str:
+    from etl_pipelines_spark.operators.sketches import QS_K, kmv_hash_sql
+
+    ident = (
+        "concat_ws('|', CAST(coin_id AS VARCHAR), "
+        "CAST(wallet_address AS VARCHAR), CAST(date AS VARCHAR))"
+    )
+    qs = (0.25, 0.5, 0.9)
+    picks = ",\n               ".join(
+        f"MAX(CASE WHEN vr = CAST(FLOOR({q} * (n - 1)) AS INT) + 1 "
+        f"THEN value END) AS _q{i}"
+        for i, q in enumerate(qs)
+    )
+    unions = "\n    UNION ALL ".join(
+        f"SELECT coin_id, '{q:.2f}' AS q, n_sample, "
+        f"CAST(_q{i} AS DOUBLE) AS quantile_value FROM picks"
+        for i, q in enumerate(qs)
+    )
+    return f"""
+    WITH x AS ({TRANSFERS_SQL}),
+    hashed AS (
+        SELECT coin_id, month(date) AS m, {kmv_hash_sql(ident)} AS _h,
+               CAST(net_transfers AS DOUBLE) AS value
+        FROM x
+    ),
+    fine AS (
+        SELECT coin_id, m, _h, value FROM hashed
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY coin_id, m ORDER BY _h, value) <= {QS_K}
+    ),
+    merged AS (
+        SELECT coin_id, _h, value FROM fine
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY coin_id ORDER BY _h, value) <= {QS_K}
+    ),
+    ranked AS (
+        SELECT coin_id, value, _h,
+               ROW_NUMBER() OVER (PARTITION BY coin_id
+                   ORDER BY value, _h) AS vr,
+               COUNT(*) OVER (PARTITION BY coin_id) AS n
+        FROM merged
+    ),
+    picks AS (
+        SELECT coin_id, CAST(MAX(n) AS BIGINT) AS n_sample,
+               {picks}
+        FROM ranked GROUP BY coin_id
+    )
+    {unions}
+    """
+
+
+@register(
+    "q95_quantile_sketch_rollup",
+    _quantile_sketch_oracle(),
+    description="Mergeable quantile sketch, CROSS-ENGINE EXACT "
+    "(operators/sketches.py bottom-k uniform row sample, Cohen & "
+    "Kaplan): per-(coin, month) bottom-32 sample tables of daily net "
+    "transfers re-ranked to coin grain, then percentile_disc-style "
+    "p25/p50/p90 off the merged sample — the fourth mergeable-state "
+    "flavor (top-k selection) next to HLL max, Bloom OR, count-min "
+    "sum. Merge is closed (a row in the global bottom-k is in its "
+    "slice's bottom-k), so stored per-grain samples answer quantile "
+    "questions at any coarser grain without raw re-scans; the oracle "
+    "recomputes the identical pipeline from the raw stream",
+    tags=("agg", "sketch"),
+)
+def q95(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.operators.sketches import (
+        quantile_sketch_build,
+        quantile_sketch_estimate,
+        quantile_sketch_merge,
+    )
+
+    x = transfers(spark, sf)
+    fine = quantile_sketch_build(
+        x.withColumn("_m", F.month("date")),
+        ["coin_id", "_m"],
+        "net_transfers",
+        ["coin_id", "wallet_address", "date"],
+    )
+    merged = quantile_sketch_merge(fine, ["coin_id"])
+    return quantile_sketch_estimate(merged, ["coin_id"], qs=(0.25, 0.5, 0.9))
+
+
 # --------------------------------------------------------------------- q45
 @register(
     "q45_trailing_window_frames",

@@ -628,3 +628,79 @@ class TestCountMinSketch:
             for r in countmin_build(vocab, "v", weight_col="count").collect()
         }
         assert weighted == whole
+
+
+class TestQuantileSketch:
+    def _rows(self, spark, n=2000, keys=4):
+        # deterministic skewed values: value = (i * i) % 1000
+        return spark.range(n).selectExpr(
+            "id % {} AS k".format(keys),
+            "CAST(id AS STRING) AS rid",
+            "CAST((id * id) % 1000 AS DOUBLE) AS v",
+        )
+
+    def test_merge_of_fine_equals_direct(self, spark):
+        """bottom-k over unioned per-slice bottom-k states == bottom-k
+        built straight from the raw rows — the closure that makes the
+        stored per-grain sample answer any-grain questions."""
+        from etl_pipelines_spark.operators.sketches import (
+            quantile_sketch_build,
+            quantile_sketch_merge,
+        )
+
+        df = self._rows(spark).withColumn("g", F.expr("CAST(rid AS BIGINT) % 7"))
+        direct = quantile_sketch_build(df, ["k"], "v", ["rid"], k=16)
+        merged = quantile_sketch_merge(
+            quantile_sketch_build(df, ["k", "g"], "v", ["rid"], k=16),
+            ["k"],
+            k=16,
+        ).select(*direct.columns)
+        assert direct.exceptAll(merged).count() == 0
+        assert merged.exceptAll(direct).count() == 0
+
+    def test_exact_below_k(self, spark):
+        """A key with <= k rows keeps every row, so the estimate IS the
+        exact percentile_disc quantile."""
+        from etl_pipelines_spark.operators.sketches import (
+            quantile_sketch_build,
+            quantile_sketch_estimate,
+        )
+
+        rows = [(1, str(i), float(v)) for i, v in enumerate([5, 1, 9, 3, 7])]
+        df = spark.createDataFrame(rows, "k int, rid string, v double")
+        est = {
+            r["q"]: (r["n_sample"], r["quantile_value"])
+            for r in quantile_sketch_estimate(
+                quantile_sketch_build(df, ["k"], "v", ["rid"], k=32),
+                ["k"],
+                qs=(0.0, 0.5, 1.0),
+            ).collect()
+        }
+        assert est["0.00"] == (5, 1.0)
+        assert est["0.50"] == (5, 5.0)
+        assert est["1.00"] == (5, 9.0)
+
+    def test_sampled_quantile_near_exact(self, spark):
+        """On a 2000-row key the 64-row sample's median lands within
+        ~2/sqrt(64) quantile units of the true median."""
+        from etl_pipelines_spark.operators.sketches import (
+            quantile_sketch_build,
+            quantile_sketch_estimate,
+        )
+
+        df = self._rows(spark, n=2000, keys=1)
+        est = quantile_sketch_estimate(
+            quantile_sketch_build(df, ["k"], "v", ["rid"], k=64),
+            ["k"],
+            qs=(0.5,),
+        ).first()
+        exact = df.selectExpr("percentile(v, 0.5) AS m").first()["m"]
+        # convert tolerance to quantile space via the exact CDF
+        frac = (
+            df.filter(F.col("v") <= F.lit(est["quantile_value"])).count() / 2000
+        )
+        assert abs(frac - 0.5) < 0.25
+        assert est["n_sample"] == 64
+        # sanity: the sampled median is in the value range
+        assert 0.0 <= est["quantile_value"] <= 1000.0
+        assert exact is not None
