@@ -434,3 +434,69 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate removal that only ever compares vectors INSIDE the
+    same k-means cell. Assign every vector to its nearest centroid
+    (`assign_clusters` over a `kmeans_centroids` codebook), generate
+    within-cell (a < b) pairs, exact-cosine verify, and drop any
+    vector that has a lower-id neighbor at cosine >= threshold (the
+    deterministic keep-lowest-id keeper rule; greedy by id, so a
+    removal chain a~b, b~c drops both b and c even when a !~ c —
+    the paper's one-representative-per-group approximation).
+
+    Scale shape: candidates are sum-over-cells of |cell|^2, never
+    corpus^2 — k grows with the corpus so |cell| stays bounded, the
+    cell id is the physical partition key, and hot cells split via
+    `salted_self_pairs`. Returns one row per input vector:
+    (id_col, cluster, keep)."""
+    from etl_pipelines_spark.llm.dedup import salted_self_pairs
+
+    nrm = _norm_pandas()
+    proj = (
+        assign_clusters(embeddings, centroids, vec_col=vec_col, out="cluster")
+        .select(
+            id_col,
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col(vec_col).alias("_vec"),
+            nrm(F.col(vec_col)).alias("_n"),
+        )
+        .persist()
+    )
+    # eager: the pair self-join and both verify joins re-read this
+    proj.count()
+
+    pairs = salted_self_pairs(proj.select(id_col, "cluster"), ["cluster"], id_col)
+    va = proj.select(
+        F.col(id_col).alias("doc_a"), F.col("_vec").alias("_va"), F.col("_n").alias("_na")
+    )
+    vb = proj.select(
+        F.col(id_col).alias("doc_b"), F.col("_vec").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    dot = _dot_scaled_pandas()
+    removed = (
+        pairs.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn(
+            "cosine", dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("doc_b").alias("_rm"))
+        .distinct()
+    )
+    return (
+        proj.join(removed, proj[id_col] == removed["_rm"], "left")
+        .select(
+            id_col,
+            "cluster",
+            F.col("_rm").isNull().alias("keep"),
+        )
+    )

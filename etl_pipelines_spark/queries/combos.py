@@ -539,8 +539,9 @@ _COMBOS = [
     ),
     _combo(
         "q44_embedding_stats",
-        "Embedding-corpus statistics, tagged: per-label centroids (q44)"
-        " and per-dimension int8 quantization codes (q67).",
+        "Embedding-corpus statistics, tagged: per-label centroids (q44),"
+        " per-dimension int8 quantization codes (q67), and SemDeDup"
+        " semantic near-dup removal over trained k-means cells (q96).",
         [("a", "bigint"), ("b", "bigint"), ("c1", "bigint"),
          ("c2", "bigint"), ("c3", "bigint"), ("s", "string"),
          ("x", "double")],
@@ -550,6 +551,8 @@ _COMBOS = [
             ("quant", "q67_embedding_quantization",
              {"a": "vec_id", "b": "n_dims", "c1": "code_sum",
               "c2": "code_min", "c3": "code_max", "s": "code_digest"}),
+            ("semdedup", "q96_semantic_dedup",
+             {"a": "vec_id", "b": "cluster", "c1": "CAST(keep AS BIGINT)"}),
         ],
         ("embedding",),
     ),

@@ -474,15 +474,15 @@ KM_SEED = 42
 KM_NPROBE = 2
 
 
-def _kmeans_ivf_oracle(
-    k: int, n_iter: int, seed: int, n_queries: int, topk: int, nprobe: int
-) -> str:
-    """Unrolled cross-engine k-means + IVF rerank oracle: cents0 = the
-    k vectors with the smallest md5('{seed}|'||id); each round is
+def _kmeans_cte_body(k: int, n_iter: int, seed: int) -> str:
+    """Shared unrolled cross-engine k-means replay (the CTE prefix both
+    the IVF oracle q38 and the SemDeDup oracle q96 build on): cents0 =
+    the k vectors with the smallest md5('{seed}|'||id); each round is
     exact-BIGINT argmin assignment (ties -> lowest cluster) then
     floor-scaled means with empty clusters keeping their previous
-    centroid; the final assignment under cents{n_iter} is the bucket
-    each query probes."""
+    centroid. Ends with dist{n_iter+1} (every vector's distance to the
+    final centroids), `buckets` (the final cell assignment), and
+    `norms`."""
     S = "1000000000000.0"
     rounds = []
     for i in range(1, n_iter + 1):
@@ -511,8 +511,7 @@ def _kmeans_ivf_oracle(
         WHERE p.cluster NOT IN (SELECT cluster FROM new{i})
     )""")
     f = n_iter + 1
-    return f"""
-    WITH comps AS (
+    return f"""comps AS (
         SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS val,
                generate_subscripts(embedding, 1) AS idx
         FROM embeddings
@@ -538,17 +537,29 @@ def _kmeans_ivf_oracle(
         SELECT vec_id, cluster AS bucket FROM dist{f}
         QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) = 1
     ),
-    probes AS (
-        -- multi-probe query side: each query's {nprobe} nearest cells
-        SELECT vec_id, cluster FROM dist{f}
-        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster)
-            <= {nprobe}
-    ),
     norms AS (
         SELECT vec_id,
                SQRT(CAST(SUM(CAST(FLOOR(val * val * {S}) AS BIGINT))
                     AS DOUBLE) / {S}) AS nrm
         FROM comps GROUP BY vec_id
+    )"""
+
+
+def _kmeans_ivf_oracle(
+    k: int, n_iter: int, seed: int, n_queries: int, topk: int, nprobe: int
+) -> str:
+    """IVF rerank over the shared k-means replay: the final assignment
+    under cents{n_iter} is the cell each query probes (nprobe nearest
+    cells, exact-cosine rerank within them)."""
+    S = "1000000000000.0"
+    f = n_iter + 1
+    return f"""
+    WITH {_kmeans_cte_body(k, n_iter, seed)},
+    probes AS (
+        -- multi-probe query side: each query's {nprobe} nearest cells
+        SELECT vec_id, cluster FROM dist{f}
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster)
+            <= {nprobe}
     ),
     pairs AS (
         SELECT bq.vec_id AS query_id, bc.vec_id AS neighbor_id
@@ -607,6 +618,64 @@ def q38(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _CODEBOOKS: dict[str, list[list[float]]] = {}
+
+
+# --------------------------------------------------------------------- q96
+def _semdedup_oracle(k: int, n_iter: int, seed: int, threshold: float) -> str:
+    """SemDeDup over the shared k-means replay: within-cell (a < b)
+    pairs, exact cosine, drop any vector with a lower-id neighbor at
+    cosine >= threshold."""
+    S = "1000000000000.0"
+    return f"""
+    WITH {_kmeans_cte_body(k, n_iter, seed)},
+    cands AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM buckets a
+        JOIN buckets b ON b.bucket = a.bucket AND b.vec_id > a.vec_id
+    ),
+    dots AS (
+        SELECT p.vec_a, p.vec_b,
+               CAST(SUM(CAST(FLOOR(q.val * c.val * {S}) AS BIGINT))
+                    AS DOUBLE) / {S} AS dot
+        FROM cands p
+        JOIN comps q ON q.vec_id = p.vec_a
+        JOIN comps c ON c.vec_id = p.vec_b AND c.idx = q.idx
+        GROUP BY p.vec_a, p.vec_b
+    ),
+    removed AS (
+        SELECT DISTINCT d.vec_b AS vec_id
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.vec_a
+        JOIN norms nb ON nb.vec_id = d.vec_b
+        WHERE d.dot / (na.nrm * nb.nrm) >= {threshold}
+    )
+    SELECT b.vec_id, CAST(b.bucket AS BIGINT) AS cluster,
+           (r.vec_id IS NULL) AS keep
+    FROM buckets b LEFT JOIN removed r ON r.vec_id = b.vec_id
+    """
+
+
+@register(
+    "q96_semantic_dedup",
+    _semdedup_oracle(KM_K, KM_ITER, KM_SEED, threshold=0.3),
+    description="SemDeDup semantic near-dup removal (Abbas et al. "
+    "2023, llm/similarity.py semantic_dedup): vectors compare only "
+    "INSIDE their trained k-means cell — candidates are "
+    "sum-of-cell-sizes^2, never corpus^2 — then exact cosine drops "
+    "any vector with a lower-id neighbor at >= 0.3. Shares the q38 "
+    "codebook (train once, serve every consumer); the oracle replays "
+    "the identical training and keeper rule in SQL",
+    tags=("dedup", "similarity"),
+)
+def q96(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.llm.similarity import kmeans_centroids, semantic_dedup
+
+    emb = t(spark, sf, "embeddings")
+    cents = _CODEBOOKS.get(sf)
+    if cents is None:
+        cents = kmeans_centroids(emb, k=KM_K, n_iter=KM_ITER, seed=KM_SEED)
+        _CODEBOOKS[sf] = cents
+    return semantic_dedup(emb, cents, threshold=0.3)
 
 
 # --------------------------------------------------------------------- q39

@@ -704,3 +704,43 @@ class TestQuantileSketch:
         # sanity: the sampled median is in the value range
         assert 0.0 <= est["quantile_value"] <= 1000.0
         assert exact is not None
+
+
+class TestSemanticDedup:
+    def test_blob_dedup_keeps_lowest_id(self, spark):
+        """Two separated blobs: near-identical vectors inside a blob
+        collapse to the lowest id; the cross-blob pairing never
+        compares (different cells), so distinct blobs both survive."""
+        from etl_pipelines_spark.llm.similarity import (
+            kmeans_centroids,
+            semantic_dedup,
+        )
+
+        rows = []
+        # blob A: ids 0-9, nearly identical
+        for i in range(10):
+            rows.append((i, [10.0 + i * 1e-4, 10.0, 10.0]))
+        # blob B: ids 10-19, nearly identical to each other
+        for i in range(10, 20):
+            rows.append((i, [-10.0, -10.0 - (i - 10) * 1e-4, -10.0]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = kmeans_centroids(df, k=2, n_iter=3)
+        out = {r["vec_id"]: r for r in semantic_dedup(df, cents, 0.99).collect()}
+        assert len(out) == 20  # one row per input vector
+        # exactly the lowest id of each blob survives
+        survivors = sorted(v["vec_id"] for v in out.values() if v["keep"])
+        assert survivors == [0, 10]
+        # the two blobs landed in different cells
+        assert out[0]["cluster"] != out[10]["cluster"]
+
+    def test_threshold_one_keeps_everything(self, spark):
+        from etl_pipelines_spark.llm.similarity import (
+            kmeans_centroids,
+            semantic_dedup,
+        )
+
+        rows = [(i, [float(i), float(i * 2 % 7), 1.0]) for i in range(12)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = kmeans_centroids(df, k=3, n_iter=2)
+        out = semantic_dedup(df, cents, threshold=1.1)
+        assert out.filter("NOT keep").count() == 0
