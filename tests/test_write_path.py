@@ -127,3 +127,66 @@ def test_compaction_collapses_small_files(spark, tmp_path):
     assert got == before_rows
     assert not os.path.exists(path + "__compacting")
     assert not os.path.exists(path + "__retired")
+
+
+def test_zorder_layout_prunes_better_than_single_sort(spark, tmp_path):
+    """A 2-D box probe over a Z-ordered layout must touch fewer
+    candidate files (per-file min/max pruning) than the same data laid
+    out sorted by one column — and the layout must not change the
+    data."""
+    from etl_pipelines_spark.sources.registry import (
+        file_pruning_candidates,
+        write_zordered,
+    )
+
+    # 64x64 grid: x and y are independent, the worst case for 1-D sort
+    grid = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    linear = str(tmp_path / "linear")
+    zord = str(tmp_path / "zorder")
+    # 1-D layout: range-partition + sort on x only (16 files each)
+    (
+        grid.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.parquet(linear)
+    )
+    write_zordered(grid, zord, ["x", "y"], n_files=16)
+
+    # the 1-D sort is optimal for x-probes and useless for y-probes
+    # (y spans everything in every file); the curve gives BOTH columns
+    # partial locality, so across one probe per dimension it must
+    # touch fewer files in total
+    x_probe = {"x": (10, 17)}
+    y_probe = {"y": (10, 17)}
+    lin_x, lin_total = file_pruning_candidates(spark, linear, x_probe)
+    lin_y, _ = file_pruning_candidates(spark, linear, y_probe)
+    z_x, z_total = file_pruning_candidates(spark, zord, x_probe)
+    z_y, _ = file_pruning_candidates(spark, zord, y_probe)
+    assert lin_total == z_total == 16
+    assert lin_y == 16  # the 1-D layout cannot skip on y at all
+    assert z_y < 16  # the curve can
+    assert z_x + z_y < lin_x + lin_y, (z_x, z_y, lin_x, lin_y)
+    # and a 2-D box lands in few curve segments
+    z_box, _ = file_pruning_candidates(
+        spark, zord, {"x": (10, 17), "y": (10, 17)}
+    )
+    assert z_box <= 4, z_box
+    # layout change only — same rows
+    assert spark.read.parquet(zord).exceptAll(grid).count() == 0
+    assert grid.exceptAll(spark.read.parquet(zord)).count() == 0
+
+
+def test_zorder_degenerate_constant_column(spark, tmp_path):
+    """A constant column must contribute zero bits (no divide-by-zero)
+    and the write must still succeed."""
+    from etl_pipelines_spark.sources.registry import write_zordered
+
+    df = spark.range(100).select(
+        F.lit(7).alias("c"), F.col("id").alias("x"), F.col("id").alias("p")
+    )
+    path = str(tmp_path / "zconst")
+    write_zordered(df, path, ["c", "x"], n_files=4)
+    assert spark.read.parquet(path).count() == 100
