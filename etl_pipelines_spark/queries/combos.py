@@ -244,6 +244,64 @@ def _q52_frames(words: DataFrame) -> dict[str, DataFrame]:
     }
 
 
+_Q51_SCHEMA = [
+    ("a", "bigint"), ("c", "bigint"), ("d", "bigint"),
+    ("s", "string"), ("x", "double"),
+]
+_Q51_MEMBERS = [
+    ("kmv", "q51_kmv_distinct_sketch",
+     {"a": "coin_id", "c": "n_min", "x": "kmv_estimate"}),
+    ("hll", "q80_portable_hll_rollup",
+     {"a": "coin_id", "c": "n_present", "x": "hll_estimate"}),
+    ("bloom", "q85_bloom_filter",
+     {"a": "cust_id", "c": "CAST(in_bloom AS BIGINT)",
+      "d": "CAST(is_member AS BIGINT)"}),
+    ("cmin", "q90_countmin_frequency",
+     {"s": "user_id", "c": "cm_estimate", "d": "exact_cnt"}),
+    ("qsk", "q95_quantile_sketch_rollup",
+     {"a": "coin_id", "c": "n_sample", "s": "q",
+      "x": "quantile_value"}),
+]
+
+
+def _sketch_suite_shared_scan(schema, members):
+    """Shared-scan spark_fn for the sketch suite: the three
+    transfers-derived members (KMV q51, HLL rollup q80, quantile
+    sample q95) read ONE eagerly-persisted transfers frame instead of
+    each re-running the lineitem x orders join+agg — the pair suite's
+    shared-shingle idiom applied to the sketch tier. Persist is
+    load-bearing here (transfers is a join+groupBy, expensive to
+    rebuild; eager count() because branches of the one union plan
+    materialize concurrently and a lazy persist races). Bloom (orders/
+    customer) and count-min (events) keep their standalone plans."""
+
+    def spark_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from etl_pipelines_spark.queries.timeseries import (
+            hll_member,
+            kmv_member,
+            quantile_sketch_member,
+            transfers,
+        )
+
+        x = transfers(spark, sf_dir).persist()
+        x.count()
+        frames = {
+            "kmv": kmv_member(x),
+            "hll": hll_member(x),
+            "qsk": quantile_sketch_member(x),
+        }
+        out = None
+        for tag, qname, mapping in members:
+            df = frames.get(tag)
+            if df is None:
+                df = QUERIES[qname].spark_fn(spark, sf_dir)
+            part = _align(df, tag, schema, mapping)
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    return spark_fn
+
+
 def _q55_frames(words: DataFrame) -> dict[str, DataFrame]:
     from etl_pipelines_spark.llm.text import repetition_stats
     from etl_pipelines_spark.queries.llmops import (
@@ -519,22 +577,8 @@ _COMBOS = [
         " estimation next to its exact counts (q90), and the bottom-k"
         " quantile-sample rollup (q95) — the four mergeable-state"
         " flavors: max, OR, sum, top-k selection.",
-        [("a", "bigint"), ("c", "bigint"), ("d", "bigint"),
-         ("s", "string"), ("x", "double")],
-        [
-            ("kmv", "q51_kmv_distinct_sketch",
-             {"a": "coin_id", "c": "n_min", "x": "kmv_estimate"}),
-            ("hll", "q80_portable_hll_rollup",
-             {"a": "coin_id", "c": "n_present", "x": "hll_estimate"}),
-            ("bloom", "q85_bloom_filter",
-             {"a": "cust_id", "c": "CAST(in_bloom AS BIGINT)",
-              "d": "CAST(is_member AS BIGINT)"}),
-            ("cmin", "q90_countmin_frequency",
-             {"s": "user_id", "c": "cm_estimate", "d": "exact_cnt"}),
-            ("qsk", "q95_quantile_sketch_rollup",
-             {"a": "coin_id", "c": "n_sample", "s": "q",
-              "x": "quantile_value"}),
-        ],
+        _Q51_SCHEMA,
+        _Q51_MEMBERS,
         ("agg", "sketch"),
     ),
     _combo(
@@ -636,9 +680,11 @@ _COMBOS = [
         "Mapping-table mutations, tagged: MERGE upsert as one"
         " anti-join+union plan with conflicting-update dedupe (q77),"
         " SCD2 snapshot-to-history application — close changed"
-        " versions, re-open new ones, keep the history (q88) — and"
-        " SCD2 built straight from a CDC change log with tombstones"
-        " (q94).",
+        " versions, re-open new ones, keep the history (q88) — SCD2"
+        " built straight from a CDC change log with tombstones (q94),"
+        " the added/removed/changed snapshot reconciliation diff"
+        " (q97), and the order-independent whole-table checksum"
+        " (q98).",
         [("a", "bigint"), ("b", "bigint"), ("c", "bigint"),
          ("d", "bigint"), ("s1", "string"), ("s2", "string"),
          ("s3", "string"), ("x", "double")],
@@ -651,6 +697,10 @@ _COMBOS = [
             ("cdc", "q94_scd2_from_change_log",
              {"a": "user_id", "b": "event_id", "c": "valid_from_us",
               "d": "valid_to_us", "x": "value"}),
+            ("diff", "q97_snapshot_diff",
+             {"a": "id", "s1": "status"}),
+            ("digest", "q98_table_digest",
+             {"a": "n_rows", "s1": "CAST(digest AS STRING)"}),
         ],
         ("merge", "mutation"),
     ),
@@ -696,6 +746,8 @@ for _c in _COMBOS:
         _c.spark_fn = _shared_words_scan(_Q52_SCHEMA, _Q52_MEMBERS, _q52_frames)
     elif _c.name == "q55_doc_scoring":
         _c.spark_fn = _shared_words_scan(_Q55_SCHEMA, _Q55_MEMBERS, _q55_frames)
+    elif _c.name == "q51_sketch_suite":
+        _c.spark_fn = _sketch_suite_shared_scan(_Q51_SCHEMA, _Q51_MEMBERS)
 
 
 def build_driver_queries() -> dict[str, QuerySpec]:

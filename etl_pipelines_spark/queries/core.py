@@ -1248,3 +1248,112 @@ def q88(spark: SparkSession, sf: str) -> DataFrame:
     return scd2_apply(
         dim1, s2, ["id"], ["name", "price"], "2024-02-01", close_missing=True
     )
+
+
+# --------------------------------------------------------------------- q97
+def _snapshot_diff_oracle() -> str:
+    from etl_pipelines_spark.operators.tablediff import row_digest_sql
+
+    dig = row_digest_sql(["ck", "st"])
+    return f"""
+    WITH old AS (
+        SELECT o_orderkey AS id, o_custkey AS ck, o_orderstatus AS st
+        FROM orders
+    ),
+    new AS (
+        SELECT id, CASE WHEN id % 10 = 3 THEN ck + 1 ELSE ck END AS ck, st
+        FROM old WHERE id % 50 <> 1
+        UNION ALL
+        SELECT id + 9000000, ck, st FROM old WHERE id % 100 = 7
+    ),
+    o AS (SELECT id, {dig} AS od FROM old),
+    n AS (SELECT id, {dig} AS nd FROM new)
+    SELECT COALESCE(o.id, n.id) AS id,
+           CASE WHEN o.id IS NULL THEN 'added'
+                WHEN n.id IS NULL THEN 'removed'
+                WHEN od <> nd THEN 'changed' END AS status
+    FROM o FULL OUTER JOIN n ON n.id = o.id
+    WHERE (o.id IS NULL OR n.id IS NULL OR od <> nd)
+    """
+
+
+@register(
+    "q97_snapshot_diff",
+    _snapshot_diff_oracle(),
+    description="Key-level snapshot diff (operators/tablediff.py "
+    "snapshot_diff): added / removed / changed keys between two table "
+    "versions — the incremental-load-vs-rebuild reconciliation audit. "
+    "Each side shuffles only (key, one 48-bit row digest), so the "
+    "full-outer join is narrow at any table width and the output is "
+    "proportional to the churn. The new snapshot deliberately drops "
+    "1-in-50 keys, rewrites 1-in-10, and invents 1-in-100 so all "
+    "three arms carry rows",
+    tags=("merge", "mutation", "quality"),
+)
+def q97(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.operators.tablediff import snapshot_diff
+
+    old = t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    new = (
+        old.filter(F.col("id") % 50 != 1)
+        .select(
+            "id",
+            F.when(F.col("id") % 10 == 3, F.col("ck") + 1)
+            .otherwise(F.col("ck"))
+            .alias("ck"),
+            "st",
+        )
+        .unionByName(
+            old.filter(F.col("id") % 100 == 7).select(
+                (F.col("id") + 9000000).alias("id"), "ck", "st"
+            )
+        )
+    )
+    return snapshot_diff(old, new, ["id"])
+
+
+# --------------------------------------------------------------------- q98
+def _table_digest_oracle() -> str:
+    from etl_pipelines_spark.operators.tablediff import row_digest_sql
+
+    dig = row_digest_sql(["l_orderkey", "l_partkey", "l_linenumber", "l_returnflag", "sd"])
+    return f"""
+    WITH x AS (
+        SELECT l_orderkey, l_partkey, l_linenumber, l_returnflag,
+               CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS sd
+        FROM lineitem
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST({dig} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS digest
+    FROM x
+    """
+
+
+@register(
+    "q98_table_digest",
+    _table_digest_oracle(),
+    description="Order-independent whole-table checksum "
+    "(operators/tablediff.py table_digest): sum of 48-bit per-row md5 "
+    "digests accumulated as DECIMAL(38,0) — identical under any "
+    "partitioning, row order, or engine, so a 100 TB copy validates "
+    "by comparing two numbers instead of sorting either side. "
+    "DECIMAL accumulation is the cross-engine trap the operator "
+    "exists to encode: BIGINT sums overflow Spark's ANSI long while "
+    "DuckDB silently widens to HUGEINT",
+    tags=("quality", "agg"),
+)
+def q98(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.operators.tablediff import table_digest
+
+    li = t(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.col("l_shipdate").cast("date").cast("string").alias("sd"),
+    )
+    return table_digest(li)

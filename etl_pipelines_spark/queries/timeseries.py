@@ -884,19 +884,23 @@ def _hll_oracle() -> str:
     "associative and the estimate is one division of exact integers",
     tags=("agg", "sketch"),
 )
-def q80(spark: SparkSession, sf: str) -> DataFrame:
+def hll_member(x: DataFrame) -> DataFrame:
+    """q80's body over a caller-supplied transfers frame."""
     from etl_pipelines_spark.operators.sketches import (
         merge_hll_registers,
         portable_hll_estimate,
         portable_hll_registers,
     )
 
-    x = transfers(spark, sf)
     fine = portable_hll_registers(
         x.withColumn("_m", F.month("date")), ["coin_id", "_m"], "wallet_address"
     )
     coarse = merge_hll_registers(fine, ["coin_id"])
     return portable_hll_estimate(coarse, ["coin_id"])
+
+
+def q80(spark: SparkSession, sf: str) -> DataFrame:
+    return hll_member(transfers(spark, sf))
 
 
 # --------------------------------------------------------------------- q95
@@ -966,14 +970,14 @@ def _quantile_sketch_oracle() -> str:
     "recomputes the identical pipeline from the raw stream",
     tags=("agg", "sketch"),
 )
-def q95(spark: SparkSession, sf: str) -> DataFrame:
+def quantile_sketch_member(x: DataFrame) -> DataFrame:
+    """q95's body over a caller-supplied transfers frame."""
     from etl_pipelines_spark.operators.sketches import (
         quantile_sketch_build,
         quantile_sketch_estimate,
         quantile_sketch_merge,
     )
 
-    x = transfers(spark, sf)
     fine = quantile_sketch_build(
         x.withColumn("_m", F.month("date")),
         ["coin_id", "_m"],
@@ -982,6 +986,10 @@ def q95(spark: SparkSession, sf: str) -> DataFrame:
     )
     merged = quantile_sketch_merge(fine, ["coin_id"])
     return quantile_sketch_estimate(merged, ["coin_id"], qs=(0.25, 0.5, 0.9))
+
+
+def q95(spark: SparkSession, sf: str) -> DataFrame:
+    return quantile_sketch_member(transfers(spark, sf))
 
 
 # --------------------------------------------------------------------- q45
@@ -1101,9 +1109,14 @@ _KMV_K = 16
     "approx_count_distinct (see operators/sketches.py)",
     tags=("agg", "sketch"),
 )
-def q51(spark: SparkSession, sf: str) -> DataFrame:
-    x = transfers(spark, sf)
+def kmv_member(x: DataFrame) -> DataFrame:
+    """q51's body over a caller-supplied transfers frame (the sketch
+    suite shares ONE persisted transfers build across its members)."""
     return kmv_distinct(x, ["coin_id"], "wallet_address", k=_KMV_K)
+
+
+def q51(spark: SparkSession, sf: str) -> DataFrame:
+    return kmv_member(transfers(spark, sf))
 
 
 # --------------------------------------------------------------------- q61

@@ -110,3 +110,46 @@ class TestUpsertPreservesPartitioning:
         assert dirs == ["date=2024-01-01", "date=2024-01-02", "date=2024-01-03"]
         got = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
         assert got == {1: 1.0, 2: 22.0, 3: 3.0}
+
+
+class TestTableDiff:
+    def test_table_digest_order_and_partition_independent(self, spark):
+        from etl_pipelines_spark.operators.tablediff import table_digest
+
+        df = spark.range(500).selectExpr(
+            "id", "CAST(id % 7 AS STRING) AS s", "id * 2 AS v"
+        )
+        base = table_digest(df).first()
+        shuffled = table_digest(df.orderBy(F.rand(seed=3)).repartition(7)).first()
+        assert (base["n_rows"], base["digest"]) == (
+            shuffled["n_rows"],
+            shuffled["digest"],
+        )
+        # any single-row change moves the digest
+        mutated = table_digest(
+            df.withColumn("v", F.when(F.col("id") == 123, 999).otherwise(F.col("v")))
+        ).first()
+        assert mutated["digest"] != base["digest"]
+        assert mutated["n_rows"] == base["n_rows"]
+
+    def test_digest_distinguishes_null_from_sentinel_lookalikes(self, spark):
+        from etl_pipelines_spark.operators.tablediff import table_digest
+
+        a = spark.createDataFrame([(1, None)], "id long, s string")
+        b = spark.createDataFrame([(1, "")], "id long, s string")
+        c = spark.createDataFrame([(1, "None")], "id long, s string")
+        digs = {table_digest(x).first()["digest"] for x in (a, b, c)}
+        assert len(digs) == 3
+
+    def test_snapshot_diff_three_arms_and_quiet_on_identical(self, spark):
+        from etl_pipelines_spark.operators.tablediff import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, s string, v long"
+        )
+        new = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 99), (4, "d", 40)], "id long, s string, v long"
+        )
+        got = {r["id"]: r["status"] for r in snapshot_diff(old, new, ["id"]).collect()}
+        assert got == {2: "changed", 3: "removed", 4: "added"}
+        assert snapshot_diff(old, old, ["id"]).count() == 0
