@@ -264,42 +264,19 @@ _Q51_MEMBERS = [
 ]
 
 
-def _sketch_suite_shared_scan(schema, members):
-    """Shared-scan spark_fn for the sketch suite: the three
-    transfers-derived members (KMV q51, HLL rollup q80, quantile
-    sample q95) read ONE eagerly-persisted transfers frame instead of
-    each re-running the lineitem x orders join+agg — the pair suite's
-    shared-shingle idiom applied to the sketch tier. Persist is
-    load-bearing here (transfers is a join+groupBy, expensive to
-    rebuild; eager count() because branches of the one union plan
-    materialize concurrently and a lazy persist races). Bloom (orders/
-    customer) and count-min (events) keep their standalone plans."""
-
-    def spark_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from etl_pipelines_spark.queries.timeseries import (
-            hll_member,
-            kmv_member,
-            quantile_sketch_member,
-            transfers,
-        )
-
-        x = transfers(spark, sf_dir).persist()
-        x.count()
-        frames = {
-            "kmv": kmv_member(x),
-            "hll": hll_member(x),
-            "qsk": quantile_sketch_member(x),
-        }
-        out = None
-        for tag, qname, mapping in members:
-            df = frames.get(tag)
-            if df is None:
-                df = QUERIES[qname].spark_fn(spark, sf_dir)
-            part = _align(df, tag, schema, mapping)
-            out = part if out is None else out.unionByName(part)
-        return out
-
-    return spark_fn
+# NOTE (measured, sf0.1): sharing ONE eagerly-persisted transfers
+# frame across the suite's three transfers-derived members (KMV q51,
+# HLL q80, quantile sample q95) was tried and is SLOWER than letting
+# each member keep its own fused plan (min-of-runs 4.5 s vs 4.0 s):
+# the cache forces full materialization of all four transfers columns
+# and pays the memory-store write, while the standalone plans push
+# member-specific column pruning into the lineitem x orders join and
+# the union's branches already run concurrently. The pair suite's
+# shared-shingle idiom wins only when the shared frame is expensive
+# to rebuild RELATIVE to its cache write (shingle explosion is;
+# a 3-column join+agg is not). Members stay standalone; the
+# kmv/hll/quantile_sketch member helpers in queries/timeseries.py
+# remain for callers that do hold a materialized transfers table.
 
 
 def _q55_frames(words: DataFrame) -> dict[str, DataFrame]:
@@ -746,8 +723,6 @@ for _c in _COMBOS:
         _c.spark_fn = _shared_words_scan(_Q52_SCHEMA, _Q52_MEMBERS, _q52_frames)
     elif _c.name == "q55_doc_scoring":
         _c.spark_fn = _shared_words_scan(_Q55_SCHEMA, _Q55_MEMBERS, _q55_frames)
-    elif _c.name == "q51_sketch_suite":
-        _c.spark_fn = _sketch_suite_shared_scan(_Q51_SCHEMA, _Q51_MEMBERS)
 
 
 def build_driver_queries() -> dict[str, QuerySpec]:
