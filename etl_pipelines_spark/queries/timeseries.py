@@ -884,6 +884,10 @@ def _hll_oracle() -> str:
     "associative and the estimate is one division of exact integers",
     tags=("agg", "sketch"),
 )
+def q80(spark: SparkSession, sf: str) -> DataFrame:
+    return hll_member(transfers(spark, sf))
+
+
 def hll_member(x: DataFrame) -> DataFrame:
     """q80's body over a caller-supplied transfers frame."""
     from etl_pipelines_spark.operators.sketches import (
@@ -897,10 +901,6 @@ def hll_member(x: DataFrame) -> DataFrame:
     )
     coarse = merge_hll_registers(fine, ["coin_id"])
     return portable_hll_estimate(coarse, ["coin_id"])
-
-
-def q80(spark: SparkSession, sf: str) -> DataFrame:
-    return hll_member(transfers(spark, sf))
 
 
 # --------------------------------------------------------------------- q95
@@ -970,6 +970,10 @@ def _quantile_sketch_oracle() -> str:
     "recomputes the identical pipeline from the raw stream",
     tags=("agg", "sketch"),
 )
+def q95(spark: SparkSession, sf: str) -> DataFrame:
+    return quantile_sketch_member(transfers(spark, sf))
+
+
 def quantile_sketch_member(x: DataFrame) -> DataFrame:
     """q95's body over a caller-supplied transfers frame."""
     from etl_pipelines_spark.operators.sketches import (
@@ -986,10 +990,6 @@ def quantile_sketch_member(x: DataFrame) -> DataFrame:
     )
     merged = quantile_sketch_merge(fine, ["coin_id"])
     return quantile_sketch_estimate(merged, ["coin_id"], qs=(0.25, 0.5, 0.9))
-
-
-def q95(spark: SparkSession, sf: str) -> DataFrame:
-    return quantile_sketch_member(transfers(spark, sf))
 
 
 # --------------------------------------------------------------------- q45
@@ -1109,14 +1109,14 @@ _KMV_K = 16
     "approx_count_distinct (see operators/sketches.py)",
     tags=("agg", "sketch"),
 )
-def kmv_member(x: DataFrame) -> DataFrame:
-    """q51's body over a caller-supplied transfers frame (the sketch
-    suite shares ONE persisted transfers build across its members)."""
-    return kmv_distinct(x, ["coin_id"], "wallet_address", k=_KMV_K)
-
-
 def q51(spark: SparkSession, sf: str) -> DataFrame:
     return kmv_member(transfers(spark, sf))
+
+
+def kmv_member(x: DataFrame) -> DataFrame:
+    """q51's body over a caller-supplied transfers frame, for callers
+    that hold a materialized transfers table."""
+    return kmv_distinct(x, ["coin_id"], "wallet_address", k=_KMV_K)
 
 
 # --------------------------------------------------------------------- q61
