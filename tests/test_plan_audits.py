@@ -322,3 +322,51 @@ class TestBloomFilterShape:
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
         assert "partial_bit_or" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestRound3Shapes:
+    def test_q95_quantile_sketch_bounded_exchanges(self, spark):
+        # build rides one exchange for its (coin, month) rank; merge
+        # and estimate re-rank sketch-sized streams. More exchanges
+        # than 5 (transfers join + agg + three rank grains) means a
+        # stage stopped reusing its parent partitioning
+        plan = plan_of(spark, "q95_quantile_sketch_rollup")
+        assert shuffle_exchanges(plan) <= 5, plan_of(spark, "q95_quantile_sketch_rollup")
+
+    def test_q96_semdedup_python_is_arrow_only_and_no_cartesian(self, spark):
+        # assignment + pair dots cross to Python as Arrow batches only;
+        # candidate generation must stay a bucketed equi-join — a
+        # CartesianProduct would mean the within-cell constraint was
+        # lost and the plan went corpus^2
+        plan = plan_of(spark, "q96_semantic_dedup")
+        assert "ArrowEvalPython" in plan
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q97_snapshot_diff_shuffles_digest_not_payload(self, spark):
+        # each side reduces to (key, 48-bit digest) BEFORE the
+        # full-outer join, so the join shuffle is narrow at any table
+        # width: the compare columns must not appear in the exchange
+        plan = plan_of(spark, "q97_snapshot_diff")
+        m = re.search(
+            r"^\(\d+\) SortMergeJoin FullOuter.*?$", plan, flags=re.M
+        )
+        # whatever join strategy runs, no o_orderstatus bytes may ride
+        # past the digest projection into the join input exchanges
+        exchanges = [
+            l for l in plan.splitlines() if "Arguments: hashpartitioning" in l
+        ]
+        assert exchanges, plan
+        assert all("o_orderstatus" not in l and " st#" not in l for l in exchanges), (
+            m.group(0) if m else exchanges
+        )
+
+    def test_q98_table_digest_single_aggregation_no_shuffle_of_rows(self, spark):
+        # the checksum is one partial-aggregable pass: map-side digest
+        # sums combine, the final exchange carries ONE row per
+        # partition — a Window or a sort here would mean the digest
+        # stopped being order-independent algebra
+        plan = plan_of(spark, "q98_table_digest")
+        assert not re.search(r"^\(\d+\) Window", plan, flags=re.M)
+        assert not re.search(r"^\(\d+\) Sort", plan, flags=re.M)
+        assert shuffle_exchanges(plan) <= 1

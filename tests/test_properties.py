@@ -565,3 +565,58 @@ def test_scd2_invariants_hold_for_any_snapshot_sequence(spark, snaps, close_miss
             for r in scd2_at(dim, dates[-1]).collect()
         }
         assert live == snaps[-1]
+
+
+# ------------------------------------------------- bottom-k quantile sketch
+
+
+@st.composite
+def sketch_rows_fixture(draw):
+    """(key, slice, value) rows with duplicates in value space and an
+    arbitrary slice assignment — the shapes that break naive merges."""
+    n = draw(st.integers(1, 60))
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                draw(st.integers(0, 2)),
+                draw(st.integers(0, 3)),
+                str(i),  # unique row identity
+                float(draw(st.integers(-5, 5))),
+            )
+        )
+    return rows
+
+
+@settings(max_examples=10, deadline=None)
+@given(sketch_rows_fixture())
+def test_quantile_sketch_merge_closed_any_slicing(spark, rows):
+    """merge(per-slice builds) == direct build, for ANY key/slice
+    layout and k — the closure that makes stored per-grain samples
+    trustworthy."""
+    from etl_pipelines_spark.operators.sketches import (
+        quantile_sketch_build,
+        quantile_sketch_merge,
+    )
+
+    df = spark.createDataFrame(rows, "k int, g int, rid string, v double")
+    for k in (1, 4, 16):
+        direct = quantile_sketch_build(df, ["k"], "v", ["rid"], k=k)
+        merged = quantile_sketch_merge(
+            quantile_sketch_build(df, ["k", "g"], "v", ["rid"], k=k), ["k"], k=k
+        ).select(*direct.columns)
+        assert direct.exceptAll(merged).count() == 0
+        assert merged.exceptAll(direct).count() == 0
+
+
+@settings(max_examples=10, deadline=None)
+@given(sketch_rows_fixture())
+def test_table_digest_invariant_under_order_and_partitioning(spark, rows):
+    from etl_pipelines_spark.operators.tablediff import table_digest
+
+    df = spark.createDataFrame(rows, "k int, g int, rid string, v double")
+    a = table_digest(df, ["k", "g", "rid"]).first()
+    b = table_digest(
+        df.orderBy(F.rand(seed=1)).repartition(5), ["k", "g", "rid"]
+    ).first()
+    assert (a["n_rows"], a["digest"]) == (b["n_rows"], b["digest"])
