@@ -1,0 +1,81 @@
+"""Numeric-relationship profiling: exact Pearson correlation matrix.
+
+The column-profile family (q53 quantiles, q54 null/distinct/extrema)
+stops at per-column facts; the next question a dataset audit asks is
+"which columns move together" (feature redundancy, leakage screens,
+sanity checks like price ~ quantity). At 100 TB that must be ONE
+partial-aggregable pass — never a per-pair re-scan.
+
+Design: every moment the formula needs (n, sum x, sum x^2, sum x*y
+for each pair) accumulates in a single groupBy-less aggregate.
+Inputs are rendered as exact integers first (fixed-point via a
+DECIMAL cast, not floor(double*scale) — 0.29 * 100 is 28.999... in
+IEEE), sums ride DECIMAL(38,0) (exact in any partitioning; plain
+BIGINT sums would overflow Spark's ANSI long), and the final
+correlation is one pinned IEEE sequence over those exact integers —
+double(n*Sxy - Sx*Sy) / (sqrt(double(n*Sxx - Sx^2)) *
+sqrt(double(n*Syy - Sy^2))) — so Spark and the DuckDB oracle agree
+bit-for-bit (gated q100).
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEC = "decimal(38,0)"
+
+
+def _scaled(col: str, decimals: int) -> F.Column:
+    """Exact fixed-point integer rendering of a numeric column."""
+    return (
+        (F.col(col).cast(f"decimal(18,{decimals})") * F.lit(10**decimals))
+        .cast("long")
+    )
+
+
+def correlation_matrix(
+    df: DataFrame, cols: list[str], decimals: int = 2
+) -> DataFrame:
+    """(col_a, col_b, n, corr) for every unordered column pair, from
+    one aggregation pass. `decimals` is the fixed-point precision used
+    to make inputs exact integers (2 covers currency-style columns;
+    integer columns are unaffected). Null rows are excluded globally
+    (listwise) so every pair sees the same n and the matrix is
+    consistent."""
+    clean = df.dropna(subset=cols)
+    s = {c: _scaled(c, decimals) for c in cols}
+    aggs = [F.count(F.lit(1)).cast(DEC).alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(s[c].cast(DEC)).alias(f"_s_{c}"))
+        aggs.append(F.sum((s[c] * s[c]).cast(DEC)).alias(f"_ss_{c}"))
+    for a, b in combinations(cols, 2):
+        aggs.append(F.sum((s[a] * s[b]).cast(DEC)).alias(f"_sp_{a}_{b}"))
+    moments = clean.agg(*aggs)
+
+    def corr(a: str, b: str) -> F.Column:
+        n = F.col("_n")
+        covn = (n * F.col(f"_sp_{a}_{b}") - F.col(f"_s_{a}") * F.col(f"_s_{b}")).cast(
+            "double"
+        )
+        varn_a = (n * F.col(f"_ss_{a}") - F.col(f"_s_{a}") * F.col(f"_s_{a}")).cast(
+            "double"
+        )
+        varn_b = (n * F.col(f"_ss_{b}") - F.col(f"_s_{b}") * F.col(f"_s_{b}")).cast(
+            "double"
+        )
+        return covn / (F.sqrt(varn_a) * F.sqrt(varn_b))
+
+    pairs = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            corr(a, b).alias("corr"),
+        )
+        for a, b in combinations(cols, 2)
+    ]
+    return moments.select(
+        F.col("_n").cast("long").alias("n"), F.explode(F.array(*pairs)).alias("_p")
+    ).select("_p.col_a", "_p.col_b", "n", F.col("_p.corr").alias("corr"))

@@ -590,8 +590,10 @@ _COMBOS = [
     ),
     _combo(
         "q53_profile_suite",
-        "Dataset profiling, tagged: exact per-group percentiles (q53)"
-        " and the per-column null/distinct/min/max profile (q54).",
+        "Dataset profiling, tagged: exact per-group percentiles (q53),"
+        " the per-column null/distinct/min/max profile (q54), and the"
+        " exact Pearson correlation matrix from one moment pass"
+        " (q100).",
         [("s1", "string"), ("c1", "bigint"), ("c2", "bigint"),
          ("c3", "bigint"), ("c4", "bigint"), ("x", "double"),
          ("y", "double"), ("s2", "string"), ("s3", "string")],
@@ -603,6 +605,8 @@ _COMBOS = [
              {"s1": "col_name", "c1": "n_rows", "c2": "n_null",
               "c3": "n_distinct", "x": "min_num", "y": "max_num",
               "s2": "min_str", "s3": "max_str"}),
+            ("corr", "q100_correlation_matrix",
+             {"s2": "col_a", "s3": "col_b", "c1": "n", "x": "corr"}),
         ],
         ("profile",),
     ),
@@ -653,6 +657,26 @@ _COMBOS = [
         ("mixing",),
     ),
     _combo(
+        "q29_clustering_suite",
+        "Graph clustering decisions, tagged: LSH near-dup canonical"
+        " doc clusters (q29) and end-to-end fuzzy entity resolution —"
+        " blocked edit-distance pairs closed into entity groups with"
+        " one canonical name each (q99). Both run the same"
+        " connected-components machinery; both oracles replay the"
+        " transitive closure as recursive CTEs.",
+        [("a", "bigint"), ("b", "bigint"), ("c", "bigint"),
+         ("s1", "string"), ("s2", "string")],
+        [
+            ("docs", "q29_dedup_canonical_clusters",
+             {"a": "doc_id", "b": "canonical_id",
+              "c": "CAST(is_canonical AS BIGINT)"}),
+            ("entities", "q99_entity_resolution",
+             {"s1": "name", "s2": "entity_id",
+              "c": "CAST(is_canonical AS BIGINT)"}),
+        ],
+        ("dedup", "iterative"),
+    ),
+    _combo(
         "q77_mutation_suite",
         "Mapping-table mutations, tagged: MERGE upsert as one"
         " anti-join+union plan with conflicting-update dedupe (q77),"
@@ -697,7 +721,6 @@ _STANDALONE = [
     "q23_whale_bucket_counts",
     "q27_sessionization",
     "q28_incremental_hwm",
-    "q29_dedup_canonical_clusters",
     "q30_exact_dedup",
     "q42_streaming_daily_rollup",
     "q45_trailing_window_frames",

@@ -1357,3 +1357,61 @@ def q98(spark: SparkSession, sf: str) -> DataFrame:
         F.col("l_shipdate").cast("date").cast("string").alias("sd"),
     )
     return table_digest(li)
+
+
+# --------------------------------------------------------------------- q100
+def _correlation_oracle() -> str:
+    cols = {"q": "l_quantity", "e": "l_extendedprice", "d": "l_discount", "t": "l_tax"}
+    pairs = [("q", "e"), ("q", "d"), ("q", "t"), ("e", "d"), ("e", "t"), ("d", "t")]
+    scaled = ", ".join(
+        f"CAST(CAST({src} AS DECIMAL(18,2)) * 100 AS BIGINT) AS {k}"
+        for k, src in cols.items()
+    )
+    notnull = " AND ".join(f"{src} IS NOT NULL" for src in cols.values())
+    moments = ", ".join(
+        [f"CAST(COUNT(*) AS HUGEINT) AS n"]
+        + [f"CAST(SUM({k}) AS HUGEINT) AS s_{k}" for k in cols]
+        + [f"CAST(SUM({k} * {k}) AS HUGEINT) AS ss_{k}" for k in cols]
+        + [f"CAST(SUM({a} * {b}) AS HUGEINT) AS sp_{a}_{b}" for a, b in pairs]
+    )
+
+    def corr(a: str, b: str) -> str:
+        return (
+            f"CAST(n * sp_{a}_{b} - s_{a} * s_{b} AS DOUBLE)"
+            f" / (sqrt(CAST(n * ss_{a} - s_{a} * s_{a} AS DOUBLE))"
+            f" * sqrt(CAST(n * ss_{b} - s_{b} * s_{b} AS DOUBLE)))"
+        )
+
+    unions = "\n    UNION ALL ".join(
+        f"SELECT '{cols[a]}' AS col_a, '{cols[b]}' AS col_b,"
+        f" CAST(n AS BIGINT) AS n, {corr(a, b)} AS corr FROM m"
+        for a, b in pairs
+    )
+    return f"""
+    WITH s AS (SELECT {scaled} FROM lineitem WHERE {notnull}),
+    m AS (SELECT {moments} FROM s)
+    {unions}
+    """
+
+
+@register(
+    "q100_correlation_matrix",
+    _correlation_oracle(),
+    description="Exact Pearson correlation matrix over the lineitem "
+    "numeric columns (operators/profiling.py correlation_matrix): all "
+    "pairwise moments accumulate in ONE partial-aggregable pass — "
+    "inputs rendered exact via fixed-point DECIMAL (never "
+    "floor(double*scale): 0.29*100 is 28.999...), sums ride "
+    "DECIMAL(38,0)/HUGEINT, and the final r is one pinned IEEE "
+    "sequence over exact integers, so both engines agree "
+    "bit-for-bit. The profiling question after q54's per-column "
+    "facts: which columns move together",
+    tags=("profile", "agg"),
+)
+def q100(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.operators.profiling import correlation_matrix
+
+    li = t(spark, sf, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"], decimals=2
+    )

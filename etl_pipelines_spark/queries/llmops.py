@@ -2512,3 +2512,64 @@ def q92(spark: SparkSession, sf: str) -> DataFrame:
         .filter(d.between(1, 3))
         .select("name_a", "name_b", d.cast("long").alias("distance"))
     )
+
+
+# --------------------------------------------------------------------- q99
+@register(
+    "q99_entity_resolution",
+    """
+    WITH RECURSIVE named AS (
+        SELECT DISTINCT p_name AS name,
+               string_split(p_name, ' ')[1] AS w1,
+               substring(string_split(p_name, ' ')[2], 1, 1) AS c2
+        FROM part
+    ),
+    dup AS (
+        SELECT a.name AS na, b.name AS nb
+        FROM named a
+        JOIN named b ON a.w1 = b.w1 AND a.c2 = b.c2 AND a.name < b.name
+        WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 3
+    ),
+    edges AS (
+        SELECT na AS s, nb AS d FROM dup
+        UNION ALL SELECT nb, na FROM dup
+    ),
+    reach(node, lbl) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.node = e.d
+    ),
+    labels AS (SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node),
+    ents AS (SELECT DISTINCT name FROM named)
+    SELECT n.name, COALESCE(l.lbl, n.name) AS entity_id,
+           (n.name = COALESCE(l.lbl, n.name)) AS is_canonical
+    FROM ents n LEFT JOIN labels l ON l.node = n.name
+    """,
+    description="End-to-end entity resolution: the q92 blocked "
+    "edit-distance pairs become entity GROUPS via the same "
+    "connected-components machinery the dedup clustering uses "
+    "(llm/dedup.py, type-agnostic min-label over string ids), and "
+    "every distinct name gets a canonical entity_id — the decision a "
+    "master-data pipeline actually emits (pairs alone don't resolve). "
+    "Fuzzy-match clusters are near-cliques, so propagation converges "
+    "in a few rounds; the oracle replays the transitive closure as a "
+    "recursive CTE (the q29 pattern over names)",
+    tags=("dedup", "join", "iterative"),
+)
+def q99(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.llm.dedup import connected_components
+
+    names = (
+        t(spark, sf, "part").select(F.col("p_name").alias("name")).distinct()
+    )
+    pairs = q92(spark, sf)
+    labels = connected_components(pairs, "name_a", "name_b")
+    ent = F.coalesce(F.col("label"), F.col("name"))
+    return (
+        names.join(labels, names.name == labels.node, "left")
+        .select(
+            "name",
+            ent.alias("entity_id"),
+            (F.col("name") == ent).alias("is_canonical"),
+        )
+    )

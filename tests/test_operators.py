@@ -744,3 +744,37 @@ class TestSemanticDedup:
         cents = kmeans_centroids(df, k=3, n_iter=2)
         out = semantic_dedup(df, cents, threshold=1.1)
         assert out.filter("NOT keep").count() == 0
+
+
+class TestCorrelationMatrix:
+    def test_perfect_and_anti_correlation(self, spark):
+        from etl_pipelines_spark.operators.profiling import correlation_matrix
+
+        df = spark.range(1, 101).selectExpr(
+            "CAST(id AS DOUBLE) AS a",
+            "CAST(id * 3 AS DOUBLE) AS b",
+            "CAST(100 - id AS DOUBLE) AS c",
+        )
+        got = {
+            (r["col_a"], r["col_b"]): r["corr"]
+            for r in correlation_matrix(df, ["a", "b", "c"], decimals=0).collect()
+        }
+        # sqrt(x)*sqrt(y) vs sqrt(x*y) leaves ~1 ulp; determinism (not
+        # tidiness) is what the oracle gate pins
+        assert abs(got[("a", "b")] - 1.0) < 1e-12
+        assert abs(got[("a", "c")] + 1.0) < 1e-12
+        assert abs(got[("b", "c")] + 1.0) < 1e-12
+
+    def test_independent_columns_near_zero_and_null_rows_dropped(self, spark):
+        from etl_pipelines_spark.operators.profiling import correlation_matrix
+
+        df = spark.range(200).selectExpr(
+            "CAST(id % 7 AS DOUBLE) AS a",
+            "CAST((id * 37) % 11 AS DOUBLE) AS b",
+            "CASE WHEN id = 5 THEN NULL ELSE CAST(id AS DOUBLE) END AS c",
+        )
+        rows = correlation_matrix(df, ["a", "b", "c"], decimals=0).collect()
+        n = {r["n"] for r in rows}
+        assert n == {199}  # listwise null drop: every pair sees the same n
+        got = {(r["col_a"], r["col_b"]): r["corr"] for r in rows}
+        assert abs(got[("a", "b")]) < 0.2
