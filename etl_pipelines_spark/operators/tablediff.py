@@ -99,3 +99,36 @@ def snapshot_diff(
         .filter(F.col("status").isNotNull())
         .select(*keys, "status")
     )
+
+
+def table_digest_delta(
+    digest: DataFrame,
+    added: DataFrame | None = None,
+    removed: DataFrame | None = None,
+    cols: list[str] | None = None,
+) -> DataFrame:
+    """Maintain a `table_digest` under churn WITHOUT rescanning the
+    table: because the digest is a plain sum of row hashes, the new
+    checksum is old + digest(added) - digest(removed). An incremental
+    load can carry its expected post-load checksum computed from the
+    delta alone, and a full recompute (or the warehouse twin's digest)
+    confirms it — rescan cost moves from O(table) to O(churn).
+    `cols` must match the original digest's column list. Rows in
+    `removed` must actually exist in the table (sums don't know; the
+    q97 snapshot diff is the existence check)."""
+    sel = digest.select(
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("digest").cast("decimal(38,0)").alias("digest"),
+    )
+    for frame, sign in ((added, 1), (removed, -1)):
+        if frame is None:
+            continue
+        d = table_digest(frame, cols).select(
+            (F.lit(sign) * F.col("n_rows")).cast("long").alias("n_rows"),
+            (F.lit(sign) * F.col("digest")).cast("decimal(38,0)").alias("digest"),
+        )
+        sel = sel.unionByName(d)
+    return sel.agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("digest").cast("decimal(38,0)").alias("digest"),
+    )

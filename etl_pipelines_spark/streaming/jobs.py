@@ -245,3 +245,76 @@ def attribution_interval_join(
             "(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000"
         ).alias("secs_to_purchase"),
     )
+
+
+QSKETCH_STATE_SCHEMA = "n_seen bigint, hs array<bigint>, vs array<double>"
+QSKETCH_OUT_SCHEMA = (
+    "user_id bigint, n_seen bigint, n_kept int, hs array<bigint>, vs array<double>"
+)
+QSKETCH_K = 32
+
+
+def _merge_bottom_k(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold each micro-batch's (hash, value) rows into the carried
+    bottom-k sample. Merge closure (operators/sketches.py) is what
+    makes this exact: bottom-k of (state ∪ batch) == bottom-k of
+    everything seen, so the stream's final state equals the batch
+    build bit-for-bit regardless of how rows were batched."""
+    n_seen, hs, vs = state.get if state.exists else (0, [], [])
+    h, v = list(hs), list(vs)
+    for pdf in pdfs:
+        n_seen += len(pdf)
+        h.extend(int(x) for x in pdf["_h"])
+        v.extend(float(x) for x in pdf["value"])
+    order = sorted(range(len(h)), key=lambda i: (h[i], v[i]))[:QSKETCH_K]
+    h, v = [h[i] for i in order], [v[i] for i in order]
+    state.update((n_seen, h, v))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_seen": [n_seen],
+            "n_kept": [len(h)],
+            "hs": [h],
+            "vs": [v],
+        }
+    )
+
+
+def streaming_quantile_sketch(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    id_cols: tuple[str, ...] = ("event_id",),
+    k: int = QSKETCH_K,
+) -> DataFrame:
+    """Streaming twin of the bottom-k quantile sketch (q95): per-key
+    uniform row samples maintained across micro-batches via
+    applyInPandasWithState. The rank hash is computed JVM-side with
+    the SAME kmv_hash idiom as the batch build, so stream state ==
+    batch `quantile_sketch_build` on the union of all batches (pinned
+    in test_streaming). State is <= k (hash, value) pairs + one
+    counter per key — fixed-size, spill-proof; each update emits the
+    key's current sample, so any batch's emission answers quantile
+    queries over everything seen so far."""
+    from etl_pipelines_spark.operators.sketches import kmv_hash
+
+    assert k == QSKETCH_K, "state fold is compiled for QSKETCH_K"
+    rank = kmv_hash(
+        F.concat_ws("|", *[F.col(c).cast("string") for c in id_cols])
+    )
+    hashed = events.select(
+        F.col(key_col).alias("user_id"),
+        rank.alias("_h"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return hashed.groupBy("user_id").applyInPandasWithState(
+        _merge_bottom_k,
+        outputStructType=QSKETCH_OUT_SCHEMA,
+        stateStructType=QSKETCH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -153,3 +153,37 @@ class TestTableDiff:
         got = {r["id"]: r["status"] for r in snapshot_diff(old, new, ["id"]).collect()}
         assert got == {2: "changed", 3: "removed", 4: "added"}
         assert snapshot_diff(old, old, ["id"]).count() == 0
+
+
+class TestTableDigestDelta:
+    def test_delta_matches_full_recompute(self, spark):
+        from etl_pipelines_spark.operators.tablediff import (
+            table_digest,
+            table_digest_delta,
+        )
+
+        base = spark.range(300).selectExpr("id", "CAST(id % 9 AS STRING) AS s")
+        added = spark.range(300, 340).selectExpr("id", "CAST(id % 9 AS STRING) AS s")
+        removed = base.filter("id % 50 = 0")
+        after = base.exceptAll(removed).unionByName(added)
+
+        maintained = table_digest_delta(
+            table_digest(base), added=added, removed=removed
+        ).first()
+        recomputed = table_digest(after).first()
+        assert (maintained["n_rows"], maintained["digest"]) == (
+            recomputed["n_rows"],
+            recomputed["digest"],
+        )
+
+    def test_delta_with_only_adds(self, spark):
+        from etl_pipelines_spark.operators.tablediff import (
+            table_digest,
+            table_digest_delta,
+        )
+
+        base = spark.range(10).selectExpr("id", "'x' AS s")
+        add = spark.range(10, 12).selectExpr("id", "'x' AS s")
+        got = table_digest_delta(table_digest(base), added=add).first()
+        want = table_digest(base.unionByName(add)).first()
+        assert (got["n_rows"], got["digest"]) == (want["n_rows"], want["digest"])

@@ -346,3 +346,84 @@ def test_streaming_dedupe_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     out = spark.table("dedupe_wm").collect()
     assert sorted(r["event_id"] for r in out) == [1, 2, 3]
+
+
+def test_streaming_quantile_sketch_state_equals_batch_build(spark, tmp_path):
+    """The stream's final per-key sample must equal the batch bottom-k
+    build over the same rows — the merge closure, exercised across
+    REAL micro-batch boundaries (one file per trigger)."""
+    from etl_pipelines_spark.operators.sketches import quantile_sketch_build
+    from etl_pipelines_spark.streaming.jobs import streaming_quantile_sketch
+
+    src = str(tmp_path / "qsk_src")
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    # two files -> two micro-batches under maxFilesPerTrigger=1
+    ev.filter("event_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    ev.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_quantile_sketch(stream)
+        .writeStream.format("memory")
+        .queryName("qsk_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("qsk_out")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_seen").alias("n_seen"),
+            F.max_by("hs", "n_seen").alias("hs"),
+            F.max_by("vs", "n_seen").alias("vs"),
+        )
+        .collect()
+    )
+    stream_samples = {
+        r["user_id"]: sorted(zip(r["hs"], r["vs"])) for r in got
+    }
+    batch = quantile_sketch_build(
+        spark.read.parquet(src), ["user_id"], "value", ["event_id"]
+    )
+    batch_samples = {}
+    for r in batch.collect():
+        batch_samples.setdefault(r["user_id"], []).append((r["_h"], r["value"]))
+    assert set(stream_samples) == set(batch_samples)
+    for uid, sample in batch_samples.items():
+        assert stream_samples[uid] == sorted(sample), uid
+    # and the stream saw every row
+    n_rows = spark.read.parquet(src).count()
+    assert sum(r["n_seen"] for r in got) == n_rows
+
+
+def test_merge_bottom_k_truncates_and_carries():
+    from etl_pipelines_spark.streaming.jobs import QSKETCH_K, _merge_bottom_k
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.exists, self._v = True, v
+
+        @property
+        def get(self):
+            return self._v
+
+    state = FakeState()
+    b1 = pd.DataFrame({"_h": list(range(100, 0, -1)), "value": [0.0] * 100})
+    out1 = pd.concat(_merge_bottom_k((7,), iter([b1]), state))
+    assert out1["n_kept"].iloc[0] == QSKETCH_K
+    assert out1["n_seen"].iloc[0] == 100
+    assert out1["hs"].iloc[0][0] == 1  # smallest hash won
+    # a later batch with smaller hashes displaces the old sample
+    b2 = pd.DataFrame({"_h": [-5, -4], "value": [1.0, 2.0]})
+    out2 = pd.concat(_merge_bottom_k((7,), iter([b2]), state))
+    assert out2["n_seen"].iloc[0] == 102
+    assert out2["hs"].iloc[0][:2] == [-5, -4]
