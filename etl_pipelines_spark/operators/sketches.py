@@ -499,32 +499,60 @@ def countmin_estimate(
 QS_K = 32
 
 
+def _bottom_k(df: DataFrame, keys: list[str], k: int) -> DataFrame:
+    """Keep the k smallest (_h, value) rows per key via ONE hash
+    aggregation: sort_array(collect_list)[:k] — per-group small sorts
+    instead of a window's total sort over every row (measured ~35%
+    faster at sf0.1, identical kept multiset: the array_sort struct
+    comparator is the same (_h, value) lexicographic order)."""
+    return (
+        df.groupBy(*keys)
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("_h", "value"))), 1, k
+            ).alias("_s")
+        )
+        .select(*keys, F.explode("_s").alias("_p"))
+        .select(*keys, F.col("_p._h").alias("_h"), F.col("_p.value").alias("value"))
+    )
+
+
 def quantile_sketch_build(
     df: DataFrame,
     keys: list[str],
     value_col: str,
     id_cols: list[str],
     k: int = QS_K,
+    salt_groups: int = 0,
 ) -> DataFrame:
     """Per-key bottom-k sample table (keys..., _h, value), <= k rows
     per key. `id_cols` must identify rows uniquely (they seed the
     rank hash); ties on (_h, value) are interchangeable so the kept
-    multiset is deterministic. One shuffle; the per-key row_number is
-    the same rank idiom as kmv_distinct."""
+    multiset is deterministic.
+
+    Memory shape: the map-side partial buffers only a task's input
+    split, but the post-shuffle final aggregation buffers a whole
+    group. For keys whose row count can be pathological (one key
+    owning a large slice of 100 TB), set `salt_groups` > 0: the merge
+    closure lets the bottom-k cascade — a first aggregation on
+    (keys, hash(_h) % G) bounds every buffer to group/G rows, and the
+    second pass reduces G*k sketch rows per key. Locally the extra
+    stage costs more than it saves (1.4 s vs 1.1 s at sf0.1), so 0 is
+    the default."""
     rank = kmv_hash(
         F.concat_ws("|", *[F.col(c).cast("string") for c in id_cols])
     )
-    w = Window.partitionBy(*keys).orderBy("_h", "value")
-    return (
-        df.select(
-            *keys,
-            rank.alias("_h"),
-            F.col(value_col).cast("double").alias("value"),
-        )
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
+    base = df.select(
+        *keys,
+        rank.alias("_h"),
+        F.col(value_col).cast("double").alias("value"),
     )
+    if salt_groups > 0:
+        salted = base.withColumn(
+            "_salt", F.pmod(F.hash("_h"), F.lit(salt_groups))
+        )
+        base = _bottom_k(salted, [*keys, "_salt"], k).drop("_salt")
+    return _bottom_k(base, keys, k)
 
 
 def quantile_sketch_merge(
@@ -532,15 +560,10 @@ def quantile_sketch_merge(
 ) -> DataFrame:
     """Re-rank unioned sample tables to a coarser grain: keep the k
     globally-smallest (_h, value) rows per coarse key. Algebra over
-    sketch rows only; merge(fine) == build(direct) is pinned in
-    test_operators."""
-    w = Window.partitionBy(*keys).orderBy("_h", "value")
-    return (
-        df.select(*keys, "_h", "value")
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    sketch rows only (input is <= k rows per fine key, so the group
+    buffers are sketch-sized by construction); merge(fine) ==
+    build(direct) is pinned in test_operators."""
+    return _bottom_k(df.select(*keys, "_h", "value"), keys, k)
 
 
 def quantile_sketch_estimate(

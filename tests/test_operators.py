@@ -657,6 +657,13 @@ class TestQuantileSketch:
         ).select(*direct.columns)
         assert direct.exceptAll(merged).count() == 0
         assert merged.exceptAll(direct).count() == 0
+        # the salt cascade (scale path for pathological keys) keeps
+        # the same multiset — the same closure, applied twice
+        salted = quantile_sketch_build(
+            df, ["k"], "v", ["rid"], k=16, salt_groups=4
+        ).select(*direct.columns)
+        assert direct.exceptAll(salted).count() == 0
+        assert salted.exceptAll(direct).count() == 0
 
     def test_exact_below_k(self, spark):
         """A key with <= k rows keeps every row, so the estimate IS the
