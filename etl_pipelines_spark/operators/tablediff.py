@@ -132,3 +132,32 @@ def table_digest_delta(
         F.sum("n_rows").cast("long").alias("n_rows"),
         F.sum("digest").cast("decimal(38,0)").alias("digest"),
     )
+
+
+def cdc_extract(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Produce a change log from two snapshots: one row per changed
+    key with op ('insert' | 'update' | 'delete') and the NEW side's
+    payload (null payload for deletes — the tombstone convention
+    operators/scd2.py:scd2_from_change_log consumes, closing the CDC
+    loop: extract here, replay there). The key-matching pass is the
+    same narrow digest join as `snapshot_diff`; payload columns are
+    then fetched for changed keys only, so the wide second join
+    touches churn-many rows, not the table."""
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in keys]
+    status = snapshot_diff(old, new, keys, compare_cols)
+    op = (
+        F.when(F.col("status") == "added", F.lit("insert"))
+        .when(F.col("status") == "changed", F.lit("update"))
+        .otherwise(F.lit("delete"))
+    )
+    changed = status.select(*keys, op.alias("op"))
+    payload = new.select(*keys, *compare_cols)
+    return changed.join(payload, keys, "left").select(
+        *keys, "op", *compare_cols
+    )

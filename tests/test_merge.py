@@ -187,3 +187,40 @@ class TestTableDigestDelta:
         got = table_digest_delta(table_digest(base), added=add).first()
         want = table_digest(base.unionByName(add)).first()
         assert (got["n_rows"], got["digest"]) == (want["n_rows"], want["digest"])
+
+
+class TestCdcExtract:
+    def test_roundtrip_through_scd2_change_log(self, spark):
+        """extract(old, new) replayed over old must reconstruct new —
+        the CDC loop closes."""
+        from etl_pipelines_spark.operators.tablediff import cdc_extract
+
+        old = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "id long, s string, v double",
+        )
+        new = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "B", 20.0), (4, "d", 40.0)],
+            "id long, s string, v double",
+        )
+        log = cdc_extract(old, new, ["id"])
+        got = {r["id"]: (r["op"], r["s"], r["v"]) for r in log.collect()}
+        assert got == {
+            2: ("update", "B", 20.0),
+            3: ("delete", None, None),
+            4: ("insert", "d", 40.0),
+        }
+        # replay: drop every logged key from old, re-add the non-delete
+        # payloads -> must equal new
+        upserts = log.filter("op <> 'delete'").select("id", "s", "v")
+        replayed = (
+            old.join(log.select("id"), "id", "left_anti").unionByName(upserts)
+        )
+        assert replayed.exceptAll(new).count() == 0
+        assert new.exceptAll(replayed).count() == 0
+
+    def test_identical_snapshots_empty_log(self, spark):
+        from etl_pipelines_spark.operators.tablediff import cdc_extract
+
+        df = spark.createDataFrame([(1, "x")], "id long, s string")
+        assert cdc_extract(df, df, ["id"]).count() == 0
