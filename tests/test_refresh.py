@@ -41,3 +41,19 @@ def test_refresh_tables_readable_with_pruning(spark, refreshed):
     md = spark.read.parquet(f"{out}/coin_market_data")
     one_day = md.filter(md["date"] == md.agg({"date": "max"}).first()[0])
     assert one_day.count() > 0
+
+
+def test_whale_chart_spec_payload(spark):
+    """The serving spec is a faithful, renderer-agnostic projection of
+    the counts frame: one aligned series per bucket, dates ordered."""
+    from etl_pipelines_spark.plans.whale_chart import whale_chart_spec
+
+    counts = spark.createDataFrame(
+        [("2024-01-02", 5, 3, 1), ("2024-01-01", 6, 2, 0)],
+        "date string, small long, medium long, whale long",
+    )
+    spec = whale_chart_spec(counts)
+    assert spec["type"] == "stacked_area"
+    assert spec["x"]["values"] == ["2024-01-01", "2024-01-02"]
+    by_name = {s["name"]: s["values"] for s in spec["series"]}
+    assert by_name == {"small": [6, 5], "medium": [2, 3], "whale": [0, 1]}
