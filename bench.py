@@ -97,7 +97,8 @@ def main() -> None:
                 "notes": (
                     "q42,q68 include streaming micro-batch startup floor; "
                     "catalog total vs the full internal DuckDB oracle set "
-                    "(tools/bench_oracle.py) measured 0.92x at sf0.1 — "
+                    "(tools/bench_oracle.py) measured ~0.86x at sf0.1 "
+                    "(60.4 s vs 70.0 s) — "
                     "sub-2s entries with sub-0.2s oracles are Spark's "
                     "per-query stage floor, which closes with scale "
                     "(SCALE.md scaling curves)"

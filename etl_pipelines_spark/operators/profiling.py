@@ -46,13 +46,16 @@ def correlation_matrix(
     (listwise) so every pair sees the same n and the matrix is
     consistent."""
     clean = df.dropna(subset=cols)
-    s = {c: _scaled(c, decimals) for c in cols}
+    # widen BEFORE multiplying: a long*long per-row product overflows
+    # at scaled |v| >= ~3e9 (ANSI error, or silent garbage with ANSI
+    # off) — the DECIMAL cast must wrap the operands, not the product
+    s = {c: _scaled(c, decimals).cast(DEC) for c in cols}
     aggs = [F.count(F.lit(1)).cast(DEC).alias("_n")]
     for c in cols:
-        aggs.append(F.sum(s[c].cast(DEC)).alias(f"_s_{c}"))
-        aggs.append(F.sum((s[c] * s[c]).cast(DEC)).alias(f"_ss_{c}"))
+        aggs.append(F.sum(s[c]).alias(f"_s_{c}"))
+        aggs.append(F.sum(s[c] * s[c]).alias(f"_ss_{c}"))
     for a, b in combinations(cols, 2):
-        aggs.append(F.sum((s[a] * s[b]).cast(DEC)).alias(f"_sp_{a}_{b}"))
+        aggs.append(F.sum(s[a] * s[b]).alias(f"_sp_{a}_{b}"))
     moments = clean.agg(*aggs)
 
     def corr(a: str, b: str) -> F.Column:

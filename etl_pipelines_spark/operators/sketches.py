@@ -499,6 +499,17 @@ def countmin_estimate(
 QS_K = 32
 
 
+def row_rank_hash(id_cols: list[str]) -> F.Column:
+    """The sample's uniform rank: kmv_hash over a '|'-joined rendering
+    of the row-identity columns. ONE definition shared by the batch
+    build and the streaming fold (streaming/jobs.py) — the stream ==
+    batch bit-exactness contract depends on both ranking rows
+    identically."""
+    return kmv_hash(
+        F.concat_ws("|", *[F.col(c).cast("string") for c in id_cols])
+    )
+
+
 def _bottom_k(df: DataFrame, keys: list[str], k: int) -> DataFrame:
     """Keep the k smallest (_h, value) rows per key via ONE hash
     aggregation: sort_array(collect_list)[:k] — per-group small sorts
@@ -539,9 +550,7 @@ def quantile_sketch_build(
     second pass reduces G*k sketch rows per key. Locally the extra
     stage costs more than it saves (1.4 s vs 1.1 s at sf0.1), so 0 is
     the default."""
-    rank = kmv_hash(
-        F.concat_ws("|", *[F.col(c).cast("string") for c in id_cols])
-    )
+    rank = row_rank_hash(id_cols)
     base = df.select(
         *keys,
         rank.alias("_h"),

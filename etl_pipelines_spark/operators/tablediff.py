@@ -36,19 +36,33 @@ NULL_SENTINEL = "␀null␀"
 
 def row_digest(cols: list[str]) -> F.Column:
     """48-bit order-sensitive-in-columns, order-free-in-rows digest of
-    the listed columns (nulls distinguished from empty strings via a
-    sentinel)."""
+    the listed columns. Each value is LENGTH-PREFIXED ('<n>:<value>')
+    before joining, so a delimiter character inside the data cannot
+    shift column boundaries — ('a|b', 'c') and ('a', 'b|c') render
+    differently ('3:a|b|1:c' vs '1:a|3:b|c'). Nulls are distinguished
+    from empty strings and from the literal sentinel text via the
+    unprefixed sentinel."""
     rendered = [
-        F.coalesce(F.col(c).cast("string"), F.lit(NULL_SENTINEL)) for c in cols
+        F.coalesce(
+            F.concat(
+                F.length(F.col(c).cast("string")).cast("string"),
+                F.lit(":"),
+                F.col(c).cast("string"),
+            ),
+            F.lit(NULL_SENTINEL),
+        )
+        for c in cols
     ]
     return kmv_hash(F.concat_ws("|", *rendered))
 
 
 def row_digest_sql(cols: list[str]) -> str:
     """DuckDB twin of `row_digest` (same bytes into md5, same 48-bit
-    fold)."""
+    fold — including the length prefix)."""
     rendered = ", ".join(
-        f"coalesce(CAST({c} AS VARCHAR), '{NULL_SENTINEL}')" for c in cols
+        f"coalesce(CAST(length(CAST({c} AS VARCHAR)) AS VARCHAR)"
+        f" || ':' || CAST({c} AS VARCHAR), '{NULL_SENTINEL}')"
+        for c in cols
     )
     return kmv_hash_sql(f"concat_ws('|', {rendered})")
 

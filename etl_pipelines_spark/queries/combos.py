@@ -274,9 +274,7 @@ _Q51_MEMBERS = [
 # the union's branches already run concurrently. The pair suite's
 # shared-shingle idiom wins only when the shared frame is expensive
 # to rebuild RELATIVE to its cache write (shingle explosion is;
-# a 3-column join+agg is not). Members stay standalone; the
-# kmv/hll/quantile_sketch member helpers in queries/timeseries.py
-# remain for callers that do hold a materialized transfers table.
+# a 3-column join+agg is not). Members stay standalone.
 
 
 def _q55_frames(words: DataFrame) -> dict[str, DataFrame]:

@@ -1373,11 +1373,14 @@ def _correlation_oracle() -> str:
         for k, src in cols.items()
     )
     notnull = " AND ".join(f"{src} IS NOT NULL" for src in cols.values())
+    # HUGEINT wraps the OPERANDS (mirror of the Spark side's
+    # DECIMAL-before-multiply): a BIGINT*BIGINT per-row product
+    # overflows at scaled |v| >= ~3e9
     moments = ", ".join(
         [f"CAST(COUNT(*) AS HUGEINT) AS n"]
         + [f"CAST(SUM({k}) AS HUGEINT) AS s_{k}" for k in cols]
-        + [f"CAST(SUM({k} * {k}) AS HUGEINT) AS ss_{k}" for k in cols]
-        + [f"CAST(SUM({a} * {b}) AS HUGEINT) AS sp_{a}_{b}" for a, b in pairs]
+        + [f"SUM(CAST({k} AS HUGEINT) * {k}) AS ss_{k}" for k in cols]
+        + [f"SUM(CAST({a} AS HUGEINT) * {b}) AS sp_{a}_{b}" for a, b in pairs]
     )
 
     def corr(a: str, b: str) -> str:

@@ -885,17 +885,13 @@ def _hll_oracle() -> str:
     tags=("agg", "sketch"),
 )
 def q80(spark: SparkSession, sf: str) -> DataFrame:
-    return hll_member(transfers(spark, sf))
-
-
-def hll_member(x: DataFrame) -> DataFrame:
-    """q80's body over a caller-supplied transfers frame."""
     from etl_pipelines_spark.operators.sketches import (
         merge_hll_registers,
         portable_hll_estimate,
         portable_hll_registers,
     )
 
+    x = transfers(spark, sf)
     fine = portable_hll_registers(
         x.withColumn("_m", F.month("date")), ["coin_id", "_m"], "wallet_address"
     )
@@ -971,17 +967,13 @@ def _quantile_sketch_oracle() -> str:
     tags=("agg", "sketch"),
 )
 def q95(spark: SparkSession, sf: str) -> DataFrame:
-    return quantile_sketch_member(transfers(spark, sf))
-
-
-def quantile_sketch_member(x: DataFrame) -> DataFrame:
-    """q95's body over a caller-supplied transfers frame."""
     from etl_pipelines_spark.operators.sketches import (
         quantile_sketch_build,
         quantile_sketch_estimate,
         quantile_sketch_merge,
     )
 
+    x = transfers(spark, sf)
     fine = quantile_sketch_build(
         x.withColumn("_m", F.month("date")),
         ["coin_id", "_m"],
@@ -1110,13 +1102,7 @@ _KMV_K = 16
     tags=("agg", "sketch"),
 )
 def q51(spark: SparkSession, sf: str) -> DataFrame:
-    return kmv_member(transfers(spark, sf))
-
-
-def kmv_member(x: DataFrame) -> DataFrame:
-    """q51's body over a caller-supplied transfers frame, for callers
-    that hold a materialized transfers table."""
-    return kmv_distinct(x, ["coin_id"], "wallet_address", k=_KMV_K)
+    return kmv_distinct(transfers(spark, sf), ["coin_id"], "wallet_address", k=_KMV_K)
 
 
 # --------------------------------------------------------------------- q61

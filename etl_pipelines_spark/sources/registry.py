@@ -140,6 +140,13 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 10) -> DataFrame:
     interleave itself is shift/or arithmetic inside whole-stage
     codegen. Degenerate columns (min == max) contribute zero bits
     rather than dividing by zero."""
+    if bits * len(cols) > 63:
+        # Java shift semantics mask the count mod 64: positions >= 64
+        # would silently wrap onto low bits and scramble the curve
+        raise ValueError(
+            f"zorder_key: bits * len(cols) = {bits * len(cols)} exceeds 63; "
+            "lower bits or cluster on fewer columns"
+        )
     aggs = []
     for c in cols:
         aggs += [
@@ -155,7 +162,14 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 10) -> DataFrame:
             hi > lo, (F.col(c).cast("double") - lo) / (hi - lo)
         ).otherwise(F.lit(0.0))
         scaled.append(
-            F.least(F.floor(frac * F.lit(1 << bits)).cast("long"), F.lit(top))
+            # a NULL value sorts to the low end of its dimension
+            # (frac 0) instead of nulling the whole Morton key
+            F.least(
+                F.floor(F.coalesce(frac, F.lit(0.0)) * F.lit(1 << bits)).cast(
+                    "long"
+                ),
+                F.lit(top),
+            )
         )
     z = F.lit(0).cast("long")
     for i in range(bits):

@@ -289,23 +289,20 @@ def streaming_quantile_sketch(
     key_col: str = "user_id",
     value_col: str = "value",
     id_cols: tuple[str, ...] = ("event_id",),
-    k: int = QSKETCH_K,
 ) -> DataFrame:
     """Streaming twin of the bottom-k quantile sketch (q95): per-key
     uniform row samples maintained across micro-batches via
     applyInPandasWithState. The rank hash is computed JVM-side with
-    the SAME kmv_hash idiom as the batch build, so stream state ==
+    the SAME row_rank_hash the batch build uses, so stream state ==
     batch `quantile_sketch_build` on the union of all batches (pinned
-    in test_streaming). State is <= k (hash, value) pairs + one
+    in test_streaming). State is <= QSKETCH_K (hash, value) pairs + one
     counter per key — fixed-size, spill-proof; each update emits the
     key's current sample, so any batch's emission answers quantile
-    queries over everything seen so far."""
-    from etl_pipelines_spark.operators.sketches import kmv_hash
+    queries over everything seen so far. Sample size is the module
+    constant QSKETCH_K (the state fold is compiled for it)."""
+    from etl_pipelines_spark.operators.sketches import row_rank_hash
 
-    assert k == QSKETCH_K, "state fold is compiled for QSKETCH_K"
-    rank = kmv_hash(
-        F.concat_ws("|", *[F.col(c).cast("string") for c in id_cols])
-    )
+    rank = row_rank_hash(list(id_cols))
     hashed = events.select(
         F.col(key_col).alias("user_id"),
         rank.alias("_h"),
