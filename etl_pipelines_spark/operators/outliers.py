@@ -115,3 +115,42 @@ def remove_single_day_dips(
     # as pandas NaN comparisons evaluating False in the reference mask)
     dip = F.coalesce(pct_dip | zero_dip, F.lit(False))
     return df.filter(~dip).drop("_prev", "_next")
+
+
+def iqr_outliers(
+    df,
+    keys: list[str],
+    value_col: str,
+    k: float = 1.5,
+):
+    """Tukey IQR fences per key (beyond the reference's fixed-threshold
+    rules, like the q93 z-score): flag values outside
+    [q1 - k*IQR, q3 + k*IQR], with q1/q3 as exact rank-position
+    quantiles (the q53 percentile_disc idiom — deterministic under
+    ties and engine-portable where approx_percentile is not). Adapts
+    to each key's own scale, which the fixed rules cannot.
+
+    Returns df + (q1, q3, is_outlier). The per-key quantile table is
+    keys-sized -> broadcast back; the value column should be an exact
+    integer rendering (milli-units) so the rank selection and the
+    k*IQR arithmetic are bit-identical in every engine."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(value_col)
+    ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    )
+    qs = ranked.groupBy(*keys).agg(
+        F.max(
+            F.when(F.col("_rn") == F.ceil(0.25 * F.col("_n")), F.col(value_col))
+        ).alias("q1"),
+        F.max(
+            F.when(F.col("_rn") == F.ceil(0.75 * F.col("_n")), F.col(value_col))
+        ).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - F.lit(k) * iqr
+    hi = F.col("q3") + F.lit(k) * iqr
+    return df.join(F.broadcast(qs), keys).withColumn(
+        "is_outlier", (F.col(value_col) < lo) | (F.col(value_col) > hi)
+    )

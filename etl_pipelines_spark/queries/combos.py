@@ -387,9 +387,11 @@ _COMBOS = [
     _combo(
         "q20_ts_repair_suite",
         "Q4/W7 single-day dip removal (q20), D1/D2 densify +"
-        " forward-fill with days_imputed (q21), and the rolling"
+        " forward-fill with days_imputed (q21), the rolling"
         " z-score anomaly gate — trailing-7 mean/sigma from exact"
-        " milli-integer sums (q93), tagged.",
+        " milli-integer sums (q93) — and the distribution-adaptive"
+        " Tukey IQR fences from exact rank-position quartiles (q101),"
+        " tagged.",
         [("coin", "bigint"), ("d", "date"), ("price", "double"),
          ("days", "bigint"), ("c2", "bigint"), ("x", "double"),
          ("y", "double"), ("flag", "bigint")],
@@ -403,6 +405,10 @@ _COMBOS = [
              {"coin": "coin_id", "d": "date", "days": "price_milli",
               "c2": "trail_n", "x": "trail_mean", "y": "trail_var",
               "flag": "is_anomaly"}),
+            ("iqr", "q101_iqr_price_outliers",
+             {"coin": "coin_id", "d": "date", "days": "price_milli",
+              "c2": "q1", "x": "CAST(q3 AS DOUBLE)",
+              "flag": "CAST(is_outlier AS BIGINT)"}),
         ],
         ("timeseries",),
     ),

@@ -1587,3 +1587,57 @@ def q94(spark: SparkSession, sf: str) -> DataFrame:
         F.unix_micros(F.col("_vf").cast("timestamp")).alias("valid_from_us"),
         F.unix_micros(F.col("_vt2").cast("timestamp")).alias("valid_to_us"),
     )
+
+
+# --------------------------------------------------------------------- q101
+@register(
+    "q101_iqr_price_outliers",
+    f"""
+    WITH daily AS ({DAILY_PRICES_SQL}),
+    milli AS (
+        SELECT coin_id, date, CAST(ROUND(price * 1000) AS BIGINT) AS p
+        FROM daily
+    ),
+    ranked AS (
+        SELECT coin_id, p,
+               ROW_NUMBER() OVER (PARTITION BY coin_id ORDER BY p) AS rn,
+               COUNT(*) OVER (PARTITION BY coin_id) AS n
+        FROM milli
+    ),
+    qs AS (
+        SELECT coin_id,
+               MAX(CASE WHEN rn = CEIL(0.25 * n) THEN p END) AS q1,
+               MAX(CASE WHEN rn = CEIL(0.75 * n) THEN p END) AS q3
+        FROM ranked GROUP BY coin_id
+    )
+    SELECT m.coin_id, m.date, CAST(m.p AS BIGINT) AS price_milli,
+           CAST(q.q1 AS BIGINT) AS q1, CAST(q.q3 AS BIGINT) AS q3,
+           (m.p < q.q1 - 1.5 * (q.q3 - q.q1)
+            OR m.p > q.q3 + 1.5 * (q.q3 - q.q1)) AS is_outlier
+    FROM milli m JOIN qs q ON q.coin_id = m.coin_id
+    """,
+    description="Tukey IQR outlier fences per coin "
+    "(operators/outliers.py iqr_outliers): q1/q3 as exact "
+    "rank-position quantiles over milli-integer prices, flag days "
+    "outside [q1 - 1.5*IQR, q3 + 1.5*IQR] — the distribution-adaptive "
+    "outlier rule next to the fixed-threshold family (Q1-Q4) and the "
+    "rolling z-score (q93). The keys-sized quantile table broadcasts "
+    "back onto the stream; 1.5*IQR over exact ints is deterministic "
+    "IEEE in both engines",
+    tags=("outlier", "timeseries"),
+)
+def q101(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.operators.outliers import iqr_outliers
+
+    daily = daily_prices(spark, sf)
+    milli = daily.select(
+        "coin_id", "date", F.round(F.col("price") * 1000).cast("long").alias("p")
+    )
+    return iqr_outliers(milli, ["coin_id"], "p").select(
+        "coin_id",
+        "date",
+        F.col("p").alias("price_milli"),
+        F.col("q1").cast("long").alias("q1"),
+        F.col("q3").cast("long").alias("q3"),
+        "is_outlier",
+    )

@@ -121,3 +121,24 @@ class TestMarketCapOverage:
             [("c", D(2024, 1, 1), None)], "coin_id string, date date, market_cap double"
         )
         assert pairs_of(remove_market_cap_overage_wallets(profits, md)) == {("c", "w")}
+
+
+class TestIqrOutliers:
+    def test_flags_extremes_only(self, spark):
+        from etl_pipelines_spark.operators.outliers import iqr_outliers
+
+        vals = [10, 11, 12, 13, 14, 15, 16, 17, 18, 500]
+        df = spark.createDataFrame(
+            [(1, i, float(v)) for i, v in enumerate(vals)], "k int, i int, v double"
+        )
+        got = {r["i"]: r["is_outlier"] for r in iqr_outliers(df, ["k"], "v").collect()}
+        assert got[9] is True  # the 500
+        assert all(not got[i] for i in range(9))
+
+    def test_constant_series_flags_nothing(self, spark):
+        from etl_pipelines_spark.operators.outliers import iqr_outliers
+
+        df = spark.createDataFrame(
+            [(1, i, 7.0) for i in range(20)], "k int, i int, v double"
+        )
+        assert iqr_outliers(df, ["k"], "v").filter("is_outlier").count() == 0

@@ -620,3 +620,35 @@ def test_table_digest_invariant_under_order_and_partitioning(spark, rows):
         df.orderBy(F.rand(seed=1)).repartition(5), ["k", "g", "rid"]
     ).first()
     assert (a["n_rows"], a["digest"]) == (b["n_rows"], b["digest"])
+
+
+@st.composite
+def tricky_string_rows(draw):
+    """Row tuples whose values are drawn from an alphabet that
+    includes the digest's join delimiter, the length-prefix colon,
+    digits, empty strings, and nulls — the inputs that break naive
+    concat hashing."""
+    alphabet = ["", "|", ":", "a", "a|b", "1:", "||", "None", None, "3:a"]
+    n = draw(st.integers(1, 12))
+    return [
+        (i, draw(st.sampled_from(alphabet)), draw(st.sampled_from(alphabet)))
+        for i in range(n)
+    ]
+
+
+@settings(max_examples=15, deadline=None)
+@given(tricky_string_rows(), tricky_string_rows())
+def test_row_digest_separates_distinct_multisets(spark, rows_a, rows_b):
+    """Two tables get equal (n_rows, digest) iff they are the same
+    multiset of rows — including delimiter-bearing strings, empties,
+    and nulls (the length-prefix rendering makes boundary-shifting
+    collisions impossible; only 48-bit hash collisions remain, which
+    this alphabet cannot manufacture)."""
+    from etl_pipelines_spark.operators.tablediff import table_digest
+
+    schema = "id long, x string, y string"
+    a, b = spark.createDataFrame(rows_a, schema), spark.createDataFrame(rows_b, schema)
+    da, db = table_digest(a).first(), table_digest(b).first()
+    same = sorted(map(tuple, rows_a), key=str) == sorted(map(tuple, rows_b), key=str)
+    got_same = (da["n_rows"], da["digest"]) == (db["n_rows"], db["digest"])
+    assert got_same == same
