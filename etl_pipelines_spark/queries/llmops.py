@@ -2557,13 +2557,17 @@ def q92(spark: SparkSession, sf: str) -> DataFrame:
     tags=("dedup", "join", "iterative"),
 )
 def q99(spark: SparkSession, sf: str) -> DataFrame:
-    from etl_pipelines_spark.llm.dedup import connected_components
+    from etl_pipelines_spark.llm.dedup import connected_components_star
 
     names = (
         t(spark, sf, "part").select(F.col("p_name").alias("name")).distinct()
     )
     pairs = q92(spark, sf)
-    labels = connected_components(pairs, "name_a", "name_b")
+    # star, not propagation: fuzzy-name graphs are edge-sparse, so the
+    # whole edge set fits the driver union-find finish tier (one job
+    # instead of O(diameter) checkpointed rounds), and star's O(log n)
+    # bound holds if a blocking change ever densifies the graph
+    labels = connected_components_star(pairs, "name_a", "name_b")
     ent = F.coalesce(F.col("label"), F.col("name"))
     return (
         names.join(labels, names.name == labels.node, "left")
