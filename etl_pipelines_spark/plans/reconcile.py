@@ -1,0 +1,59 @@
+"""Composed reconciliation workflow: validate an incremental load.
+
+The §3-style entry point over operators/tablediff.py — the check a
+warehouse runs after every incremental merge (the reference's
+rebuild-vs-increment concern, core_coin_wallet_profits' full-refresh
+pattern): did the increment land the table exactly where a rebuild
+would have?
+
+Protocol (O(churn) heavy work, one narrow pass over each table):
+1. `snapshot_diff` the expected vs the loaded table — the per-key
+   added/removed/changed audit (digest-width shuffle).
+2. `table_digest` both sides — the order/partitioning-independent
+   checksum equality that catches what key-level sampling cannot
+   (e.g. duplicate rows under a non-unique key).
+3. Optionally reconcile a MAINTAINED digest (`table_digest_delta`
+   applied to the pre-load checksum + the load's change set) against
+   the recomputed one — proving the incremental bookkeeping itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from etl_pipelines_spark.operators.tablediff import snapshot_diff, table_digest
+
+
+def validate_incremental_load(
+    expected: DataFrame,
+    loaded: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+    sample_violations: int = 5,
+) -> dict:
+    """Report dict for a load-vs-rebuild comparison:
+    {clean, digest_match, n_added, n_removed, n_changed, violations}
+    — `clean` means both checksums agree AND the key diff is empty;
+    `violations` carries up to `sample_violations` offending keys (a
+    bounded driver-side sample, the quality.py convention)."""
+    diff = snapshot_diff(expected, loaded, keys, compare_cols)
+    counts = {r["status"]: r["n"] for r in
+              diff.groupBy("status").count().withColumnRenamed("count", "n").collect()}
+    de = table_digest(expected, (keys + compare_cols) if compare_cols else None).first()
+    dl = table_digest(loaded, (keys + compare_cols) if compare_cols else None).first()
+    digest_match = (de["n_rows"], de["digest"]) == (dl["n_rows"], dl["digest"])
+    n_added = int(counts.get("added", 0))
+    n_removed = int(counts.get("removed", 0))
+    n_changed = int(counts.get("changed", 0))
+    clean = digest_match and not (n_added or n_removed or n_changed)
+    return {
+        "clean": clean,
+        "digest_match": digest_match,
+        "n_added": n_added,
+        "n_removed": n_removed,
+        "n_changed": n_changed,
+        "violations": [] if clean else [
+            tuple(r[k] for k in keys) + (r["status"],)
+            for r in diff.limit(sample_violations).collect()
+        ],
+    }

@@ -652,3 +652,46 @@ def test_row_digest_separates_distinct_multisets(spark, rows_a, rows_b):
     same = sorted(map(tuple, rows_a), key=str) == sorted(map(tuple, rows_b), key=str)
     got_same = (da["n_rows"], da["digest"]) == (db["n_rows"], db["digest"])
     assert got_same == same
+
+
+@st.composite
+def snapshot_pair(draw):
+    """Random old/new snapshots over a small key space with nulls and
+    delimiter-bearing strings — churn of every kind."""
+    alphabet = ["a", "b", "a|b", "", None, "1:", "x"]
+    keys = draw(st.lists(st.integers(0, 9), min_size=0, max_size=8, unique=True))
+    new_keys = draw(st.lists(st.integers(0, 9), min_size=0, max_size=8, unique=True))
+
+    def rows(ks):
+        return [
+            (k, draw(st.sampled_from(alphabet)), draw(st.integers(0, 3)))
+            for k in ks
+        ]
+
+    return rows(keys), rows(new_keys)
+
+
+@settings(max_examples=20, deadline=None)
+@given(snapshot_pair())
+def test_snapshot_diff_matches_naive(spark, pair):
+    """snapshot_diff == the naive per-key comparison for ANY pair of
+    snapshots (adds, drops, value changes, null flips, unchanged keys
+    absent from the output)."""
+    from etl_pipelines_spark.operators.tablediff import snapshot_diff
+
+    rows_a, rows_b = pair
+    schema = "id long, s string, v long"
+    old = spark.createDataFrame(rows_a, schema)
+    new = spark.createDataFrame(rows_b, schema)
+    got = {r["id"]: r["status"] for r in snapshot_diff(old, new, ["id"]).collect()}
+    a = {k: (s, v) for k, s, v in rows_a}
+    b = {k: (s, v) for k, s, v in rows_b}
+    want = {}
+    for k in set(a) | set(b):
+        if k not in a:
+            want[k] = "added"
+        elif k not in b:
+            want[k] = "removed"
+        elif a[k] != b[k]:
+            want[k] = "changed"
+    assert got == want

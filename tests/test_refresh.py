@@ -57,3 +57,40 @@ def test_whale_chart_spec_payload(spark):
     assert spec["x"]["values"] == ["2024-01-01", "2024-01-02"]
     by_name = {s["name"]: s["values"] for s in spec["series"]}
     assert by_name == {"small": [6, 5], "medium": [2, 3], "whale": [0, 1]}
+
+
+def test_validate_incremental_load_clean_and_dirty(spark):
+    from etl_pipelines_spark.plans.reconcile import validate_incremental_load
+
+    expected = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, s string, v double",
+    )
+    clean = validate_incremental_load(expected, expected, ["id"])
+    assert clean == {
+        "clean": True,
+        "digest_match": True,
+        "n_added": 0,
+        "n_removed": 0,
+        "n_changed": 0,
+        "violations": [],
+    }
+
+    loaded = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 99.0), (4, "d", 40.0)],
+        "id long, s string, v double",
+    )
+    dirty = validate_incremental_load(expected, loaded, ["id"])
+    assert not dirty["clean"] and not dirty["digest_match"]
+    assert (dirty["n_added"], dirty["n_removed"], dirty["n_changed"]) == (1, 1, 1)
+    assert len(dirty["violations"]) == 3
+
+    # the duplicate-row case key diffs cannot see: same key set, one
+    # row landed twice — only the checksum catches it
+    duped = expected.unionByName(expected.filter("id = 1"))
+    dup_report = validate_incremental_load(
+        expected.select("id", "s", "v"),
+        duped.select("id", "s", "v"),
+        ["id"],
+    )
+    assert not dup_report["digest_match"]
