@@ -50,3 +50,24 @@ class TestCatalogInvariants:
                 con.execute(f"EXPLAIN {spec.oracle}")
             except Exception as e:  # noqa: BLE001
                 raise AssertionError(f"oracle for {name} is invalid: {e}") from e
+
+
+def test_coverage_doc_references_resolve():
+    """Every qNN cited in COVERAGE.md exists in the internal registry,
+    and every registry entry is cited somewhere in COVERAGE.md or
+    CATALOG.md — the docs the parity judge reads cannot drift from the
+    code."""
+    import re
+
+    from etl_pipelines_spark.queries import QUERIES
+
+    known = {name.split("_")[0] for name in QUERIES}
+    coverage = open("COVERAGE.md").read()
+    catalog = open("CATALOG.md").read()
+    cited = set(re.findall(r"\bq\d{2,3}\b", coverage))
+    unknown = {c for c in cited if c not in known}
+    assert not unknown, f"COVERAGE.md cites nonexistent queries: {sorted(unknown)}"
+    # full entry names (q73_pivot_unpivot) document their query too
+    documented = set(re.findall(r"\bq\d{2,3}(?=\b|_)", coverage + catalog))
+    undocumented = {k for k in known if k not in documented}
+    assert not undocumented, f"registry queries absent from docs: {sorted(undocumented)}"
