@@ -227,6 +227,9 @@ _Q55_MEMBERS = [
     ("unigram", "q62_unigram_likelihood",
      {"doc": "doc_id", "c1": "n_tokens", "c2": "freq_mass",
       "x": "avg_token_prob"}),
+    ("dsir", "q102_dsir_selection",
+     {"doc": "doc_id", "c1": "target_mass", "c2": "corpus_mass",
+      "x": "importance", "s1": "CAST(keep AS STRING)"}),
 ]
 
 
@@ -284,10 +287,13 @@ def _q55_frames(words: DataFrame) -> dict[str, DataFrame]:
         _unigram_likelihood,
     )
 
+    from etl_pipelines_spark.queries.llmops import _dsir_selection
+
     return {
         "repetition": repetition_stats(None, words=words),
         "split": _split_assignment(words),
         "unigram": _unigram_likelihood(None, words=words),
+        "dsir": _dsir_selection(None, words=words),
     }
 
 
@@ -618,8 +624,10 @@ _COMBOS = [
         "q55_doc_scoring",
         "Per-doc corpus scoring, tagged: Gopher repetition ratio (q55),"
         " deterministic split assignment (q59), CCNet unigram-LM"
-        " likelihood (q62). The tokenizing members share one"
-        " lazily-shared pre-split words expression inside the suite.",
+        " likelihood (q62), and DSIR-style importance selection vs"
+        " the 'en' target stratum (q102). The tokenizing members share"
+        " one lazily-shared pre-split words expression inside the"
+        " suite.",
         _Q55_SCHEMA,
         _Q55_MEMBERS,
         ("text",),

@@ -2577,3 +2577,112 @@ def q99(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("name") == ent).alias("is_canonical"),
         )
     )
+
+
+# --------------------------------------------------------------------- q102
+@register(
+    "q102_dsir_selection",
+    """
+    WITH toks AS (
+        SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, lang, token, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM toks GROUP BY 1, 2, 3),
+    vocab AS (
+        SELECT token,
+               CAST(SUM(cnt) AS BIGINT) AS c,
+               CAST(COALESCE(SUM(CASE WHEN lang = 'en' THEN cnt END), 0)
+                    AS BIGINT) AS tc
+        FROM tf GROUP BY 1
+    ),
+    agg AS (
+        SELECT t.doc_id,
+               MAX(CASE WHEN t.lang = 'en' THEN 1 ELSE 0 END) AS is_target,
+               CAST(SUM(t.cnt) AS BIGINT) AS n_tokens,
+               CAST(SUM(t.cnt * v.c) AS BIGINT) AS corpus_mass,
+               CAST(SUM(t.cnt * v.tc) AS BIGINT) AS target_mass
+        FROM tf t JOIN vocab v USING (token)
+        GROUP BY t.doc_id
+    ),
+    totals AS (
+        SELECT CAST(SUM(n_tokens) AS HUGEINT) AS corpus_total,
+               CAST(SUM(CASE WHEN is_target = 1 THEN n_tokens ELSE 0 END)
+                    AS HUGEINT) AS target_total
+        FROM agg
+    )
+    SELECT a.doc_id, a.n_tokens, a.target_mass, a.corpus_mass,
+           CAST(CAST(CAST(a.target_mass AS HUGEINT) * t.corpus_total AS DOUBLE)
+                / CAST(CAST(a.corpus_mass AS HUGEINT) * t.target_total AS DOUBLE)
+                AS DOUBLE) AS importance,
+           CAST(CAST(a.target_mass AS HUGEINT) * t.corpus_total AS DOUBLE)
+               / CAST(CAST(a.corpus_mass AS HUGEINT) * t.target_total AS DOUBLE)
+               >= 1.0 AS keep
+    FROM agg a CROSS JOIN totals t
+    """,
+    description="DSIR-style data selection (Xie et al. 2023, arXiv:"
+    "2302.03169, log-free): per-doc importance = target-domain unigram "
+    "mass over corpus unigram mass, normalized by the domains' total "
+    "tokens — docs that look more target-like (here: the 'en' stratum) "
+    "than average are kept. Same exact-integer discipline as q62: "
+    "masses accumulate as BIGINT, the widening wraps the OPERANDS "
+    "(DECIMAL/HUGEINT) before the cross-total products, and the "
+    "importance ratio is one pinned double division — no ln(), no "
+    "float sums, bit-equal across engines",
+    tags=("text", "quality", "mixing"),
+)
+def q102(spark: SparkSession, sf: str) -> DataFrame:
+    return _dsir_selection(t(spark, sf, "documents"))
+
+
+def _dsir_selection(docs: DataFrame, words: DataFrame | None = None) -> DataFrame:
+    """q102 body, shareable via a pre-split `words` frame
+    (doc_id, lang, _w) — the q62 one-pass window idiom extended with a
+    target-stratum conditional sum per token."""
+    if words is None:
+        docs = docs.repartition("doc_id")
+        toks = docs.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+        )
+    else:
+        toks = words.select("doc_id", "lang", F.explode("_w").alias("token"))
+    from pyspark.sql import Window
+
+    DEC = "decimal(38,0)"
+    tf = toks.groupBy("doc_id", "lang", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wt = Window.partitionBy("token")
+    tfc = tf.withColumn("c", F.sum("cnt").over(wt)).withColumn(
+        "tc",
+        F.coalesce(
+            F.sum(F.when(F.col("lang") == "en", F.col("cnt"))).over(wt), F.lit(0)
+        ),
+    )
+    agg = tfc.groupBy("doc_id").agg(
+        F.max(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("_t"),
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.sum(F.col("cnt") * F.col("c")).cast("long").alias("corpus_mass"),
+        F.sum(F.col("cnt") * F.col("tc")).cast("long").alias("target_mass"),
+    )
+    w_all = Window.partitionBy()
+    totals = agg.withColumn(
+        "_ct", F.sum("n_tokens").over(w_all).cast(DEC)
+    ).withColumn(
+        "_tt",
+        F.sum(F.when(F.col("_t") == 1, F.col("n_tokens")).otherwise(F.lit(0)))
+        .over(w_all)
+        .cast(DEC),
+    )
+    importance = (
+        (F.col("target_mass").cast(DEC) * F.col("_ct")).cast("double")
+        / (F.col("corpus_mass").cast(DEC) * F.col("_tt")).cast("double")
+    )
+    return totals.select(
+        "doc_id",
+        "n_tokens",
+        "target_mass",
+        "corpus_mass",
+        importance.alias("importance"),
+        (importance >= 1.0).alias("keep"),
+    )
