@@ -133,24 +133,21 @@ def iqr_outliers(
     Returns df + (q1, q3, is_outlier). The per-key quantile table is
     keys-sized -> broadcast back; the value column should be an exact
     integer rendering (milli-units) so the rank selection and the
-    k*IQR arithmetic are bit-identical in every engine."""
-    from pyspark.sql import Window
+    k*IQR arithmetic are bit-identical in every engine. Null values
+    are excluded from the fences (rank_quantiles drops them before
+    ranking — a null landing on the ceil-rank position would
+    otherwise null the fences for the whole key) and are flagged
+    is_outlier = false: a missing measurement is not evidence of an
+    extreme one."""
+    from etl_pipelines_spark.operators.profiling import rank_quantiles
 
-    w = Window.partitionBy(*keys).orderBy(value_col)
-    ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
-        "_n", F.count(F.lit(1)).over(Window.partitionBy(*keys))
-    )
-    qs = ranked.groupBy(*keys).agg(
-        F.max(
-            F.when(F.col("_rn") == F.ceil(0.25 * F.col("_n")), F.col(value_col))
-        ).alias("q1"),
-        F.max(
-            F.when(F.col("_rn") == F.ceil(0.75 * F.col("_n")), F.col(value_col))
-        ).alias("q3"),
+    qs = rank_quantiles(df, keys, value_col, {"q1": 0.25, "q3": 0.75}).drop(
+        "n_values"
     )
     iqr = F.col("q3") - F.col("q1")
     lo = F.col("q1") - F.lit(k) * iqr
     hi = F.col("q3") + F.lit(k) * iqr
-    return df.join(F.broadcast(qs), keys).withColumn(
-        "is_outlier", (F.col(value_col) < lo) | (F.col(value_col) > hi)
+    flag = F.when(F.col(value_col).isNull(), F.lit(False)).otherwise(
+        (F.col(value_col) < lo) | (F.col(value_col) > hi)
     )
+    return df.join(F.broadcast(qs), keys).withColumn("is_outlier", flag)

@@ -82,3 +82,38 @@ def correlation_matrix(
     return moments.select(
         F.col("_n").cast("long").alias("n"), F.explode(F.array(*pairs)).alias("_p")
     ).select("_p.col_a", "_p.col_b", "n", F.col("_p.corr").alias("corr"))
+
+
+def rank_quantiles(
+    df: DataFrame, keys: list[str], value_col: str, qs: dict[str, float]
+) -> DataFrame:
+    """Per-key exact rank-position quantiles (percentile_disc: the
+    value at rank ceil(q*n) of the value-sorted NON-NULL rows) — the
+    one shared implementation of the idiom q53 and the IQR fences
+    both use. Returns (keys..., n_values, <name per q>). Null values
+    are excluded from both the ranking and n (a null at the ceil-rank
+    position would otherwise null the quantile for the whole key);
+    deterministic under ties and engine-portable where
+    approx_percentile sketches are not."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(value_col)
+    cw = Window.partitionBy(*keys)
+    ranked = df.filter(F.col(value_col).isNotNull()).select(
+        *keys,
+        value_col,
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(cw).alias("_n"),
+    )
+    return ranked.groupBy(*keys).agg(
+        F.max("_n").cast("long").alias("n_values"),
+        *[
+            F.max(
+                F.when(
+                    F.col("_rn") == F.ceil(F.lit(q) * F.col("_n")),
+                    F.col(value_col),
+                )
+            ).alias(name)
+            for name, q in qs.items()
+        ],
+    )

@@ -36,24 +36,38 @@ def validate_incremental_load(
     — `clean` means both checksums agree AND the key diff is empty;
     `violations` carries up to `sample_violations` offending keys (a
     bounded driver-side sample, the quality.py convention)."""
-    diff = snapshot_diff(expected, loaded, keys, compare_cols)
+    # one canonical column list for BOTH digests: row_digest is
+    # column-position-sensitive, so letting each side default to its
+    # own column order would report a clean load as a digest mismatch
+    if compare_cols is None:
+        compare_cols = [c for c in loaded.columns if c not in keys]
+    cols = keys + compare_cols
+    diff = snapshot_diff(expected, loaded, keys, compare_cols).persist()
     counts = {r["status"]: r["n"] for r in
               diff.groupBy("status").count().withColumnRenamed("count", "n").collect()}
-    de = table_digest(expected, (keys + compare_cols) if compare_cols else None).first()
-    dl = table_digest(loaded, (keys + compare_cols) if compare_cols else None).first()
+    de = table_digest(expected, cols).first()
+    dl = table_digest(loaded, cols).first()
     digest_match = (de["n_rows"], de["digest"]) == (dl["n_rows"], dl["digest"])
     n_added = int(counts.get("added", 0))
     n_removed = int(counts.get("removed", 0))
     n_changed = int(counts.get("changed", 0))
     clean = digest_match and not (n_added or n_removed or n_changed)
+    # the sample reads the CACHED diff (not a second full-outer join),
+    # and only when the key diff actually holds rows
+    violations = (
+        []
+        if not (n_added or n_removed or n_changed)
+        else [
+            tuple(r[k] for k in keys) + (r["status"],)
+            for r in diff.limit(sample_violations).collect()
+        ]
+    )
+    diff.unpersist()
     return {
         "clean": clean,
         "digest_match": digest_match,
         "n_added": n_added,
         "n_removed": n_removed,
         "n_changed": n_changed,
-        "violations": [] if clean else [
-            tuple(r[k] for k in keys) + (r["status"],)
-            for r in diff.limit(sample_violations).collect()
-        ],
+        "violations": violations,
     }

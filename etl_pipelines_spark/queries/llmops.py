@@ -1042,29 +1042,15 @@ def _bm25_retrieval(docs: DataFrame, words: DataFrame | None = None) -> DataFram
     tags=("profiling", "window"),
 )
 def q53(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
+    from etl_pipelines_spark.operators.profiling import rank_quantiles
 
     docs = t(spark, sf, "documents")
-    w = Window.partitionBy("source").orderBy("n_chars")
-    cw = Window.partitionBy("source")
-    ranked = docs.select(
-        "source",
+    return rank_quantiles(
+        docs,
+        ["source"],
         "n_chars",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(cw).alias("n"),
-    )
-
-    def at_q(q: float, name: str):
-        return F.max(
-            F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("n")), F.col("n_chars"))
-        ).alias(name)
-
-    return ranked.groupBy("source").agg(
-        F.max("n").cast("long").alias("n_docs"),
-        at_q(0.5, "p50_chars"),
-        at_q(0.9, "p90_chars"),
-        at_q(0.99, "p99_chars"),
-    )
+        {"p50_chars": 0.5, "p90_chars": 0.9, "p99_chars": 0.99},
+    ).withColumnRenamed("n_values", "n_docs")
 
 
 # --------------------------------------------------------------------- q55
@@ -2612,12 +2598,19 @@ def q99(spark: SparkSession, sf: str) -> DataFrame:
         FROM agg
     )
     SELECT a.doc_id, a.n_tokens, a.target_mass, a.corpus_mass,
-           CAST(CAST(CAST(a.target_mass AS HUGEINT) * t.corpus_total AS DOUBLE)
-                / CAST(CAST(a.corpus_mass AS HUGEINT) * t.target_total AS DOUBLE)
-                AS DOUBLE) AS importance,
-           CAST(CAST(a.target_mass AS HUGEINT) * t.corpus_total AS DOUBLE)
-               / CAST(CAST(a.corpus_mass AS HUGEINT) * t.target_total AS DOUBLE)
-               >= 1.0 AS keep
+           -- empty target stratum: 0.0, not x/0 (Spark non-ANSI
+           -- division yields NULL where DuckDB IEEE yields inf —
+           -- the one spot the engines would disagree)
+           CASE WHEN t.target_total = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(CAST(CAST(a.target_mass AS HUGEINT) * t.corpus_total
+                          AS DOUBLE)
+                     / CAST(CAST(a.corpus_mass AS HUGEINT) * t.target_total
+                          AS DOUBLE) AS DOUBLE) END AS importance,
+           CASE WHEN t.target_total = 0 THEN FALSE
+                ELSE CAST(CAST(a.target_mass AS HUGEINT) * t.corpus_total
+                          AS DOUBLE)
+                     / CAST(CAST(a.corpus_mass AS HUGEINT) * t.target_total
+                          AS DOUBLE) >= 1.0 END AS keep
     FROM agg a CROSS JOIN totals t
     """,
     description="DSIR-style data selection (Xie et al. 2023, arXiv:"
@@ -2674,10 +2667,13 @@ def _dsir_selection(docs: DataFrame, words: DataFrame | None = None) -> DataFram
         .over(w_all)
         .cast(DEC),
     )
-    importance = (
+    ratio = (
         (F.col("target_mass").cast(DEC) * F.col("_ct")).cast("double")
         / (F.col("corpus_mass").cast(DEC) * F.col("_tt")).cast("double")
     )
+    # empty target stratum: pin 0.0 on both engines (Spark's non-ANSI
+    # division returns NULL, DuckDB's IEEE returns inf)
+    importance = F.when(F.col("_tt") == 0, F.lit(0.0)).otherwise(ratio)
     return totals.select(
         "doc_id",
         "n_tokens",

@@ -58,12 +58,14 @@ def test_coverage_doc_references_resolve():
     CATALOG.md — the docs the parity judge reads cannot drift from the
     code."""
     import re
+    from pathlib import Path
 
     from etl_pipelines_spark.queries import QUERIES
 
     known = {name.split("_")[0] for name in QUERIES}
-    coverage = open("COVERAGE.md").read()
-    catalog = open("CATALOG.md").read()
+    root = Path(__file__).resolve().parent.parent
+    coverage = (root / "COVERAGE.md").read_text()
+    catalog = (root / "CATALOG.md").read_text()
     cited = set(re.findall(r"\bq\d{2,3}\b", coverage))
     unknown = {c for c in cited if c not in known}
     assert not unknown, f"COVERAGE.md cites nonexistent queries: {sorted(unknown)}"

@@ -142,3 +142,15 @@ class TestIqrOutliers:
             [(1, i, 7.0) for i in range(20)], "k int, i int, v double"
         )
         assert iqr_outliers(df, ["k"], "v").filter("is_outlier").count() == 0
+
+    def test_null_values_do_not_poison_fences(self, spark):
+        from etl_pipelines_spark.operators.outliers import iqr_outliers
+
+        vals = [None, 10.0, 11.0, 12.0, 13.0, 14.0, 15.0, 16.0, 17.0, 500.0]
+        df = spark.createDataFrame(
+            [(1, i, v) for i, v in enumerate(vals)], "k int, i int, v double"
+        )
+        got = {r["i"]: r["is_outlier"] for r in iqr_outliers(df, ["k"], "v").collect()}
+        assert got[9] is True  # fences intact despite the null
+        assert got[0] is False  # the null row itself is not an outlier
+        assert all(got[i] is False for i in range(1, 9))
