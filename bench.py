@@ -97,11 +97,13 @@ def main() -> None:
                 "notes": (
                     "q42,q68 include streaming micro-batch startup floor; "
                     "catalog total vs the full internal DuckDB oracle set "
-                    "(tools/bench_oracle.py) measured ~0.86x at sf0.1 "
-                    "(60.4 s vs 70.0 s) — "
-                    "sub-2s entries with sub-0.2s oracles are Spark's "
-                    "per-query stage floor, which closes with scale "
-                    "(SCALE.md scaling curves)"
+                    "(tools/bench_oracle.py) measured 0.82-1.02x across "
+                    "repeated sf0.1 runs (Spark 57.5-67.6 s, oracle "
+                    "56.4-72.1 s; both totals move together with "
+                    "co-tenant load) — parity with the single-node "
+                    "oracle. Sub-2s entries with sub-0.2s oracles are "
+                    "Spark's per-query stage floor, which closes with "
+                    "scale (SCALE.md scaling curves)"
                 ),
             },
             separators=(",", ":"),
