@@ -175,3 +175,29 @@ def cdc_extract(
     return changed.join(payload, keys, "left").select(
         *keys, "op", *compare_cols
     )
+
+
+def bucketed_digest(
+    df: DataFrame,
+    keys: list[str],
+    cols: list[str] | None = None,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Per-bucket digests (bucket, n_rows, digest): rows bucketed by
+    the md5 hash of their KEY columns, so the same row lands in the
+    same bucket on any engine or copy. When two whole-table checksums
+    disagree, comparing the two bucket tables localizes the damage to
+    the mismatching buckets — 1/n_buckets of the data per probe,
+    recursively narrowable — instead of diffing 100 TB row by row.
+    The bucket function deliberately reuses the row-identity rank
+    idiom (KMV md5), so it needs no engine-specific hash."""
+    cols = cols or df.columns
+    bucket = (row_digest(keys) % F.lit(n_buckets)).alias("bucket")
+    return (
+        df.select(bucket, row_digest(cols).cast("decimal(38,0)").alias("_d"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("_d").cast("decimal(38,0)").alias("digest"),
+        )
+    )
