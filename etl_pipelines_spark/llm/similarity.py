@@ -491,7 +491,15 @@ def semantic_dedup(
         .filter(F.col("cosine") >= threshold)
         .select(F.col("doc_b").alias("_rm"))
         .distinct()
+        # removed-set-sized (small): pin it so the cached projection
+        # can be released before returning — the heavy pair self-join
+        # and verify joins have consumed the cache by the time this
+        # materializes; the final thin (id, cluster) projection then
+        # re-derives from lineage instead of leaking cached blocks for
+        # the lifetime of the session
+        .localCheckpoint(eager=True)
     )
+    proj.unpersist()
     return (
         proj.join(removed, proj[id_col] == removed["_rm"], "left")
         .select(

@@ -138,7 +138,10 @@ def iqr_outliers(
     ranking — a null landing on the ceil-rank position would
     otherwise null the fences for the whole key) and are flagged
     is_outlier = false: a missing measurement is not evidence of an
-    extreme one."""
+    extreme one. A key whose values are ALL null has no fences row at
+    all; the join back is LEFT so those rows survive with null q1/q3
+    and is_outlier = false (an inner join would silently drop the
+    whole key)."""
     from etl_pipelines_spark.operators.profiling import rank_quantiles
 
     qs = rank_quantiles(df, keys, value_col, {"q1": 0.25, "q3": 0.75}).drop(
@@ -147,7 +150,7 @@ def iqr_outliers(
     iqr = F.col("q3") - F.col("q1")
     lo = F.col("q1") - F.lit(k) * iqr
     hi = F.col("q3") + F.lit(k) * iqr
-    flag = F.when(F.col(value_col).isNull(), F.lit(False)).otherwise(
-        (F.col(value_col) < lo) | (F.col(value_col) > hi)
-    )
-    return df.join(F.broadcast(qs), keys).withColumn("is_outlier", flag)
+    flag = F.when(
+        F.col(value_col).isNull() | F.col("q1").isNull(), F.lit(False)
+    ).otherwise((F.col(value_col) < lo) | (F.col(value_col) > hi))
+    return df.join(F.broadcast(qs), keys, "left").withColumn("is_outlier", flag)

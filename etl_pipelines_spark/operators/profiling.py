@@ -44,7 +44,20 @@ def correlation_matrix(
     to make inputs exact integers (2 covers currency-style columns;
     integer columns are unaffected). Null rows are excluded globally
     (listwise) so every pair sees the same n and the matrix is
-    consistent."""
+    consistent.
+
+    Magnitude bound: the exact intermediates n*Sxy and Sx*Sy are
+    DECIMAL(38,0), so they must stay under 10^38 — with scaled values
+    |v| <= V and n rows, both are bounded by (n*V)^2, i.e. the method
+    is exact while n * V < 10^19 (e.g. 10^12 rows of values scaled to
+    10^6 ~ 10^18: fine; 10^12 rows at 10^8: overflow). Past the bound
+    the decimal product would NULL silently with ANSI off, so the
+    final projection traps it: a NULL corr with n > 0 cannot occur
+    legitimately (zero variance yields NaN via double division, not
+    NULL) and raises instead of being returned. For larger corpora,
+    lower `decimals` or pre-aggregate; a mean-centered double pass
+    trades exactness for range and is deliberately not the default
+    (the q100 gate pins the exact IEEE sequence cross-engine)."""
     clean = df.dropna(subset=cols)
     # widen BEFORE multiplying: a long*long per-row product overflows
     # at scaled |v| >= ~3e9 (ANSI error, or silent garbage with ANSI
@@ -71,11 +84,29 @@ def correlation_matrix(
         )
         return covn / (F.sqrt(varn_a) * F.sqrt(varn_b))
 
+    def checked(a: str, b: str) -> F.Column:
+        # decimal overflow (> 38 digits) NULLs the product with ANSI
+        # off; with non-null inputs guaranteed by dropna, a NULL corr
+        # at n > 0 has no other cause -> fail loud, never silently
+        c = corr(a, b)
+        return F.when(F.col("_n") == 0, F.lit(None).cast("double")).otherwise(
+            F.coalesce(
+                c,
+                F.raise_error(
+                    F.lit(
+                        f"correlation_matrix: DECIMAL(38,0) overflow on "
+                        f"({a}, {b}) — n * 10^decimals * max|v| exceeds "
+                        f"10^19; lower `decimals` or pre-aggregate"
+                    )
+                ).cast("double"),
+            )
+        )
+
     pairs = [
         F.struct(
             F.lit(a).alias("col_a"),
             F.lit(b).alias("col_b"),
-            corr(a, b).alias("corr"),
+            checked(a, b).alias("corr"),
         )
         for a, b in combinations(cols, 2)
     ]

@@ -1031,7 +1031,11 @@ def q76(spark: SparkSession, sf: str) -> DataFrame:
         SELECT p_partkey, upper(p_name), CAST(p_retailprice AS DOUBLE) * 2.0
         FROM part WHERE p_partkey % 10 = 0
         UNION ALL
-        SELECT p_partkey + 9000000, lower(p_name),
+        -- invented keys are NEGATED real keys: real p_partkey is
+        -- always positive, so these can never collide at ANY scale
+        -- factor (a fixed positive offset would collide once the key
+        -- domain grows past it)
+        SELECT 0 - p_partkey, lower(p_name),
                CAST(p_retailprice AS DOUBLE)
         FROM part WHERE p_partkey % 100 = 7
     ),
@@ -1081,7 +1085,7 @@ def q77(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("p_retailprice").cast("double") * F.lit(2.0)).alias("v"),
     )
     inserted = part.filter(F.col("p_partkey") % 100 == 7).select(
-        (F.col("p_partkey") + 9000000).alias("id"),
+        (-F.col("p_partkey")).alias("id"),
         F.lower("p_name").alias("name"),
         F.col("p_retailprice").cast("double").alias("v"),
     )
@@ -1206,7 +1210,7 @@ def q87(spark: SparkSession, sf: str) -> DataFrame:
            '2024-02-01', NULL
     FROM s1 WHERE id % 100 != 17 AND id % 10 IN (3, 7)
     UNION ALL
-    SELECT id + 9000000, 'NEW ' || name, price + 1.0, '2024-02-01', NULL
+    SELECT 0 - id, 'NEW ' || name, price + 1.0, '2024-02-01', NULL
     FROM s1 WHERE id % 100 = 11
     """,
     description="SCD2 history build (operators/scd2.py, the M2/M3 "
@@ -1238,8 +1242,9 @@ def q88(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.col("price"))
         .alias("price"),
     )
+    # negated real keys: collision-free with positive ids at any sf
     inserted = s1.filter(F.col("id") % 100 == 11).select(
-        (F.col("id") + 9000000).alias("id"),
+        (-F.col("id")).alias("id"),
         F.concat(F.lit("NEW "), "name").alias("name"),
         (F.col("price") + 1.0).alias("price"),
     )
@@ -1264,7 +1269,7 @@ def _snapshot_diff_oracle() -> str:
         SELECT id, CASE WHEN id % 10 = 3 THEN ck + 1 ELSE ck END AS ck, st
         FROM old WHERE id % 50 <> 1
         UNION ALL
-        SELECT id + 9000000, ck, st FROM old WHERE id % 100 = 7
+        SELECT 0 - id, ck, st FROM old WHERE id % 100 = 7
     ),
     o AS (SELECT id, {dig} AS od FROM old),
     n AS (SELECT id, {dig} AS nd FROM new)
@@ -1309,7 +1314,7 @@ def q97(spark: SparkSession, sf: str) -> DataFrame:
         )
         .unionByName(
             old.filter(F.col("id") % 100 == 7).select(
-                (F.col("id") + 9000000).alias("id"), "ck", "st"
+                (-F.col("id")).alias("id"), "ck", "st"
             )
         )
     )

@@ -1612,9 +1612,10 @@ def q94(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT m.coin_id, m.date, CAST(m.p AS BIGINT) AS price_milli,
            CAST(q.q1 AS BIGINT) AS q1, CAST(q.q3 AS BIGINT) AS q3,
-           (m.p < q.q1 - 1.5 * (q.q3 - q.q1)
-            OR m.p > q.q3 + 1.5 * (q.q3 - q.q1)) AS is_outlier
-    FROM milli m JOIN qs q ON q.coin_id = m.coin_id
+           COALESCE(m.p < q.q1 - 1.5 * (q.q3 - q.q1)
+                    OR m.p > q.q3 + 1.5 * (q.q3 - q.q1),
+                    FALSE) AS is_outlier
+    FROM milli m LEFT JOIN qs q ON q.coin_id = m.coin_id
     """,
     description="Tukey IQR outlier fences per coin "
     "(operators/outliers.py iqr_outliers): q1/q3 as exact "

@@ -203,7 +203,14 @@ def write_zordered(
     data)."""
     zdf = zorder_key(df, cols, bits)
     if n_files is None:
-        n_files = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        # the conf value is not always an integer ('auto' under some
+        # AQE setups) — fall back to a sane default rather than raise
+        try:
+            n_files = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):
+            n_files = 200
     (
         zdf.repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
