@@ -10,9 +10,10 @@ vocabulary table:
 - the pair count is a map-side-combinable groupBy over exploded
   adjacent pairs WEIGHTED by word frequency — the shuffle carries one
   partial row per (pair, partition), never the corpus;
-- the winning pair is a 1-row driver fetch (k merges -> k tiny
-  collects, like the k-means centroid loop — the only driver state is
-  the merge list itself, which IS the training output);
+- each round accepts a BATCH of top-m symbol-disjoint pairs from one
+  tiny top-k driver fetch (bit-identical to sequential training — see
+  `_batch_accept`), so k merges cost ~2k/m jobs, not k; the only
+  driver state is the merge list itself, which IS the training output;
 - the merge applies as a JVM-side aggregate() fold over each word's
   symbol array — no Python in the per-word path, no repartition (the
   vocabulary table keeps its partitioning across rounds);
@@ -99,34 +100,104 @@ def _lit(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
+def _batch_accept(
+    rows, batch_m: int, min_count: int, maybe_more: bool
+) -> tuple[list[tuple[str, str]], bool]:
+    """Pick the longest prefix of the (cnt desc, a, b)-sorted candidate
+    pairs that sequential BPE is GUARANTEED to choose in that exact
+    order — the standard batched-merge trick, with the guards that
+    make it bit-identical to one-merge-at-a-time training:
+
+    - symbol-disjoint prefix: a pair is accepted only while its left
+      symbol, right symbol, and merged output are all unseen among the
+      already-accepted pairs' symbols AND outputs (an output colliding
+      with a pre-existing symbol would let an earlier merge change a
+      later accepted pair's count);
+    - strict-count truncation: merging an accepted pair can create new
+      pairs, but any new pair's count is bounded by the count of some
+      pre-existing pair that CONFLICTS with the accepted set — and by
+      the prefix property every conflicting pair sorts at or after the
+      stop row. Truncating the batch to counts strictly above the stop
+      row's count therefore makes every accepted pair outrank every
+      existing non-accepted pair, every newly created pair, and every
+      tie that lexicographic ordering could flip;
+    - argmax fallback: if truncation empties the batch, accept just the
+      first pair — the global argmax is always what sequential picks.
+
+    Returns (accepted pairs, done) where done means training should
+    stop (no candidate reaches min_count)."""
+    accepted: list[tuple[str, str]] = []
+    seen: set[str] = set()
+    stop_cnt: int | None = None
+    for row in rows:
+        a, b, cnt = row["a"], row["b"], row["cnt"]
+        if cnt < min_count or len(accepted) == batch_m:
+            stop_cnt = cnt
+            break
+        if a in seen or b in seen or (a + b) in seen:
+            stop_cnt = cnt
+            break
+        accepted.append((a, b))
+        seen.update((a, b, a + b))
+    else:
+        # consumed every collected row; if the collect LIMIT may have
+        # cut the candidate list short, uncollected pairs bound at the
+        # last row's count still exist -> same strict truncation
+        if maybe_more and rows:
+            stop_cnt = rows[-1]["cnt"]
+    if not rows or rows[0]["cnt"] < min_count:
+        return [], True
+    if stop_cnt is not None:
+        strict = [
+            p for p, row in zip(accepted, rows) if row["cnt"] > stop_cnt
+        ]
+        accepted = strict if strict else accepted[:1]
+    return accepted, False
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int,
     text_col: str = "text",
     min_count: int = 1,
+    batch_m: int = 16,
 ) -> list[tuple[str, str]]:
     """Learn `n_merges` BPE merges from a corpus. Returns the ordered
-    merge list [(a, b), ...] — the tokenizer artifact.
+    merge list [(a, b), ...] — the tokenizer artifact, bit-identical
+    to one-merge-at-a-time training at any `batch_m` (see
+    `_batch_accept` for the equivalence argument; the pure-Python
+    reference test pins it across batch sizes).
 
-    Driver state is k pairs of strings; every round is one job over
-    the vocab table. localCheckpoint truncates the per-round lineage
-    (same discipline as the connected-components rounds) so round k's
-    plan does not replay rounds 1..k-1.
+    Driver state is the merge list itself; every ROUND is two jobs
+    over the vocab table (top-k pair collect + checkpointed fold
+    apply) and accepts up to `batch_m` merges, so a realistic 30k-merge
+    tokenizer train is ~2 * 30k/batch_m jobs instead of one job per
+    merge — the round-3 driver-side bottleneck. localCheckpoint
+    truncates the per-round lineage (same discipline as the
+    connected-components rounds) so round k's plan does not replay
+    rounds 1..k-1.
     """
     vocab = word_vocab(df, text_col).localCheckpoint()
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        top = (
+    while len(merges) < n_merges:
+        want = min(batch_m, n_merges - len(merges))
+        # over-collect: conflicts shrink the accepted prefix, and the
+        # strict-truncation rule needs one row PAST the acceptance cut
+        limit = 4 * want + 8
+        rows = (
             _pair_counts(vocab)
             .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
-            .limit(1)
+            .limit(limit)
             .collect()
         )
-        if not top or top[0]["cnt"] < min_count:
+        batch, done = _batch_accept(rows, want, min_count, len(rows) == limit)
+        if done:
             break
-        a, b = top[0]["a"], top[0]["b"]
-        merges.append((a, b))
-        vocab = _apply_merge(vocab, a, b).localCheckpoint()
+        merges.extend(batch)
+        step = vocab
+        for a, b in batch:
+            step = _apply_merge(step, a, b)
+        vocab = step.localCheckpoint()
     return merges
 
 

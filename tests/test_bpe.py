@@ -86,6 +86,75 @@ def test_train_matches_reference(spark, corpus):
     assert got == bpe_train(corpus, 8)
 
 
+def test_batched_schedule_is_bit_identical_to_sequential(spark, corpus):
+    """The top-m batch rule (symbol-disjoint prefix + strict-count
+    truncation) must reproduce the one-merge-at-a-time schedule
+    exactly at every batch size."""
+    expect = ref_train(TEXTS, 12)
+    for m in (1, 2, 3, 8, 64):
+        assert bpe_train(corpus, 12, batch_m=m) == expect, f"batch_m={m}"
+
+
+def test_batched_schedule_on_adversarial_ties(spark):
+    """Corpus engineered so naive batching would diverge: heavy count
+    ties, pairs sharing symbols with the round winner, and a merge
+    output ('ab') that collides with pre-existing symbols created by
+    an earlier round — the strict-truncation and output-collision
+    guards must all fire."""
+    texts = [
+        "abab abab cdcd",
+        "ab cd ab cd",
+        "aabb ccdd abcd",
+        "xyxy xyxy",
+        "aaaa bbbb",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    expect = ref_train(texts, 10)
+    for m in (2, 4, 16):
+        assert bpe_train(df, 10, batch_m=m) == expect, f"batch_m={m}"
+
+
+def test_batch_accept_unit_rules():
+    """Driver-side rule checks without Spark: truncation at a tied
+    conflicting pair, output-collision rejection, argmax fallback."""
+    from etl_pipelines_spark.llm.bpe import _batch_accept
+
+    def R(a, b, cnt):
+        return {"a": a, "b": b, "cnt": cnt}
+
+    # (x, a) conflicts with accepted (a, b) and TIES with (c, d):
+    # strict truncation must drop (c, d) from the batch
+    rows = [R("a", "b", 10), R("c", "d", 5), R("x", "a", 5)]
+    assert _batch_accept(rows, 8, 1, False) == ([("a", "b")], False)
+    # strictly above the conflict count -> both accepted
+    rows = [R("a", "b", 10), R("c", "d", 6), R("x", "a", 5)]
+    assert _batch_accept(rows, 8, 1, False) == (
+        [("a", "b"), ("c", "d")],
+        False,
+    )
+    # output collision: accepted ('a','b') produces 'ab'; a pair
+    # consuming the pre-existing symbol 'ab' must stop the prefix
+    rows = [R("a", "b", 10), R("ab", "c", 4)]
+    assert _batch_accept(rows, 8, 1, False) == ([("a", "b")], False)
+    # argmax fallback: truncation would empty the batch (tie at the
+    # very top with a conflicting pair) -> accept the argmax alone
+    rows = [R("a", "b", 7), R("b", "c", 7)]
+    assert _batch_accept(rows, 8, 1, False) == ([("a", "b")], False)
+    # maybe_more: a full collect page must truncate against its last
+    # row even without an explicit conflict
+    rows = [R("a", "b", 9), R("c", "d", 9)]
+    assert _batch_accept(rows, 8, 1, True) == ([("a", "b")], False)
+    assert _batch_accept(rows, 8, 1, False) == (
+        [("a", "b"), ("c", "d")],
+        False,
+    )
+    # exhausted corpus / below min_count -> done
+    assert _batch_accept([], 8, 1, False) == ([], True)
+    assert _batch_accept([R("a", "b", 1)], 8, 2, False) == ([], True)
+
+
 def test_overlapping_run_merges_left_to_right(spark):
     df = spark.createDataFrame([(1, "aaa aaa")], "doc_id long, text string")
     merges = bpe_train(df, 1)
