@@ -7,10 +7,20 @@ waits). The transport is injected (`fetch`) so the engine code has no
 HTTP dependency and tests drive it exactly like the reference's
 unittest.mock suite (tests/test_geckoterminal_etls.py:79-312).
 
-Driver-side by design: API pagination is a control-plane concern. The
-records land via spark.createDataFrame with an explicit schema; at real
-scale a URL-per-row frame + mapInPandas fan-out does the same thing
-executor-side.
+Two tiers share one transport + backoff implementation:
+
+- driver-side (`paginated_records` + `land_records`): pagination is a
+  control-plane concern; fine while one process can walk the pages
+  (the reference's common case).
+- executor-side (`fetch_distributed`): when the URL list itself is
+  big (per-entity endpoints — the reference's thread-pooled pull,
+  coingecko_market_data.py:71-87, geckoterminal_market_data.py:148-189),
+  a URL-per-row frame fans the fetches out via mapInPandas. Each URL
+  is fetched once inside its task with the same exponential backoff;
+  records land under the same explicit schema, with optional
+  passthrough columns copied from the URL row (the per-coin tagging
+  pattern). `num_slots` caps concurrent fetchers via repartition so a
+  1000-executor cluster doesn't become a rate-limit DDoS.
 """
 
 from __future__ import annotations
@@ -76,3 +86,64 @@ def land_records(
     """API records -> DataFrame with an explicit landing schema
     (inference over API JSON is how silent type drift starts)."""
     return spark.createDataFrame(list(records), schema)
+
+
+def fetch_distributed(
+    urls: DataFrame,
+    fetch: Callable[[str], tuple[int, object]],
+    schema: StructType | str,
+    url_col: str = "url",
+    passthrough_cols: list[str] | None = None,
+    num_slots: int | None = None,
+    max_retries: int = 5,
+    base_delay: float = 1.0,
+    max_delay: float = 32.0,
+) -> DataFrame:
+    """Executor-side REST fan-out: one backoff-guarded fetch per row of
+    the URL frame, records landed under `schema` (+ any
+    `passthrough_cols` copied from the URL row onto its records).
+
+    `fetch` is the same injected transport the driver path uses — it
+    is shipped to executors via task serialization, so it must be
+    picklable and must carry its own auth/session construction (build
+    clients lazily inside the callable, never capture sockets). A
+    payload must be a list of dict records; empty/None means no rows
+    for that URL. Failures follow `fetch_with_backoff` semantics and
+    fail the task loudly — a silent partial land is how ingestion
+    gaps start. `num_slots` bounds TOTAL in-flight fetch concurrency
+    (repartition to that many tasks) independent of cluster size;
+    leave None to inherit the frame's partitioning.
+    """
+    import pandas as pd
+    from pyspark.sql.types import _parse_datatype_string
+
+    if isinstance(schema, str):
+        schema = _parse_datatype_string(schema)
+    record_fields = [f.name for f in schema.fields]
+    passthrough = list(passthrough_cols or [])
+    out_schema = StructType(
+        [urls.schema[c] for c in passthrough] + schema.fields
+    )
+    if num_slots is not None:
+        urls = urls.repartition(num_slots)
+    backoff_kw = dict(
+        max_retries=max_retries, base_delay=base_delay, max_delay=max_delay
+    )
+
+    def pull(batches):
+        for pdf in batches:
+            for d in pdf.to_dict("records"):
+                payload = fetch_with_backoff(fetch, d[url_col], **backoff_kw)
+                if not payload:
+                    continue
+                out = pd.DataFrame(
+                    [
+                        {k: rec.get(k) for k in record_fields}
+                        for rec in payload
+                    ]
+                )
+                for c in passthrough:
+                    out[c] = d[c]
+                yield out[passthrough + record_fields]
+
+    return urls.select(*(passthrough + [url_col])).mapInPandas(pull, out_schema)

@@ -6,6 +6,7 @@ import pytest
 
 from etl_pipelines_spark.sources.rest import (
     RetriesExhausted,
+    fetch_distributed,
     fetch_with_backoff,
     land_records,
     paginated_records,
@@ -72,3 +73,82 @@ def test_land_records_explicit_schema(spark):
     df = land_records(spark, [{"id": 1, "name": "a"}], "id long, name string")
     assert df.schema.simpleString() == "struct<id:bigint,name:string>"
     assert df.count() == 1
+
+
+# ------------------------------------------------------------------
+# executor-side fan-out (fetch_distributed): must land the identical
+# frame the driver path lands, through the same injected transport —
+# including backoff retries running INSIDE the tasks.
+
+
+def _make_transport():
+    """Transport factory: per-coin market rows, with one URL that needs
+    two 429 retries before succeeding. Returned as a CLOSURE so
+    cloudpickle ships it to executors by value (a module-level test
+    function would pickle by reference and fail to import in the
+    Python workers); the retry state rides in the closure dict, which
+    is task-local — exactly where fetch_with_backoff loops."""
+    flaky = {"calls": 0}
+
+    def transport(url):
+        coin = int(url.rsplit("/", 1)[1].split("?")[0])
+        if coin == 3:
+            flaky["calls"] += 1
+            if flaky["calls"] <= 2:
+                return (429, None)
+        if coin == 5:
+            return (200, [])  # entity with no rows
+        return (
+            200,
+            [
+                {"date": f"2024-01-0{d}", "price": float(coin * 10 + d)}
+                for d in range(1, 4)
+            ],
+        )
+
+    return transport
+
+
+def test_fetch_distributed_matches_driver_path(spark):
+    urls = spark.createDataFrame(
+        [(c, f"https://api.example/coins/{c}?vs=usd") for c in range(1, 7)],
+        "coin_id long, url string",
+    )
+    got = fetch_distributed(
+        urls,
+        _make_transport(),
+        "date string, price double",
+        passthrough_cols=["coin_id"],
+        num_slots=4,
+        base_delay=0.0,  # executor-side sleeps: keep the test fast
+    )
+    assert got.schema.simpleString() == (
+        "struct<coin_id:bigint,date:string,price:double>"
+    )
+    # driver path over the same transport/URLs (fresh flaky counter)
+    driver_transport = _make_transport()
+    records = []
+    for c in range(1, 7):
+        payload = fetch_with_backoff(
+            driver_transport, f"https://api.example/coins/{c}?vs=usd",
+            base_delay=0.0,
+        )
+        records.extend({"coin_id": c, **r} for r in payload or [])
+    want = land_records(spark, records, "coin_id long, date string, price double")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() == 15  # 5 coins x 3 rows, coin 5 empty
+
+
+def test_fetch_distributed_fails_loud_on_exhausted_retries(spark):
+    urls = spark.createDataFrame(
+        [(1, "u/1"), (2, "u/2")], "coin_id long, url string"
+    )
+
+    def always_429(url):
+        return (429, None)
+
+    bad = fetch_distributed(
+        urls, always_429, "date string", max_retries=1, base_delay=0.0
+    )
+    with pytest.raises(Exception, match="attempts|429"):
+        bad.collect()
