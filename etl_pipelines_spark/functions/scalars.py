@@ -77,3 +77,115 @@ def unix_to_timestamp(col: Column | str) -> Column:
     return F.when(
         c > 1_000_000_000_000, F.timestamp_millis(c)
     ).otherwise(F.timestamp_seconds(c))
+
+
+# ------------------------------------------------------------------ URLs
+#
+# URL-parsing family, porting the user-submitted-link triage of
+# community_calls_processing.py:679-743: take the LAST whitespace
+# token of the raw text (users paste "check this <url>"), strip the
+# query string, then classify the source site and pull out the chain /
+# pool-contract / coin-id by POSITION relative to marker path segments
+# — including the reference's www-anchored fallback for coingecko URLs
+# whose locale prefix breaks 'coins' indexing. All pure column
+# expressions (no UDFs); every helper has a 1:1 ANSI-SQL rendering so
+# the q103 member value-checks against the DuckDB oracle.
+
+
+def url_clean(col: Column | str) -> Column:
+    """Last whitespace-separated token, query string removed — the
+    reference's two clean-up steps on nonstandardized user input."""
+    c = F.col(col) if isinstance(col, str) else col
+    last = F.regexp_extract(F.trim(c), r"(\S+)$", 1)
+    return F.regexp_replace(last, r"\?.*$", "")
+
+
+def url_host(col: Column | str) -> Column:
+    """Authority component; scheme optional (users paste bare hosts)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract(c, r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?([^/?#]+)", 1)
+
+
+def url_path(col: Column | str) -> Column:
+    """Path component ('' when absent), query/fragment excluded."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract(
+        c, r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?[^/?#]*(/[^?#]*)", 1
+    )
+
+
+def url_query_param(col: Column | str, key: str) -> Column:
+    """Value of ?key=... ('' when absent) from the RAW url (call it
+    before url_clean, which strips the query string). Whitespace ends
+    the value — raw user text may continue past the url."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract(c, r"[?&]" + key + r"=([^&#\s]*)", 1)
+
+
+def url_segment_near(col: Column | str, marker: str, offset: int) -> Column:
+    """The '/'-split path segment at (position of `marker`) + offset —
+    the reference's parts.index(...) +/- k idiom. NULL when the marker
+    is absent or the offset lands outside the segment list (guarded:
+    try_element_at would count negative indexes from the END, which is
+    never what a parts.index(...)-1 port means)."""
+    c = F.col(col) if isinstance(col, str) else col
+    parts = F.split(c, "/")
+    pos = F.array_position(parts, marker)  # 1-based, 0 when absent
+    at = pos + F.lit(offset)
+    return F.when(
+        (pos > 0) & (at >= 1) & (at <= F.size(parts)),
+        F.try_element_at(parts, at.cast("int")),
+    )
+
+
+def parse_call_url(col: Column | str) -> Column:
+    """Struct(url, source, chain, token_ref) replicating the reference
+    branch order (geckoterminal -> dexscreener -> dextools ->
+    coingecko, substring match on the cleaned url; anything else is
+    'other'):
+
+    - geckoterminal: chain = segment BEFORE 'pools', token_ref (pool
+      contract) = segment AFTER;
+    - dexscreener: chain/pool = segments +1/+2 after 'dexscreener.com';
+    - dextools: chain = segment before 'pair-explorer', pool = after;
+    - coingecko: token_ref (coin id) = segment after 'coins', falling
+      back to 'www.coingecko.com' + 2 (the reference's fix for
+      locale-prefixed urls), chain = NULL.
+    """
+    url = url_clean(col)
+    gt = F.struct(
+        url_segment_near(url, "pools", -1).alias("chain"),
+        url_segment_near(url, "pools", 1).alias("token_ref"),
+    )
+    ds = F.struct(
+        url_segment_near(url, "dexscreener.com", 1).alias("chain"),
+        url_segment_near(url, "dexscreener.com", 2).alias("token_ref"),
+    )
+    dt = F.struct(
+        url_segment_near(url, "pair-explorer", -1).alias("chain"),
+        url_segment_near(url, "pair-explorer", 1).alias("token_ref"),
+    )
+    cg = F.struct(
+        F.lit(None).cast("string").alias("chain"),
+        F.coalesce(
+            url_segment_near(url, "coins", 1),
+            url_segment_near(url, "www.coingecko.com", 2),
+        ).alias("token_ref"),
+    )
+    other = F.struct(
+        F.lit(None).cast("string").alias("chain"),
+        F.lit(None).cast("string").alias("token_ref"),
+    )
+    branch = (
+        F.when(url.contains("geckoterminal"), F.struct(F.lit("geckoterminal").alias("source"), gt.alias("p")))
+        .when(url.contains("dexscreener"), F.struct(F.lit("dexscreener").alias("source"), ds.alias("p")))
+        .when(url.contains("dextools"), F.struct(F.lit("dextools").alias("source"), dt.alias("p")))
+        .when(url.contains("coingecko"), F.struct(F.lit("coingecko").alias("source"), cg.alias("p")))
+        .otherwise(F.struct(F.lit("other").alias("source"), other.alias("p")))
+    )
+    return F.struct(
+        url.alias("url"),
+        branch["source"].alias("source"),
+        branch["p"]["chain"].alias("chain"),
+        branch["p"]["token_ref"].alias("token_ref"),
+    )

@@ -376,8 +376,10 @@ _COMBOS = [
     ),
     _combo(
         "q15_scalar_suite",
-        "P3/F1 conditional string normalization (q15) and F2 date/time"
-        " functions (q26), tagged.",
+        "P3/F1 conditional string normalization (q15), F2 date/time"
+        " functions (q26), and the URL-parsing family — last-token"
+        " clean, source classification, marker-relative segment"
+        " extraction (q103) — tagged.",
         [("a", "bigint"), ("s1", "string"), ("s2", "string"),
          ("s3", "string"), ("c", "bigint")],
         [
@@ -387,6 +389,9 @@ _COMBOS = [
             ("dates", "q26_date_functions",
              {"a": "span_days", "s1": "order_month", "s2": "first_order",
               "s3": "last_order", "c": "n_orders"}),
+            ("urls", "q103_url_parsing",
+             {"a": "key", "s1": "source", "s2": "chain",
+              "s3": "token_ref"}),
         ],
         ("scalar",),
     ),

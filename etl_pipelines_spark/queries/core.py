@@ -1431,3 +1431,103 @@ def q100(spark: SparkSession, sf: str) -> DataFrame:
     return correlation_matrix(
         li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"], decimals=2
     )
+
+
+# --------------------------------------------------------------------- q103
+def _url_parsing_oracle() -> str:
+    """DuckDB rendering of the url scalar family: string_split /
+    list_position have the exact Spark split / array_position
+    semantics (1-based, 0 when absent, out-of-bounds index -> NULL is
+    guarded on both sides because negative indexes count from the
+    END in both engines)."""
+
+    def seg(marker: str, off: int) -> str:
+        return f"""
+        CASE WHEN list_position(parts, '{marker}') > 0
+              AND list_position(parts, '{marker}') + ({off}) >= 1
+              AND list_position(parts, '{marker}') + ({off}) <= len(parts)
+             THEN parts[list_position(parts, '{marker}') + ({off})]
+        END"""
+
+    return f"""
+    WITH raw AS (
+        SELECT p_partkey AS key,
+               CASE p_partkey % 7
+                 WHEN 0 THEN 'https://www.geckoterminal.com/chain' || CAST(p_partkey % 5 AS VARCHAR) || '/pools/0xgt' || CAST(p_partkey AS VARCHAR)
+                 WHEN 1 THEN 'check this https://dexscreener.com/chain' || CAST(p_partkey % 5 AS VARCHAR) || '/0xds' || CAST(p_partkey AS VARCHAR) || '?utm_source=tg'
+                 WHEN 2 THEN 'https://www.dextools.io/app/en/chain' || CAST(p_partkey % 5 AS VARCHAR) || '/pair-explorer/0xdt' || CAST(p_partkey AS VARCHAR)
+                 WHEN 3 THEN 'https://www.coingecko.com/en/coins/token-' || CAST(p_partkey AS VARCHAR)
+                 WHEN 4 THEN 'https://www.coingecko.com/id/koin_koin/token-' || CAST(p_partkey AS VARCHAR)
+                 WHEN 5 THEN 'no link here #' || CAST(p_partkey AS VARCHAR)
+                 ELSE 'visit geckoterminal.com/solana/pools/0xgt' || CAST(p_partkey AS VARCHAR) || '?ref=tw'
+               END AS link_text
+        FROM part
+    ),
+    cleaned AS (
+        SELECT key,
+               regexp_replace(regexp_extract(trim(link_text), '(\\S+)$', 1),
+                              '\\?.*$', '') AS url
+        FROM raw
+    ),
+    split AS (
+        SELECT key, url, string_split(url, '/') AS parts FROM cleaned
+    )
+    SELECT key,
+           CASE WHEN url LIKE '%geckoterminal%' THEN 'geckoterminal'
+                WHEN url LIKE '%dexscreener%' THEN 'dexscreener'
+                WHEN url LIKE '%dextools%' THEN 'dextools'
+                WHEN url LIKE '%coingecko%' THEN 'coingecko'
+                ELSE 'other' END AS source,
+           CASE WHEN url LIKE '%geckoterminal%' THEN ({seg('pools', -1)})
+                WHEN url LIKE '%dexscreener%' THEN ({seg('dexscreener.com', 1)})
+                WHEN url LIKE '%dextools%' THEN ({seg('pair-explorer', -1)})
+           END AS chain,
+           CASE WHEN url LIKE '%geckoterminal%' THEN ({seg('pools', 1)})
+                WHEN url LIKE '%dexscreener%' THEN ({seg('dexscreener.com', 2)})
+                WHEN url LIKE '%dextools%' THEN ({seg('pair-explorer', 1)})
+                WHEN url LIKE '%coingecko%' THEN
+                     COALESCE(({seg('coins', 1)}), ({seg('www.coingecko.com', 2)}))
+           END AS token_ref,
+           regexp_extract(url, '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?([^/?#]+)', 1) AS host
+    FROM split
+    """
+
+
+@register(
+    "q103_url_parsing",
+    _url_parsing_oracle(),
+    description="URL-parsing scalar family (functions/scalars.py "
+    "url_clean/url_host/url_segment_near/parse_call_url), porting the "
+    "user-submitted-link triage of community_calls_processing.py:679-743: "
+    "last whitespace token, query-string strip, source classification "
+    "in reference branch order, and chain/pool/coin-id extraction by "
+    "position relative to marker path segments — including the "
+    "www-anchored fallback for locale-prefixed coingecko URLs. Pure "
+    "column expressions over a deterministic 7-shape link corpus "
+    "(every branch + junk + bare-host arms carry rows)",
+    tags=("scalar",),
+)
+def q103(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.functions.scalars import parse_call_url, url_host
+
+    key = F.col("p_partkey")
+    s = lambda c: c.cast("string")  # noqa: E731
+    link = (
+        F.when(key % 7 == 0, F.concat(F.lit("https://www.geckoterminal.com/chain"), s(key % 5), F.lit("/pools/0xgt"), s(key)))
+        .when(key % 7 == 1, F.concat(F.lit("check this https://dexscreener.com/chain"), s(key % 5), F.lit("/0xds"), s(key), F.lit("?utm_source=tg")))
+        .when(key % 7 == 2, F.concat(F.lit("https://www.dextools.io/app/en/chain"), s(key % 5), F.lit("/pair-explorer/0xdt"), s(key)))
+        .when(key % 7 == 3, F.concat(F.lit("https://www.coingecko.com/en/coins/token-"), s(key)))
+        .when(key % 7 == 4, F.concat(F.lit("https://www.coingecko.com/id/koin_koin/token-"), s(key)))
+        .when(key % 7 == 5, F.concat(F.lit("no link here #"), s(key)))
+        .otherwise(F.concat(F.lit("visit geckoterminal.com/solana/pools/0xgt"), s(key), F.lit("?ref=tw")))
+    )
+    parsed = t(spark, sf, "part").select(
+        key.alias("key"), parse_call_url(link).alias("p")
+    )
+    return parsed.select(
+        "key",
+        F.col("p.source").alias("source"),
+        F.col("p.chain").alias("chain"),
+        F.col("p.token_ref").alias("token_ref"),
+        url_host(F.col("p.url")).alias("host"),
+    )

@@ -59,3 +59,68 @@ def test_unix_to_timestamp_autodetects_ms(spark):
     got = [r["t"] for r in df.select(unix_to_timestamp("e").alias("t")).collect()]
     assert got[0] == dt.datetime(2024, 1, 1, 0, 0, 0)
     assert got[1] == dt.datetime(2024, 1, 1, 0, 0, 0, 123000)
+
+
+def test_url_component_family(spark):
+    from etl_pipelines_spark.functions.scalars import (
+        parse_call_url,
+        url_clean,
+        url_host,
+        url_path,
+        url_query_param,
+        url_segment_near,
+    )
+
+    rows = [
+        (1, "  check this https://dexscreener.com/solana/0xpool?utm_source=tg "),
+        (2, "https://www.geckoterminal.com/eth/pools/0xabc"),
+        (3, "geckoterminal.com/bsc/pools/0xfeed?ref=tw"),
+        (4, "https://www.coingecko.com/en/coins/hathor"),
+        (5, "https://www.coingecko.com/id/koin_koin/hathor"),
+        (6, "no link here"),
+        (7, "https://www.dextools.io/app/en/ether/pair-explorer/0xdt1"),
+    ]
+    df = spark.createDataFrame(rows, "i long, raw string")
+    got = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            url_clean("raw").alias("clean"),
+            url_host(url_clean("raw")).alias("host"),
+            url_path(url_clean("raw")).alias("path"),
+            url_query_param("raw", "utm_source").alias("utm"),
+            url_query_param("raw", "ref").alias("ref"),
+            parse_call_url("raw").alias("p"),
+        ).collect()
+    }
+    # clean: last whitespace token, query stripped
+    assert got[1]["clean"] == "https://dexscreener.com/solana/0xpool"
+    assert got[3]["clean"] == "geckoterminal.com/bsc/pools/0xfeed"
+    # host with and without scheme
+    assert got[1]["host"] == "dexscreener.com"
+    assert got[3]["host"] == "geckoterminal.com"
+    assert got[6]["host"] == "here"  # last token of junk text
+    # path excludes query/fragment; '' when absent
+    assert got[1]["path"] == "/solana/0xpool"
+    assert got[6]["path"] == ""
+    # query params read from the RAW url before cleaning
+    assert got[1]["utm"] == "tg"
+    assert got[3]["ref"] == "tw"
+    assert got[2]["utm"] == ""
+    # parse_call_url: branch classification + extraction
+    p = {i: got[i]["p"].asDict() for i in got}
+    assert p[1] == {"url": got[1]["clean"], "source": "dexscreener",
+                    "chain": "solana", "token_ref": "0xpool"}
+    assert p[2]["chain"] == "eth" and p[2]["token_ref"] == "0xabc"
+    assert p[3]["chain"] == "bsc" and p[3]["token_ref"] == "0xfeed"
+    assert p[4]["source"] == "coingecko" and p[4]["token_ref"] == "hathor"
+    # the reference's www-anchored fallback for locale-prefixed urls
+    assert p[5]["token_ref"] == "koin_koin" and p[5]["chain"] is None
+    assert p[6] == {"url": "here", "source": "other",
+                    "chain": None, "token_ref": None}
+    assert p[7]["source"] == "dextools" and p[7]["chain"] == "ether"
+    # marker-relative indexing never wraps to the end of the list
+    probe = spark.createDataFrame([("pools/x",)], "u string")
+    assert probe.select(
+        url_segment_near("u", "pools", -1).alias("s")
+    ).collect()[0]["s"] is None
