@@ -26,6 +26,7 @@ from etl_pipelines_spark.llm.similarity import (
 )
 from etl_pipelines_spark.llm.text import with_predicted_lang, with_token_stats
 from etl_pipelines_spark.queries.catalog import register, t
+from etl_pipelines_spark.sources.registry import FingerprintCache
 
 SHINGLE_SQL = """
         SELECT DISTINCT doc_id,
@@ -610,14 +611,15 @@ def q38(spark: SparkSession, sf: str) -> DataFrame:
     # cached per sf_dir so repeated invocations measure the QUERY
     # path, not a retrain. Training stays a pure deterministic
     # function of the data — the oracle recomputes it from scratch.
-    cents = _CODEBOOKS.get(sf)
-    if cents is None:
-        cents = kmeans_centroids(emb, k=KM_K, n_iter=KM_ITER, seed=KM_SEED)
-        _CODEBOOKS[sf] = cents
+    cents = _CODEBOOKS.get_or_build(
+        sf, lambda: kmeans_centroids(emb, k=KM_K, n_iter=KM_ITER, seed=KM_SEED)
+    )
     return ivf_topk(emb, cents, k=5, n_queries=20, nprobe=KM_NPROBE)
 
 
-_CODEBOOKS: dict[str, list[list[float]]] = {}
+# content-fingerprinted: mutating the table under a cached sf path
+# refreshes the artifact instead of serving stale training state
+_CODEBOOKS = FingerprintCache("embeddings")
 
 
 # --------------------------------------------------------------------- q96
@@ -671,10 +673,9 @@ def q96(spark: SparkSession, sf: str) -> DataFrame:
     from etl_pipelines_spark.llm.similarity import kmeans_centroids, semantic_dedup
 
     emb = t(spark, sf, "embeddings")
-    cents = _CODEBOOKS.get(sf)
-    if cents is None:
-        cents = kmeans_centroids(emb, k=KM_K, n_iter=KM_ITER, seed=KM_SEED)
-        _CODEBOOKS[sf] = cents
+    cents = _CODEBOOKS.get_or_build(
+        sf, lambda: kmeans_centroids(emb, k=KM_K, n_iter=KM_ITER, seed=KM_SEED)
+    )
     return semantic_dedup(emb, cents, threshold=0.3)
 
 
@@ -1523,8 +1524,7 @@ def q64(spark: SparkSession, sf: str) -> DataFrame:
     # never per shingle. The r2 per-shingle struct expansion emitted
     # s(s+1)/2 structs per shingle (~every shingle shared by all
     # sources here), measured ~1 s of pure explode at sf0.1.
-    srcs = _SRC_DOMAINS.get(sf)
-    if srcs is None:
+    def _probe_domain():
         # dimension probe: the source domain is stable per corpus, so
         # cache it like the q38 codebook (same train-once class)
         raw = [r[0] for r in docs.select("source").distinct().collect()]
@@ -1533,8 +1533,9 @@ def q64(spark: SparkSession, sf: str) -> DataFrame:
                 "contamination matrix: NULL source values in documents; "
                 "repair or filter provenance before computing overlap"
             )
-        srcs = sorted(raw)
-        _SRC_DOMAINS[sf] = srcs
+        return sorted(raw)
+
+    srcs = _SRC_DOMAINS.get_or_build(sf, _probe_domain)
     if len(srcs) > 63:
         raise NotImplementedError(
             "bitmask contamination matrix supports <= 63 sources; chunk the "
@@ -1561,7 +1562,8 @@ def q64(spark: SparkSession, sf: str) -> DataFrame:
             # fail loud rather than silently dropping its shingles
             raise ValueError(
                 "contamination matrix: source outside the cached domain; "
-                "data changed under this sf path — clear _SRC_DOMAINS"
+                "the table mutated mid-query (the fingerprint cache "
+                "refreshes between runs, not within one)"
             )
         bits = [i for i in range(n) if (m >> i) & 1]
         for ai, a in enumerate(bits):
@@ -1586,7 +1588,7 @@ def q64(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_SRC_DOMAINS: dict[str, list[str]] = {}
+_SRC_DOMAINS = FingerprintCache("documents")
 
 
 def _contamination_patterns(
@@ -2329,7 +2331,7 @@ def _bpe_oracle_sql(k: int = BPE_MERGES) -> str:
     return "".join(parts)
 
 
-_BPE_MERGE_CACHE: dict[str, list] = {}
+_BPE_MERGE_CACHE = FingerprintCache("documents")
 
 
 @register(
@@ -2352,10 +2354,9 @@ def q89(spark: SparkSession, sf: str) -> DataFrame:
     from etl_pipelines_spark.llm.bpe import bpe_apply, bpe_train
 
     docs = t(spark, sf, "documents")
-    merges = _BPE_MERGE_CACHE.get(sf)
-    if merges is None:
-        merges = bpe_train(docs, BPE_MERGES)
-        _BPE_MERGE_CACHE[sf] = merges
+    merges = _BPE_MERGE_CACHE.get_or_build(
+        sf, lambda: bpe_train(docs, BPE_MERGES)
+    )
     toks = bpe_apply(docs, merges)
     return toks.select(
         "doc_id",

@@ -329,3 +329,50 @@ def staged_table_swap(path: str, write_to_staging, staged_suffix: str = "__stagi
     os.rename(path, retired)
     os.rename(staged, path)
     shutil.rmtree(retired)
+
+
+def table_fingerprint(sf_dir: str, name: str) -> str:
+    """Cheap content fingerprint of a registered table: (path, size,
+    mtime_ns) for the parquet file, or every data file under it when
+    the table is a directory. Metadata-only — no data read. On a real
+    lake this is the snapshot/transaction id; over plain files, size +
+    mtime is the strongest signal available without hashing bytes."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    entries = []
+    if os.path.isdir(path):
+        for root, _, files in sorted(os.walk(path)):
+            for f in sorted(files):
+                if f.startswith(("_", ".")):
+                    continue
+                fp = os.path.join(root, f)
+                st = os.stat(fp)
+                entries.append(f"{fp}:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        st = os.stat(path)
+        entries.append(f"{path}:{st.st_size}:{st.st_mtime_ns}")
+    return "|".join(entries)
+
+
+class FingerprintCache:
+    """Driver-side train-once/serve-many cache (k-means codebooks, BPE
+    merge lists, dimension domains) keyed by sf path AND the source
+    table's content fingerprint: mutating the table under a cached
+    path refreshes the artifact instead of serving stale state — the
+    round-3 `_SRC_DOMAINS` hazard. Values are result-sized training
+    artifacts (k x dim floats, k string pairs), never DataFrames."""
+
+    def __init__(self, table: str):
+        self.table = table
+        self._store: dict[str, tuple[str, object]] = {}
+
+    def get_or_build(self, sf_dir: str, build):
+        fp = table_fingerprint(sf_dir, self.table)
+        hit = self._store.get(sf_dir)
+        if hit is not None and hit[0] == fp:
+            return hit[1]
+        value = build()
+        self._store[sf_dir] = (fp, value)
+        return value
+
+    def clear(self) -> None:
+        self._store.clear()

@@ -89,3 +89,68 @@ def test_cache_status_reports_age(spark, tmp_path):
     ).collect()[0]
     assert row["name"] == "a" and abs(row["age_hours"] - 6.0) < 1e-6
     assert cache_status(spark, str(tmp_path), "missing", now=T0).count() == 0
+
+
+# ------------------------------------------------------------------
+# FingerprintCache: the train-once driver caches (q38 codebook, q64
+# source domain, q89 merge list) must refresh when the table mutates
+# under a cached sf path — never serve stale training artifacts.
+
+
+def test_fingerprint_cache_refreshes_on_table_mutation(spark, tmp_path):
+    import os
+
+    from etl_pipelines_spark.sources.registry import FingerprintCache
+
+    sf = str(tmp_path)
+    path = os.path.join(sf, "documents.parquet")
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, source string"
+    ).toPandas().to_parquet(path)
+
+    cache = FingerprintCache("documents")
+    builds = []
+
+    def probe():
+        builds.append(1)
+        return sorted(
+            r[0]
+            for r in spark.read.parquet(path).select("source").distinct().collect()
+        )
+
+    assert cache.get_or_build(sf, probe) == ["alpha", "beta"]
+    # unchanged table: served from cache, no rebuild
+    assert cache.get_or_build(sf, probe) == ["alpha", "beta"]
+    assert len(builds) == 1
+
+    # mutate the table under the same path (same row count, new domain)
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "gamma")], "doc_id long, source string"
+    ).toPandas().to_parquet(path)
+    os.utime(path, ns=(1, os.stat(path).st_mtime_ns + 1))
+    assert cache.get_or_build(sf, probe) == ["alpha", "gamma"]
+    assert len(builds) == 2
+
+    # clear() empties the store entirely
+    cache.clear()
+    cache.get_or_build(sf, probe)
+    assert len(builds) == 3
+
+
+def test_fingerprint_cache_is_per_sf_path(spark, tmp_path):
+    import os
+
+    from etl_pipelines_spark.sources.registry import FingerprintCache
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    for d, src in ((a, "one"), (b, "two")):
+        os.makedirs(d)
+        spark.createDataFrame(
+            [(1, src)], "doc_id long, source string"
+        ).toPandas().to_parquet(os.path.join(d, "documents.parquet"))
+    cache = FingerprintCache("documents")
+    build_a = lambda: "A"  # noqa: E731
+    build_b = lambda: "B"  # noqa: E731
+    assert cache.get_or_build(a, build_a) == "A"
+    assert cache.get_or_build(b, build_b) == "B"
+    assert cache.get_or_build(a, lambda: "STALE?") == "A"
