@@ -50,7 +50,13 @@ def daily_prices(spark: SparkSession, sf: str) -> DataFrame:
     removal, ffill, trailing frames), so Catalyst inserts no further
     exchanges — two implicit shuffles collapse into one, and the
     single-file scan fans out across cores before the heavy agg."""
-    li = t(spark, sf, "lineitem").select(
+    return daily_prices_from(t(spark, sf, "lineitem"))
+
+
+def daily_prices_from(lineitem: DataFrame) -> DataFrame:
+    """daily_prices over an explicit lineitem frame (lets tests and
+    skew fixtures feed remapped variants through the real plan)."""
+    li = lineitem.select(
         "l_partkey", "l_shipdate", "l_extendedprice", "l_quantity"
     ).repartition("l_partkey")
     return li.groupBy(
@@ -78,10 +84,16 @@ def transfers(spark: SparkSession, sf: str) -> DataFrame:
     AQE at this size and falls back to a shuffle join at scale. Hot
     coins are the skew risk of keying on coin alone — AQE skew-join
     handles them (session default)."""
-    li = t(spark, sf, "lineitem").select(
+    return transfers_from(t(spark, sf, "lineitem"), t(spark, sf, "orders"))
+
+
+def transfers_from(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """transfers over explicit lineitem/orders frames (lets tests and
+    skew fixtures feed remapped variants through the real plan)."""
+    li = lineitem.select(
         "l_orderkey", "l_partkey", "l_shipdate", "l_returnflag", "l_quantity"
     ).repartition("l_partkey")
-    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    o = orders.select("o_orderkey", "o_custkey")
     signed = F.when(F.col("l_returnflag") == "R", -F.col("l_quantity")).otherwise(
         F.col("l_quantity")
     )

@@ -241,3 +241,140 @@ def test_full_pipeline_end_to_end(pipeline_result):
         by_pair[key] = r.usd_inflows_cumulative
     # unique key (coin, wallet, date)
     assert len(rows_by_key) == len(rows)
+
+
+# ------------------------------------------------------------------
+# Hot-coin skew: the reference's real-world failure mode (one coin =
+# 30% of all transfer rows). Correctness pinned against the per-coin
+# slice oracle (the pipeline is coin-local by construction, so
+# slicing the input by coin is an exact independent recomputation);
+# the AQE skew-split assertion runs on the REAL pipeline plan, not a
+# synthetic join.
+
+
+def _skewed_inputs(spark, sf_dir, hot_coin=1, hot_tenths=3):
+    """Pipeline inputs with ~hot_tenths/10 of lineitem rows remapped
+    onto one coin — deterministic (hash of the row key), so repeated
+    runs see the identical skewed corpus."""
+    from etl_pipelines_spark.queries.timeseries import (
+        daily_prices_from,
+        transfers_from,
+    )
+    from etl_pipelines_spark.sources.registry import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hot = (
+        F.abs(F.xxhash64("l_orderkey", "l_linenumber")) % 10 < hot_tenths
+    )
+    li = li.withColumn(
+        "l_partkey", F.when(hot, F.lit(hot_coin)).otherwise(F.col("l_partkey"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    return transfers_from(li, o), daily_prices_from(li)
+
+
+def _run_pipeline(x, p):
+    from etl_pipelines_spark.operators.windows import cumulative_window
+
+    xb = x.withColumn(
+        "balance",
+        F.sum("net_transfers")
+        .over(cumulative_window(["coin_id", "wallet_address"], ["date"]))
+        .cast("double"),
+    )
+    return build_wallet_profits(xb, p, quantize=1e6)
+
+
+def test_skewed_hot_coin_matches_slice_oracle(spark):
+    sf = "/root/testdata/sf0.001"
+    x, p = _skewed_inputs(spark, sf)
+    # the skew is real: the hot coin owns >= 25% of transfer rows
+    total = x.count()
+    hot_rows = x.filter(F.col("coin_id") == 1).count()
+    assert hot_rows / total > 0.25, (hot_rows, total)
+
+    full = _run_pipeline(x, p).collect()
+    hot = _run_pipeline(
+        x.filter(F.col("coin_id") == 1), p.filter(F.col("coin_id") == 1)
+    ).collect()
+    rest = _run_pipeline(
+        x.filter(F.col("coin_id") != 1), p.filter(F.col("coin_id") != 1)
+    ).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, hot + rest))
+
+
+def _airdrop_inputs(spark, n_airdrop=400_000, n_tail=5_000):
+    """Transfers with an airdrop day: one (coin, date) cell fans out to
+    n_airdrop wallets — the distribution where the price join's OWN
+    shuffle (an external caller's frame carries no friendly
+    pre-partitioning) concentrates one partition. Hot coins spread by
+    date and hot wallets are the finest window key, so the airdrop
+    cell is the one real-pipeline shape AQE skew-split can and must
+    rescue. Values vary per row: constant columns compress so well
+    that the skew detector's (compressed) partition bytes stay under
+    threshold — as they would in any real corpus."""
+    air = spark.range(n_airdrop).select(
+        F.lit(1).alias("coin_id"),
+        (F.col("id") + 1_000_000).alias("wallet_address"),
+        F.lit(dt.date(2024, 3, 1)).alias("date"),
+        (F.col("id") % 997 + 1).cast("double").alias("net_transfers"),
+    )
+    tail = spark.range(n_tail).select(
+        (F.col("id") % 50 + 2).alias("coin_id"),
+        (F.col("id") % 500).alias("wallet_address"),
+        F.date_add(F.lit(dt.date(2024, 1, 1)), (F.col("id") % 90).cast("int")).alias("date"),
+        (F.col("id") % 7 + 1).cast("double").alias("net_transfers"),
+    ).groupBy("coin_id", "wallet_address", "date").agg(
+        F.sum("net_transfers").alias("net_transfers")
+    )
+    x = air.unionByName(tail)
+    p = (
+        spark.range(51)
+        .select((F.col("id") + 1).alias("coin_id"))
+        .crossJoin(
+            spark.range(91).select(
+                F.date_add(F.lit(dt.date(2024, 1, 1)), F.col("id").cast("int")).alias("date")
+            )
+        )
+        .select("coin_id", "date", (F.col("coin_id") * 1.5).alias("price"))
+    )
+    return x, p
+
+
+def test_airdrop_day_fires_aqe_skew_split_in_real_pipeline_join(spark):
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        x, p = _airdrop_inputs(spark)
+        out = _run_pipeline(x, p)
+        out._jdf.queryExecution().executedPlan().executeCollect()
+        final = out._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:3000]
+
+        # the split must not change results: same rows with the
+        # optimization forced off
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("profits_cumulative") * 100)).alias("s"),
+        ).collect()[0]
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        x2, p2 = _airdrop_inputs(spark)
+        agg2 = _run_pipeline(x2, p2).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("profits_cumulative") * 100)).alias("s"),
+        ).collect()[0]
+        assert (agg["n"], agg["s"]) == (agg2["n"], agg2["s"])
+    finally:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
