@@ -18,16 +18,9 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_pipelines_spark.expectations import load_expectations, run_expectations
 from etl_pipelines_spark.operators.windows import cumulative_window
-from etl_pipelines_spark.quality import (
-    ExpectationResult,
-    expect_lowercase,
-    expect_monotone,
-    expect_no_date_gaps,
-    expect_not_null,
-    expect_referential_integrity,
-    expect_unique,
-)
+from etl_pipelines_spark.quality import ExpectationResult
 from etl_pipelines_spark.sources.registry import write_partitioned
 
 
@@ -47,26 +40,36 @@ def refresh_warehouse(
     out_dir: str,
     coin_limit: int | None = None,
     since: str | None = None,
+    expectations_path: str | None = None,
 ) -> RefreshReport:
     """Rebuild the curated layer from the raw testdata star schema:
     coin_market_data (densified daily prices), coin_wallet_transfers
     (running balances), coin_wallet_profits (the §3.2 kernel) — each
     written PARTITION BY date and then audited. `coin_limit` scopes the
     coin universe (the reference's dev_core sandbox pattern,
-    dev_core_tables/create_reference_dev_coins.sql)."""
+    dev_core_tables/create_reference_dev_coins.sql).
+
+    The post-write suites come from the DECLARATIVE expectations
+    config (expectations.yml, mirroring dbt_dreamsdata/models/
+    schema.yml's authoring surface) — adding a constraint to a curated
+    table is a config edit; `expectations_path` points tests or
+    sandboxes at an alternate ruleset."""
     from etl_pipelines_spark.operators.densify import densify_daily, with_days_imputed
     from etl_pipelines_spark.operators.windows import forward_fill
     from etl_pipelines_spark.queries import QUERIES
     from etl_pipelines_spark.queries.timeseries import daily_prices, transfers
 
     report = RefreshReport()
+    rules = load_expectations(expectations_path)
+    built: dict[str, DataFrame] = {}
 
-    def land(name: str, df: DataFrame, checks) -> DataFrame:
+    def land(name: str, df: DataFrame) -> DataFrame:
         path = os.path.join(out_dir, name)
         write_partitioned(df, path)
         back = spark.read.parquet(path)
         report.tables[name] = back.count()
-        report.expectations.extend(checks(back))
+        built[name] = back
+        report.expectations.extend(run_expectations(back, name, rules, built))
         return back
 
     # 0. dimensions (§3.1 steps 2-4 composed): chains with alias
@@ -89,15 +92,7 @@ def refresh_warehouse(
         ["chain"],
         [F.col("chain_id").asc()],  # A6 alias dedupe, keep-first
     )
-    chains = land(
-        "chains",
-        chains,
-        lambda t: [
-            expect_unique(t, ["chain"]),
-            expect_lowercase(t, "chain"),
-            expect_not_null(t, ["chain_id", "chain"]),
-        ],
-    )
+    chains = land("chains", chains)
 
     part = load_table(spark, sf_dir, "part")
     li_keys = load_table(spark, sf_dir, "lineitem").select("l_partkey")
@@ -113,15 +108,7 @@ def refresh_warehouse(
         .withColumn("has_market_data", F.col("l_partkey").isNotNull())
         .drop("l_partkey")
     )
-    coins = land(
-        "coins",
-        coins,
-        lambda t: [
-            expect_unique(t, ["coin_id"]),
-            expect_lowercase(t, "name"),
-            expect_not_null(t, ["coin_id", "coingecko_id"]),
-        ],
-    )
+    coins = land("coins", coins)
 
     # facts: source A (part attributes) ⟗ source B (lineitem-derived
     # observations) with COALESCE cascades — core_coin_facts_metadata
@@ -149,14 +136,7 @@ def refresh_warehouse(
             F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
         )
     )
-    land(
-        "coin_facts",
-        facts,
-        lambda t: [
-            expect_unique(t, ["coin_id"]),
-            expect_referential_integrity(t, coins, ["coin_id"]),
-        ],
-    )
+    land("coin_facts", facts)
 
     # 1. market data: densify + ffill (D1/D2) over daily prices
     def scope(df):
@@ -181,11 +161,6 @@ def refresh_warehouse(
     land(
         "coin_market_data",
         dense.select("coin_id", "date", "price", "days_imputed"),
-        lambda t: [
-            expect_unique(t, ["coin_id", "date"]),
-            expect_not_null(t, ["coin_id", "date", "price"]),
-            expect_no_date_gaps(t, ["coin_id"]),
-        ],
     )
 
     # 2. wallet transfers: daily net + running balance (W1/W2)
@@ -196,25 +171,9 @@ def refresh_warehouse(
         .over(cumulative_window(["coin_id", "wallet_address"], ["date"]))
         .cast("double"),
     )
-    land(
-        "coin_wallet_transfers",
-        balances,
-        lambda t: [
-            expect_unique(t, ["coin_id", "wallet_address", "date"]),
-            expect_not_null(t, ["coin_id", "wallet_address", "date", "balance"]),
-        ],
-    )
+    land("coin_wallet_transfers", balances)
 
     # 3. wallet profits: the flagship kernel (§3.2 in one job)
     profits = scope(QUERIES["q22_wallet_profits_kernel"].spark_fn(spark, sf_dir))
-    land(
-        "coin_wallet_profits",
-        profits,
-        lambda t: [
-            expect_unique(t, ["coin_id", "wallet_address", "date"]),
-            expect_monotone(
-                t, ["coin_id", "wallet_address"], "date", "usd_inflows_cumulative"
-            ),
-        ],
-    )
+    land("coin_wallet_profits", profits)
     return report

@@ -94,3 +94,110 @@ def test_validate_incremental_load_clean_and_dirty(spark):
         ["id"],
     )
     assert not dup_report["digest_match"]
+
+
+# ------------------------------------------------------------------
+# Declarative expectations (expectations.yml -> quality.py), the
+# schema.yml authoring surface.
+
+
+def test_expectations_config_matches_handwritten_suite():
+    """The shipped config must declare exactly the rule set the
+    hand-written round-3 suites ran (declared-vs-code parity)."""
+    from etl_pipelines_spark.expectations import load_expectations
+
+    cfg = load_expectations()
+    assert set(cfg) == {
+        "chains",
+        "coins",
+        "coin_facts",
+        "coin_market_data",
+        "coin_wallet_transfers",
+        "coin_wallet_profits",
+    }
+    profits = cfg["coin_wallet_profits"]["checks"]
+    assert {list(c)[0] for c in profits} == {"unique", "monotone"}
+    facts = cfg["coin_facts"]["checks"]
+    assert any(
+        list(c)[0] == "referential" and c["referential"]["to"] == "coins"
+        for c in facts
+    )
+
+
+def test_declared_rules_catch_violations(spark):
+    """A frame violating a declared rule must be flagged through the
+    declarative path — and the suite reports every failure at once."""
+    from etl_pipelines_spark.expectations import run_expectations
+
+    cfg = {
+        "tbl": {
+            "columns": {"name": ["not_null", "lowercase"]},
+            "checks": [
+                {"unique": {"keys": ["id"]}},
+                {"referential": {"keys": ["id"], "to": "parent"}},
+            ],
+        }
+    }
+    df = spark.createDataFrame(
+        [(1, "Ok"), (1, None), (3, "fine")], "id long, name string"
+    )
+    parent = spark.createDataFrame([(1,)], "id long")
+    results = {r.name: r for r in run_expectations(df, "tbl", cfg, {"parent": parent})}
+    assert not results["not_null(name)"].passed
+    assert not results["lowercase(name)"].passed  # 'Ok'
+    assert not results["unique(id)"].passed  # two id=1 rows
+    assert not results["referential(id)"].passed  # id=3 orphan
+
+
+def test_unknown_rule_fails_load(tmp_path):
+    from etl_pipelines_spark.expectations import load_expectations
+
+    bad = tmp_path / "exp.yml"
+    bad.write_text(
+        "tables:\n  t:\n    columns:\n      c: [not_nulll]\n"
+    )
+    with pytest.raises(ValueError, match="not_nulll"):
+        load_expectations(str(bad))
+    bad.write_text("tables:\n  t:\n    checks:\n      - no_such: {}\n")
+    with pytest.raises(ValueError, match="no_such"):
+        load_expectations(str(bad))
+
+
+def test_referential_requires_declared_parent(spark):
+    from etl_pipelines_spark.expectations import run_expectations
+
+    cfg = {"t": {"checks": [{"referential": {"keys": ["id"], "to": "ghost"}}]}}
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="ghost"):
+        run_expectations(df, "t", cfg, {})
+
+
+def test_alternate_ruleset_drives_refresh(spark, tmp_path):
+    """expectations_path swaps the ruleset: a deliberately impossible
+    rule (chain values must be UPPERCASE-free ... they are lowercase,
+    so flip it: require uniqueness on a non-unique column) must turn
+    the report red without code changes."""
+    import yaml
+
+    from etl_pipelines_spark.plans.refresh import refresh_warehouse
+
+    rules = {
+        "tables": {
+            "chains": {"checks": [{"unique": {"keys": ["chain_group"]}}]},
+        }
+    }
+    p = tmp_path / "exp.yml"
+    p.write_text(yaml.safe_dump(rules))
+    report = refresh_warehouse(
+        spark,
+        "/root/testdata/sf0.001",
+        str(tmp_path / "wh"),
+        coin_limit=5,
+        since="1998-06-01",
+        expectations_path=str(p),
+    )
+    # several chains share a chain_group -> declared rule fails
+    assert not report.passed
+    assert [r.name for r in report.expectations if not r.passed] == [
+        "unique(chain_group)"
+    ]
