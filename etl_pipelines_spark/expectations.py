@@ -84,62 +84,84 @@ def load_expectations(path: str | None = None) -> dict[str, dict]:
     return dict(tables)
 
 
-def run_expectations(
+def _violation_frames(
     df: DataFrame,
     table: str,
-    config: dict[str, dict],
-    refs: Mapping[str, DataFrame] | None = None,
-) -> list[Q.ExpectationResult]:
-    """Run `table`'s declared suite against `df`. Column rules expand
-    first (not_null batched into one scan, matching the hand-written
-    suites), then table checks in declaration order."""
-    spec = config.get(table) or {}
-    refs = refs or {}
-    out: list[Q.ExpectationResult] = []
+    spec: Mapping,
+    refs: Mapping[str, DataFrame],
+) -> list[tuple[str, DataFrame]]:
+    """Expand a table spec into (expectation name, violations frame)
+    pairs — column rules first (not_null batched into one scan,
+    matching the hand-written suites), then checks in declaration
+    order."""
+    out: list[tuple[str, DataFrame]] = []
 
     columns = spec.get("columns") or {}
     nn = [c for c, rules in columns.items() if "not_null" in rules]
     if nn:
-        out.append(Q.expect_not_null(df, nn))
+        out.append((f"not_null({', '.join(nn)})", Q.not_null_violations(df, nn)))
     for col, rules in columns.items():
         if "unique" in rules:
-            out.append(Q.expect_unique(df, [col]))
+            out.append((f"unique({col})", Q.unique_violations(df, [col])))
         if "lowercase" in rules:
-            out.append(Q.expect_lowercase(df, col))
+            out.append((f"lowercase({col})", Q.lowercase_violations(df, col)))
         if "non_negative" in rules:
-            out.append(Q.expect_non_negative(df, col))
+            out.append(
+                (f"non_negative({col}, tol=0.0)", Q.negative_violations(df, col))
+            )
 
     for check in spec.get("checks") or []:
         (rule,) = check
         arg = check[rule] or {}
         if rule == "unique":
-            out.append(Q.expect_unique(df, list(arg["keys"])))
+            keys = list(arg["keys"])
+            out.append(
+                (f"unique({', '.join(keys)})", Q.unique_violations(df, keys))
+            )
         elif rule == "not_null":
-            out.append(Q.expect_not_null(df, list(arg["cols"])))
+            cols = list(arg["cols"])
+            out.append(
+                (f"not_null({', '.join(cols)})", Q.not_null_violations(df, cols))
+            )
         elif rule == "no_date_gaps":
             out.append(
-                Q.expect_no_date_gaps(
-                    df, list(arg["keys"]), arg.get("date", "date")
+                (
+                    "no_date_gaps",
+                    Q.date_gap_violations(
+                        df, list(arg["keys"]), arg.get("date", "date")
+                    ),
                 )
             )
         elif rule == "non_negative":
+            tol = float(arg.get("tolerance", 0.0))
             out.append(
-                Q.expect_non_negative(
-                    df, arg["col"], float(arg.get("tolerance", 0.0))
+                (
+                    f"non_negative({arg['col']}, tol={tol})",
+                    Q.negative_violations(df, arg["col"], tol),
                 )
             )
         elif rule == "monotone":
             out.append(
-                Q.expect_monotone(df, list(arg["keys"]), arg["order"], arg["col"])
+                (
+                    f"monotone({arg['col']})",
+                    Q.monotone_violations(
+                        df, list(arg["keys"]), arg["order"], arg["col"]
+                    ),
+                )
             )
         elif rule == "dense_sequence":
             out.append(
-                Q.expect_dense_sequence(
-                    df, list(arg["keys"]), arg["order"], arg["col"]
+                (
+                    f"dense_sequence({arg['col']})",
+                    Q.dense_sequence_violations(
+                        df, list(arg["keys"]), arg["order"], arg["col"]
+                    ),
                 )
             )
         elif rule == "lowercase":
-            out.append(Q.expect_lowercase(df, arg["col"]))
+            out.append(
+                (f"lowercase({arg['col']})", Q.lowercase_violations(df, arg["col"]))
+            )
         elif rule == "referential":
             parent = refs.get(arg["to"])
             if parent is None:
@@ -148,7 +170,49 @@ def run_expectations(
                     "is not among the built tables — declare parents before "
                     "children (the dbt ref() ordering constraint)"
                 )
+            keys = list(arg["keys"])
             out.append(
-                Q.expect_referential_integrity(df, parent, list(arg["keys"]))
+                (
+                    f"referential({', '.join(keys)})",
+                    Q.referential_violations(df, parent, keys),
+                )
             )
+    return out
+
+
+def run_expectations(
+    df: DataFrame,
+    table: str,
+    config: dict[str, dict],
+    refs: Mapping[str, DataFrame] | None = None,
+) -> list[Q.ExpectationResult]:
+    """Run `table`'s declared suite against `df` as ONE Spark action:
+    the per-rule violation counts union into a single counts frame
+    (quality.violation_counts), so a 6-table refresh pays 6 audit
+    jobs instead of one per expectation — the per-action floor is the
+    dominant audit cost on a green warehouse. Violation samples (the
+    triage payload) are fetched only for the rules that failed."""
+    spec = config.get(table) or {}
+    frames = _violation_frames(df, table, spec, refs or {})
+    if not frames:
+        return []
+    # names must be unique inside the counts union — suffix dupes
+    seen: dict[str, int] = {}
+    named: list[tuple[str, DataFrame]] = []
+    for name, vdf in frames:
+        if name in seen:
+            seen[name] += 1
+            name = f"{name}#{seen[name]}"
+        else:
+            seen[name] = 0
+        named.append((name, vdf))
+    counts = {
+        r["rule"]: r["n_violations"]
+        for r in Q.violation_counts(dict(named)).collect()
+    }
+    out = []
+    for name, vdf in named:
+        n = counts[name]
+        sample = vdf.limit(5).collect() if n else []
+        out.append(Q.ExpectationResult(name, n == 0, n, sample))
     return out

@@ -40,6 +40,7 @@ def refresh_warehouse(
     out_dir: str,
     coin_limit: int | None = None,
     since: str | None = None,
+    until: str | None = None,
     expectations_path: str | None = None,
 ) -> RefreshReport:
     """Rebuild the curated layer from the raw testdata star schema:
@@ -56,8 +57,11 @@ def refresh_warehouse(
     sandboxes at an alternate ruleset."""
     from etl_pipelines_spark.operators.densify import densify_daily, with_days_imputed
     from etl_pipelines_spark.operators.windows import forward_fill
-    from etl_pipelines_spark.queries import QUERIES
-    from etl_pipelines_spark.queries.timeseries import daily_prices, transfers
+    from etl_pipelines_spark.queries.timeseries import (
+        daily_prices,
+        transfers,
+        wallet_profits_kernel_from,
+    )
 
     report = RefreshReport()
     rules = load_expectations(expectations_path)
@@ -144,9 +148,13 @@ def refresh_warehouse(
             df = df.filter(F.col("coin_id") < coin_limit)
         if since is not None:
             df = df.filter(F.col("date") >= F.lit(since).cast("date"))
+        if until is not None:
+            df = df.filter(F.col("date") <= F.lit(until).cast("date"))
         return df
 
-    md = scope(daily_prices(spark, sf_dir))
+    # shared by the dense rebuild AND the profits kernel: keys-sized
+    # after the daily aggregation, so one cached copy serves both
+    md = scope(daily_prices(spark, sf_dir)).persist()
     dense = forward_fill(
         with_days_imputed(
             densify_daily(md, ["coin_id"], "date"),
@@ -171,9 +179,20 @@ def refresh_warehouse(
         .over(cumulative_window(["coin_id", "wallet_address"], ["date"]))
         .cast("double"),
     )
-    land("coin_wallet_transfers", balances)
+    cwt = land("coin_wallet_transfers", balances)
 
-    # 3. wallet profits: the flagship kernel (§3.2 in one job)
-    profits = scope(QUERIES["q22_wallet_profits_kernel"].spark_fn(spark, sf_dir))
+    # 3. wallet profits: the flagship kernel (§3.2 in one job), fed
+    # from the LANDED transfers table (the curated lineage: profits
+    # derive from the transfers table users see, not a parallel
+    # re-derivation of the raw scans) and the shared prices frame.
+    # Scope applies to the INPUTS — cumulative metrics accumulate
+    # within the refresh window, consistent with the landed balances.
+    profits = wallet_profits_kernel_from(
+        cwt.select(
+            "coin_id", "wallet_address", "date", "net_transfers", "balance"
+        ),
+        md,
+    )
     land("coin_wallet_profits", profits)
+    md.unpersist()
     return report

@@ -104,12 +104,15 @@ def expect_monotone(
 ) -> ExpectationResult:
     """col never decreases along order_col within each key (dbt
     usd_inflows_increasing: lag-compare)."""
+    return _result(f"monotone({col})", monotone_violations(df, keys, order_col, col))
+
+
+def monotone_violations(
+    df: DataFrame, keys: list[str], order_col: str, col: str
+) -> DataFrame:
     w = Window.partitionBy(*keys).orderBy(order_col)
     lagged = df.withColumn("_prev", F.lag(col).over(w))
-    return _result(
-        f"monotone({col})",
-        lagged.filter(F.col("_prev").isNotNull() & (F.col(col) < F.col("_prev"))),
-    )
+    return lagged.filter(F.col("_prev").isNotNull() & (F.col(col) < F.col("_prev")))
 
 
 def expect_dense_sequence(
@@ -117,16 +120,25 @@ def expect_dense_sequence(
 ) -> ExpectationResult:
     """col increments by exactly 1 along order_col within each key (dbt
     transfer_sequence test: lag + 1 comparison)."""
-    w = Window.partitionBy(*keys).orderBy(order_col)
-    lagged = df.withColumn("_prev", F.lag(col).over(w))
     return _result(
-        f"dense_sequence({col})",
-        lagged.filter(F.col("_prev").isNotNull() & (F.col(col) != F.col("_prev") + 1)),
+        f"dense_sequence({col})", dense_sequence_violations(df, keys, order_col, col)
     )
 
 
+def dense_sequence_violations(
+    df: DataFrame, keys: list[str], order_col: str, col: str
+) -> DataFrame:
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    lagged = df.withColumn("_prev", F.lag(col).over(w))
+    return lagged.filter(F.col("_prev").isNotNull() & (F.col(col) != F.col("_prev") + 1))
+
+
 def expect_lowercase(df: DataFrame, col: str) -> ExpectationResult:
-    return _result(f"lowercase({col})", df.filter(F.col(col) != F.lower(F.col(col))))
+    return _result(f"lowercase({col})", lowercase_violations(df, col))
+
+
+def lowercase_violations(df: DataFrame, col: str) -> DataFrame:
+    return df.filter(F.col(col) != F.lower(F.col(col)))
 
 
 def expect_referential_integrity(
@@ -134,10 +146,18 @@ def expect_referential_integrity(
 ) -> ExpectationResult:
     """Every child key exists in parent (dbt relationships /
     test_cCoinMarketData_coin_ids NOT IN form, as a left-anti join)."""
-    orphans = child.select(*keys).distinct().join(
+    return _result(
+        f"referential({', '.join(keys)})",
+        referential_violations(child, parent, keys),
+    )
+
+
+def referential_violations(
+    child: DataFrame, parent: DataFrame, keys: list[str]
+) -> DataFrame:
+    return child.select(*keys).distinct().join(
         parent.select(*keys).distinct(), keys, "left_anti"
     )
-    return _result(f"referential({', '.join(keys)})", orphans)
 
 
 def fused_balance_audit(

@@ -234,13 +234,26 @@ def q21(spark: SparkSession, sf: str) -> DataFrame:
 def q22(spark: SparkSession, sf: str) -> DataFrame:
     x = transfers(spark, sf)
     p = daily_prices(spark, sf)
+    balances = x.withColumn(
+        "balance",
+        F.sum("net_transfers")
+        .over(cumulative_window(["coin_id", "wallet_address"], ["date"]))
+        .cast("double"),
+    )
+    return wallet_profits_kernel_from(balances, p)
+
+
+def wallet_profits_kernel_from(balances: DataFrame, prices: DataFrame) -> DataFrame:
+    """The q22 kernel over explicit (balance-augmented transfers,
+    prices) frames — shared by q22 and the warehouse refresh, which
+    feeds its already-LANDED coin_wallet_transfers table back through
+    instead of re-deriving transfers from the raw scans."""
     pair = ["coin_id", "wallet_address"]
     cum = cumulative_window(pair, ["date"])
     w = ordered_window(pair, ["date"])
-    merged = (
-        x.withColumn("balance", F.sum("net_transfers").over(cum).cast("double"))
-        .join(p, ["coin_id", "date"])
-    )
+    merged = balances.select(
+        *pair, "date", "net_transfers", "balance"
+    ).join(prices.select("coin_id", "date", "price"), ["coin_id", "date"])
     prev_price = F.coalesce(F.lag("price").over(w), F.col("price"))
     prev_balance = F.coalesce(F.lag("balance").over(w), F.lit(0.0))
     usd_net = F.col("net_transfers") * F.col("price")
