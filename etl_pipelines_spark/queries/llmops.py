@@ -382,33 +382,84 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
 
 # --------------------------------------------------------------------- q37
 EMB_DIM = 64
-_PLANES = lcg_hyperplanes(8, EMB_DIM, seed=42)
-PLANE_BANDS = [_PLANES[:4], _PLANES[4:]]
+_MAX_PLANES_PER_BAND = 8
+# one LCG stream; band 0 draws planes [0:8], band 1 draws [8:16] — a
+# band's first k planes are a PREFIX, so growing k only appends bits
+_PLANES16 = lcg_hyperplanes(2 * _MAX_PLANES_PER_BAND, EMB_DIM, seed=42)
+_PLANES = _PLANES16[:8]
+PLANE_BANDS = [_PLANES[:4], _PLANES[4:]]  # the fixed 4-bit layout (q38/q96 era)
+
+# Occupancy law: with k sign bits a band has 2^k buckets, so expected
+# occupancy is n/2^k and candidate pairs grow ~n^2/2^k. Fixed k means
+# 10x corpus -> 100x candidates (measured: the sf1 oracle ground for
+# >25 min on 4-bit bands). Scaling k with ceil(log2(n/125)) pins
+# occupancy <= ~125 so candidates grow ~linearly; clamped to [4, 8]
+# because the oracle's plane pool is finite — extend the pool past
+# ~32k vectors (125 * 2^8).
+_PLANE_TARGET_OCCUPANCY = 125.0
+
+
+def adaptive_plane_bits(n: int) -> int:
+    import math
+
+    if n <= 0:
+        return 4
+    return max(4, min(
+        _MAX_PLANES_PER_BAND,
+        math.ceil(math.log2(n / _PLANE_TARGET_OCCUPANCY)),
+    ))
+
+
+def adaptive_plane_bands(n: int) -> list[list[list[float]]]:
+    k = adaptive_plane_bits(n)
+    return [
+        _PLANES16[:k],
+        _PLANES16[_MAX_PLANES_PER_BAND:_MAX_PLANES_PER_BAND + k],
+    ]
 
 
 def _plane_lit(plane: list[float]) -> str:
     return "[" + ", ".join(repr(x) for x in plane) + "]"
 
 
-def _signs_sql(bands: list[list[list[float]]]) -> str:
-    """CTEs comps/signs/buckets shared by the ANN oracles."""
+def _adaptive_buckets_sql() -> str:
+    """Sign CTEs with the FULL 8-plane-per-band pool; each band's
+    bucket key takes the first k bits via LEFT(bits, k), with k chosen
+    by the occupancy law from count(*) — the SQL twin of
+    adaptive_plane_bands (plane prefixes match because both draw the
+    same LCG stream)."""
+    full_bands = [
+        _PLANES16[:_MAX_PLANES_PER_BAND],
+        _PLANES16[_MAX_PLANES_PER_BAND:],
+    ]
     sign_cols = ",\n           ".join(
         f"SUM(CAST(FLOOR(val * ({_plane_lit(p)})[idx] * 1000000000000.0) AS BIGINT))"
         f" AS s_{b}_{j}"
-        for b, planes in enumerate(bands)
+        for b, planes in enumerate(full_bands)
         for j, p in enumerate(planes)
     )
-    bucket_rows = "\n        UNION ALL ".join(
-        "SELECT vec_id, CONCAT('{b}|', {bits}) AS bucket FROM signs".format(
+    bitstr_cols = ",\n           ".join(
+        "CONCAT({bits}) AS bits_{b}".format(
             b=b,
             bits=", ".join(
                 f"CASE WHEN s_{b}_{j} >= 0 THEN '1' ELSE '0' END"
-                for j in range(len(planes))
+                for j in range(_MAX_PLANES_PER_BAND)
             ),
         )
-        for b, planes in enumerate(bands)
+        for b in range(2)
+    )
+    bucket_rows = "\n        UNION ALL ".join(
+        f"SELECT vec_id, CONCAT('{b}|', LEFT(bits_{b}, (SELECT k FROM nbits)))"
+        f" AS bucket FROM bitstr"
+        for b in range(2)
     )
     return f"""
+    nbits AS (
+        SELECT GREATEST(4, LEAST({_MAX_PLANES_PER_BAND},
+                   CAST(CEIL(LOG2(count(*) / {_PLANE_TARGET_OCCUPANCY})) AS INT)))
+               AS k
+        FROM embeddings
+    ),
     comps AS (
         SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS val,
                generate_subscripts(embedding, 1) AS idx
@@ -418,6 +469,11 @@ def _signs_sql(bands: list[list[list[float]]]) -> str:
         SELECT vec_id,
            {sign_cols}
         FROM comps GROUP BY vec_id
+    ),
+    bitstr AS (
+        SELECT vec_id,
+           {bitstr_cols}
+        FROM signs
     ),
     buckets AS ({bucket_rows}),
     norms AS (
@@ -431,20 +487,27 @@ def _signs_sql(bands: list[list[list[float]]]) -> str:
 @register(
     "q37_cosine_near_dup",
     f"""
-    WITH {_signs_sql(PLANE_BANDS)},
+    WITH {_adaptive_buckets_sql()},
     cands AS (
         SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
         FROM buckets l JOIN buckets r ON l.bucket = r.bucket
         WHERE l.vec_id < r.vec_id
     ),
+    -- dot as vectorized LIST ops, not an unnest join: the join form
+    -- materializes |cands| * dim rows before the re-group (119M at
+    -- sf1 -> minutes of hash-join build); list_zip/list_transform is
+    -- one pass over |cands| rows with the identical per-component
+    -- FLOOR(a*b*1e12) -> exact int64 sum sequence
     dots AS (
         SELECT p.vec_a, p.vec_b,
-               CAST(SUM(CAST(FLOOR(a.val * b.val * 1000000000000.0) AS BIGINT))
+               CAST(list_sum(list_transform(
+                   list_zip(ea.embedding, eb.embedding),
+                   x -> CAST(FLOOR(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)
+                             * 1000000000000.0) AS BIGINT)))
                     AS DOUBLE) / 1000000000000.0 AS dot
         FROM cands p
-        JOIN comps a ON a.vec_id = p.vec_a
-        JOIN comps b ON b.vec_id = p.vec_b AND b.idx = a.idx
-        GROUP BY p.vec_a, p.vec_b
+        JOIN embeddings ea ON ea.vec_id = p.vec_a
+        JOIN embeddings eb ON eb.vec_id = p.vec_b
     )
     SELECT * FROM (
         SELECT d.vec_a, d.vec_b,
@@ -456,11 +519,17 @@ def _signs_sql(bands: list[list[list[float]]]) -> str:
     """,
     description="Embedding near-dup via 2-band random-hyperplane LSH "
     "(deterministic LCG planes shared with the oracle) + exact cosine "
-    "verify at threshold 0.4",
+    "verify at threshold 0.4. Bits per band scale with the corpus — "
+    "k = clamp(4, 8, ceil(log2(n/125))) pins expected bucket "
+    "occupancy so candidates grow ~linearly with n; a fixed-k banding "
+    "grows them quadratically (measured: the 4-bit sf1 oracle ran "
+    ">25 min; adaptive 8-bit runs in minutes on both engines)",
     tags=("dedup", "similarity"),
 )
 def q37(spark: SparkSession, sf: str) -> DataFrame:
-    return cosine_near_dups(t(spark, sf, "embeddings"), PLANE_BANDS, threshold=0.4)
+    emb = t(spark, sf, "embeddings")
+    bands = adaptive_plane_bands(emb.count())
+    return cosine_near_dups(emb, bands, threshold=0.4)
 
 
 # --------------------------------------------------------------------- q38

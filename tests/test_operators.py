@@ -785,3 +785,33 @@ class TestCorrelationMatrix:
         assert n == {199}  # listwise null drop: every pair sees the same n
         got = {(r["col_a"], r["col_b"]): r["corr"] for r in rows}
         assert abs(got[("a", "b")]) < 0.2
+
+
+def test_hyperplanes_are_not_mutually_aligned():
+    """Regression pin for the LCG-lattice bug: stride-sampling a raw
+    LCG produced hyperplanes with pairwise |cos| ~0.74 — sixteen
+    nearly-parallel planes whose correlated sign bits collapsed ~20%
+    of a corpus into one LSH bucket (quadratic candidate blowup that
+    more bits could not split). Well-mixed planes sit near the
+    1/sqrt(dim) a random basis gives."""
+    import math
+
+    from etl_pipelines_spark.llm.similarity import lcg_hyperplanes
+
+    planes = lcg_hyperplanes(16, 64, seed=42)
+    norms = [math.sqrt(sum(x * x for x in p)) for p in planes]
+    worst = 0.0
+    for i in range(len(planes)):
+        for j in range(i + 1, len(planes)):
+            dot = sum(a * b for a, b in zip(planes[i], planes[j]))
+            worst = max(worst, abs(dot) / (norms[i] * norms[j]))
+    assert worst < 0.5, f"planes nearly parallel: max |cos| = {worst:.3f}"
+
+
+def test_adaptive_plane_bits_occupancy_law():
+    from etl_pipelines_spark.queries.llmops import adaptive_plane_bits
+
+    assert adaptive_plane_bits(0) == 4
+    assert adaptive_plane_bits(2000) == 4     # sf0.01/sf0.1 corpus
+    assert adaptive_plane_bits(20000) == 8    # sf1 corpus
+    assert adaptive_plane_bits(10**9) == 8    # clamped at the pool
