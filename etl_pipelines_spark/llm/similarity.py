@@ -275,6 +275,42 @@ def cosine_near_dups(
 # float(S) / SCALE / n in both engines.
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin the frame across the cluster's parallelism when it
+    arrives narrower (a small parquet lands as ONE input split, which
+    would serialize every Arrow-batched distance computation onto one
+    core — measured 3-4x on the sf1 corpus). Wide inputs pass through
+    untouched: at real scale the scan already carries enough splits
+    and a blind repartition would be a full shuffle for nothing."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+# row-chunk for the batch x k x dim distance tensor inside the Arrow
+# UDFs: bounds peak temp memory at CHUNK*k*dim doubles (~16 MB at
+# k=128, dim=64) instead of arrow_batch*k*dim (~650 MB), independent
+# of the Arrow batch size the session negotiated
+_DIST_CHUNK = 256
+
+
+def _exact_sq_dists(A, C):
+    """floor-scaled int64 squared-L2 of every row of A against every
+    centroid row of C, row-chunked; exact in any order/engine."""
+    import numpy as np
+
+    out = np.empty((A.shape[0], C.shape[0]), dtype="int64")
+    for lo in range(0, A.shape[0], _DIST_CHUNK):
+        blk = A[lo : lo + _DIST_CHUNK]
+        out[lo : lo + blk.shape[0]] = (
+            np.floor((blk[:, None, :] - C[None, :, :]) ** 2 * SCALE)
+            .astype("int64")
+            .sum(axis=2)
+        )
+    return out
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     k: int = 8,
@@ -286,6 +322,7 @@ def kmeans_centroids(
     """k centroid vectors after `n_iter` Lloyd's rounds. When the frame
     holds fewer than k rows, k clamps to the row count (each point its
     own centroid); an empty frame is a ValueError."""
+    embeddings = _spread(embeddings)
     init = (
         embeddings.select(id_col, vec_col)
         .orderBy(
@@ -354,11 +391,7 @@ def assign_clusters(
         if len(v) == 0:
             return pd.Series([], dtype="int32")
         A = np.vstack(v.to_numpy()).astype("float64")
-        d = (
-            np.floor((A[:, None, :] - C[None, :, :]) ** 2 * SCALE)
-            .astype("int64")
-            .sum(axis=2)
-        )
+        d = _exact_sq_dists(A, C)
         return pd.Series(np.argmin(d, axis=1).astype("int32"))
 
     return embeddings.withColumn(out, nearest(F.col(vec_col)))
@@ -387,11 +420,7 @@ def nearest_clusters(
         if len(v) == 0:
             return pd.Series([], dtype=object)
         A = np.vstack(v.to_numpy()).astype("float64")
-        d = (
-            np.floor((A[:, None, :] - C[None, :, :]) ** 2 * SCALE)
-            .astype("int64")
-            .sum(axis=2)
-        )
+        d = _exact_sq_dists(A, C)
         order = np.argsort(d, axis=1, kind="stable")[:, :nprobe].astype("int32")
         return pd.Series(list(order))
 
@@ -417,7 +446,7 @@ def ivf_topk(
     cell id becomes the table's physical partition/cluster key, so a
     query probes nprobe partitions instead of the corpus. Returns
     (query_id, neighbor_id, rank, cosine)."""
-    bucketed = assign_clusters(embeddings, centroids, vec_col=vec_col, out="bucket")
+    bucketed = assign_clusters(_spread(embeddings), centroids, vec_col=vec_col, out="bucket")
     nrm = _norm_pandas()
     q = (
         nearest_clusters(
@@ -478,7 +507,7 @@ def semantic_dedup(
 
     nrm = _norm_pandas()
     proj = (
-        assign_clusters(embeddings, centroids, vec_col=vec_col, out="cluster")
+        assign_clusters(_spread(embeddings), centroids, vec_col=vec_col, out="cluster")
         .select(
             id_col,
             F.col("cluster").cast("long").alias("cluster"),

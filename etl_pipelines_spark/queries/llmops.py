@@ -538,21 +538,40 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
 # same codebook by unrolling the Lloyd's rounds as CTEs — possible
 # because kmeans_centroids is cross-engine exact (md5 init, floor-
 # scaled BIGINT distance/mean sums, identical IEEE division sequence).
-KM_K = 4
+#
+# k is NOT fixed: a fixed codebook makes |cell| grow linearly with the
+# corpus, so SemDeDup's within-cell pairs grow QUADRATICALLY (measured:
+# k=4 at sf1 put q96 at ~140 s vs ~3 s at sf0.1). k = ceil(n / 250)
+# clamped to [4, 128] pins expected cell occupancy at ~250 vectors, so
+# candidates grow ~linearly with n. Integer ceil on both engines
+# ((n + 249) // 250 — no float division) keeps the choice bit-equal.
+KM_MIN_K = 4
+KM_MAX_K = 128
+KM_CELL_TARGET = 250
 KM_ITER = 2
 KM_SEED = 42
 KM_NPROBE = 2
 
 
-def _kmeans_cte_body(k: int, n_iter: int, seed: int) -> str:
+def adaptive_km_k(n: int) -> int:
+    """Codebook size for a corpus of n vectors — the SQL twin is the
+    `kk` CTE in `_kmeans_cte_body`; both must yield the same k for the
+    cross-engine k-means replay to stay bit-exact."""
+    if n <= 0:
+        return KM_MIN_K
+    return max(KM_MIN_K, min(KM_MAX_K, -(-n // KM_CELL_TARGET)))
+
+
+def _kmeans_cte_body(n_iter: int, seed: int) -> str:
     """Shared unrolled cross-engine k-means replay (the CTE prefix both
-    the IVF oracle q38 and the SemDeDup oracle q96 build on): cents0 =
-    the k vectors with the smallest md5('{seed}|'||id); each round is
-    exact-BIGINT argmin assignment (ties -> lowest cluster) then
-    floor-scaled means with empty clusters keeping their previous
-    centroid. Ends with dist{n_iter+1} (every vector's distance to the
-    final centroids), `buckets` (the final cell assignment), and
-    `norms`."""
+    the IVF oracle q38 and the SemDeDup oracle q96 build on): k from
+    the corpus-adaptive occupancy law (`kk`, the SQL twin of
+    adaptive_km_k); cents0 = the k vectors with the smallest
+    md5('{seed}|'||id); each round is exact-BIGINT argmin assignment
+    (ties -> lowest cluster) then floor-scaled means with empty
+    clusters keeping their previous centroid. Ends with dist{n_iter+1}
+    (every vector's distance to the final centroids), `buckets` (the
+    final cell assignment), and `norms`."""
     S = "1000000000000.0"
     rounds = []
     for i in range(1, n_iter + 1):
@@ -581,7 +600,13 @@ def _kmeans_cte_body(k: int, n_iter: int, seed: int) -> str:
         WHERE p.cluster NOT IN (SELECT cluster FROM new{i})
     )""")
     f = n_iter + 1
-    return f"""comps AS (
+    return f"""kk AS (
+        SELECT GREATEST({KM_MIN_K}, LEAST({KM_MAX_K},
+                   CAST((count(*) + {KM_CELL_TARGET - 1}) // {KM_CELL_TARGET}
+                        AS INT))) AS k
+        FROM embeddings
+    ),
+    comps AS (
         SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS val,
                generate_subscripts(embedding, 1) AS idx
         FROM embeddings
@@ -591,7 +616,7 @@ def _kmeans_cte_body(k: int, n_iter: int, seed: int) -> str:
             ORDER BY MD5(CONCAT('{seed}|', CAST(vec_id AS VARCHAR))), vec_id) - 1
             AS cluster
         FROM embeddings
-        QUALIFY cluster < {k}
+        QUALIFY cluster < (SELECT k FROM kk)
     ),
     cents0 AS (
         SELECT s.cluster, c.idx, c.val AS comp
@@ -616,7 +641,7 @@ def _kmeans_cte_body(k: int, n_iter: int, seed: int) -> str:
 
 
 def _kmeans_ivf_oracle(
-    k: int, n_iter: int, seed: int, n_queries: int, topk: int, nprobe: int
+    n_iter: int, seed: int, n_queries: int, topk: int, nprobe: int
 ) -> str:
     """IVF rerank over the shared k-means replay: the final assignment
     under cents{n_iter} is the cell each query probes (nprobe nearest
@@ -624,7 +649,7 @@ def _kmeans_ivf_oracle(
     S = "1000000000000.0"
     f = n_iter + 1
     return f"""
-    WITH {_kmeans_cte_body(k, n_iter, seed)},
+    WITH {_kmeans_cte_body(n_iter, seed)},
     probes AS (
         -- multi-probe query side: each query's {nprobe} nearest cells
         SELECT vec_id, cluster FROM dist{f}
@@ -659,9 +684,7 @@ def _kmeans_ivf_oracle(
 
 @register(
     "q38_ivf_bucketed_ann",
-    _kmeans_ivf_oracle(
-        KM_K, KM_ITER, KM_SEED, n_queries=20, topk=5, nprobe=KM_NPROBE
-    ),
+    _kmeans_ivf_oracle(KM_ITER, KM_SEED, n_queries=20, topk=5, nprobe=KM_NPROBE),
     description="IVF ANN with a TRAINED k-means coarse quantizer "
     "(llm/similarity.py kmeans_centroids, Lloyd's as DataFrame algebra): "
     "the codebook partitions the corpus into nearest-centroid cells and "
@@ -681,7 +704,10 @@ def q38(spark: SparkSession, sf: str) -> DataFrame:
     # path, not a retrain. Training stays a pure deterministic
     # function of the data — the oracle recomputes it from scratch.
     cents = _CODEBOOKS.get_or_build(
-        sf, lambda: kmeans_centroids(emb, k=KM_K, n_iter=KM_ITER, seed=KM_SEED)
+        sf,
+        lambda: kmeans_centroids(
+            emb, k=adaptive_km_k(emb.count()), n_iter=KM_ITER, seed=KM_SEED
+        ),
     )
     return ivf_topk(emb, cents, k=5, n_queries=20, nprobe=KM_NPROBE)
 
@@ -692,13 +718,13 @@ _CODEBOOKS = FingerprintCache("embeddings")
 
 
 # --------------------------------------------------------------------- q96
-def _semdedup_oracle(k: int, n_iter: int, seed: int, threshold: float) -> str:
+def _semdedup_oracle(n_iter: int, seed: int, threshold: float) -> str:
     """SemDeDup over the shared k-means replay: within-cell (a < b)
     pairs, exact cosine, drop any vector with a lower-id neighbor at
     cosine >= threshold."""
     S = "1000000000000.0"
     return f"""
-    WITH {_kmeans_cte_body(k, n_iter, seed)},
+    WITH {_kmeans_cte_body(n_iter, seed)},
     cands AS (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM buckets a
@@ -728,7 +754,7 @@ def _semdedup_oracle(k: int, n_iter: int, seed: int, threshold: float) -> str:
 
 @register(
     "q96_semantic_dedup",
-    _semdedup_oracle(KM_K, KM_ITER, KM_SEED, threshold=0.3),
+    _semdedup_oracle(KM_ITER, KM_SEED, threshold=0.3),
     description="SemDeDup semantic near-dup removal (Abbas et al. "
     "2023, llm/similarity.py semantic_dedup): vectors compare only "
     "INSIDE their trained k-means cell — candidates are "
@@ -743,7 +769,10 @@ def q96(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = t(spark, sf, "embeddings")
     cents = _CODEBOOKS.get_or_build(
-        sf, lambda: kmeans_centroids(emb, k=KM_K, n_iter=KM_ITER, seed=KM_SEED)
+        sf,
+        lambda: kmeans_centroids(
+            emb, k=adaptive_km_k(emb.count()), n_iter=KM_ITER, seed=KM_SEED
+        ),
     )
     return semantic_dedup(emb, cents, threshold=0.3)
 
