@@ -152,40 +152,56 @@ def parse_call_url(col: Column | str) -> Column:
       back to 'www.coingecko.com' + 2 (the reference's fix for
       locale-prefixed urls), chain = NULL.
     """
-    url = url_clean(col)
-    gt = F.struct(
-        url_segment_near(url, "pools", -1).alias("chain"),
-        url_segment_near(url, "pools", 1).alias("token_ref"),
-    )
-    ds = F.struct(
-        url_segment_near(url, "dexscreener.com", 1).alias("chain"),
-        url_segment_near(url, "dexscreener.com", 2).alias("token_ref"),
-    )
-    dt = F.struct(
-        url_segment_near(url, "pair-explorer", -1).alias("chain"),
-        url_segment_near(url, "pair-explorer", 1).alias("token_ref"),
-    )
-    cg = F.struct(
-        F.lit(None).cast("string").alias("chain"),
-        F.coalesce(
-            url_segment_near(url, "coins", 1),
-            url_segment_near(url, "www.coingecko.com", 2),
-        ).alias("token_ref"),
-    )
-    other = F.struct(
-        F.lit(None).cast("string").alias("chain"),
-        F.lit(None).cast("string").alias("token_ref"),
-    )
-    branch = (
-        F.when(url.contains("geckoterminal"), F.struct(F.lit("geckoterminal").alias("source"), gt.alias("p")))
-        .when(url.contains("dexscreener"), F.struct(F.lit("dexscreener").alias("source"), ds.alias("p")))
-        .when(url.contains("dextools"), F.struct(F.lit("dextools").alias("source"), dt.alias("p")))
-        .when(url.contains("coingecko"), F.struct(F.lit("coingecko").alias("source"), cg.alias("p")))
-        .otherwise(F.struct(F.lit("other").alias("source"), other.alias("p")))
-    )
-    return F.struct(
-        url.alias("url"),
-        branch["source"].alias("source"),
-        branch["p"]["chain"].alias("chain"),
-        branch["p"]["token_ref"].alias("token_ref"),
+    # Column expressions have no let-binding, so a naive tree re-inlines
+    # the cleaned url (two regexes over the caller's expression) into
+    # every segment lookup and the '/'-split into every array_position
+    # — ~300 KB of generated code per row batch, past the JVM's JIT
+    # method limit, so the whole projection runs interpreted (measured
+    # ~9x on a 2M-row parse). transform() over a 1-element array IS a
+    # let: the lambda variable evaluates once per row and every
+    # reference is a cheap slot read, keeping codegen small and JITed.
+    def seg(parts: Column, marker: str, offset: int) -> Column:
+        pos = F.array_position(parts, marker)
+        at = pos + F.lit(offset)
+        return F.when(
+            (pos > 0) & (at >= 1) & (at <= F.size(parts)),
+            F.try_element_at(parts, at.cast("int")),
+        )
+
+    null_s = F.lit(None).cast("string")
+
+    def parsed(u: Column, parts: Column) -> Column:
+        def row(source: Column, chain: Column, token_ref: Column) -> Column:
+            return F.struct(
+                u.alias("url"),
+                source.alias("source"),
+                chain.alias("chain"),
+                token_ref.alias("token_ref"),
+            )
+
+        return (
+            F.when(u.contains("geckoterminal"), row(
+                F.lit("geckoterminal"), seg(parts, "pools", -1), seg(parts, "pools", 1)))
+            .when(u.contains("dexscreener"), row(
+                F.lit("dexscreener"), seg(parts, "dexscreener.com", 1),
+                seg(parts, "dexscreener.com", 2)))
+            .when(u.contains("dextools"), row(
+                F.lit("dextools"), seg(parts, "pair-explorer", -1),
+                seg(parts, "pair-explorer", 1)))
+            .when(u.contains("coingecko"), row(
+                F.lit("coingecko"), null_s,
+                F.coalesce(seg(parts, "coins", 1),
+                           seg(parts, "www.coingecko.com", 2))))
+            .otherwise(row(F.lit("other"), null_s, null_s))
+        )
+
+    return F.element_at(
+        F.transform(
+            F.array(url_clean(col)),
+            lambda u: F.element_at(
+                F.transform(F.array(F.split(u, "/")), lambda parts: parsed(u, parts)),
+                1,
+            ),
+        ),
+        1,
     )

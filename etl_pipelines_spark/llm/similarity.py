@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etl_pipelines_spark.operators.partitioning import spread_narrow as _spread
+
 # Quantization factor for cross-engine-exact accumulation: FLOOR(x * S)
 # is bit-identical on identical doubles and the long sums are exact in
 # any order (64-dim * |x|<1e3 stays far below 2^63).
@@ -273,19 +275,6 @@ def cosine_near_dups(
 # (exact in any fold order), ties in argmin break toward the lowest
 # cluster index, and each mean runs the identical IEEE op sequence
 # float(S) / SCALE / n in both engines.
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin the frame across the cluster's parallelism when it
-    arrives narrower (a small parquet lands as ONE input split, which
-    would serialize every Arrow-batched distance computation onto one
-    core — measured 3-4x on the sf1 corpus). Wide inputs pass through
-    untouched: at real scale the scan already carries enough splits
-    and a blind repartition would be a full shuffle for nothing."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
 
 
 # row-chunk for the batch x k x dim distance tensor inside the Arrow

@@ -50,6 +50,12 @@ def _align(
     return df.select(*cols)
 
 
+# driver-entry name -> internal member query names; introspection for
+# tools (ratio_table charges a combo against the SUM of its members'
+# oracle timings) and the CATALOG generator
+COMBO_MEMBERS: dict[str, list[str]] = {}
+
+
 def _combo(
     name: str,
     description: str,
@@ -65,6 +71,7 @@ def _combo(
       via expr(), against the member's Spark output (the expressions
       used here are column refs or CAST(col AS type), valid in both).
     """
+    COMBO_MEMBERS[name] = [qname for _, qname, _ in members]
     specs = [(tag, QUERIES[qname], mapping) for tag, qname, mapping in members]
 
     def spark_fn(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -58,18 +58,12 @@ def main() -> None:
         )
     )
     if len(sys.argv) > 1:
-        spark_q = json.loads(open(sys.argv[1]).read())["queries"]
-        ratios = sorted(
-            (
-                (round(spark_q[k] / max(v, 1e-9), 2), k, spark_q[k], v)
-                for k, v in timings.items()
-                if k in spark_q
-            ),
-            reverse=True,
+        print(
+            "per-entry ratios: python tools/ratio_table.py "
+            f"{sys.argv[1]} <this output> (combo entries are charged "
+            "the SUM of their members' oracle timings)",
+            file=sys.stderr,
         )
-        for r, k, s, d in ratios:
-            flag = "  <-- over 2x" if r > 2 and s > 0.5 else ""
-            print(f"{k:38s} spark={s:7.3f} oracle={d:7.3f} ratio={r:6.1f}{flag}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -4,36 +4,58 @@ per-entry spark/oracle ratio table (markdown), the SCALE.md scale-proof
 artifact.
 
     python tools/ratio_table.py BENCH_sf1.json ORACLE_sf1.json
+
+A driver entry can be a COMBO (UNION ALL of several internal member
+queries); its fair denominator is the SUM of its members' oracle
+timings, so the combo membership is read from the registry instead of
+prefix-matching (prefix-matching charges a 6-member suite against one
+member's oracle and overstates the ratio).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def entry_members() -> dict[str, list[str]]:
+    from etl_pipelines_spark.queries import combos
+
+    out = {name: [name] for name in combos._STANDALONE}
+    for name, members in combos.COMBO_MEMBERS.items():
+        out[name] = list(members)
+    return out
 
 
 def main() -> None:
     bench = json.load(open(sys.argv[1]))
     oracle = json.load(open(sys.argv[2]))
     bq = bench["queries"]
-    # oracle keys are full names; bench keys are qNN prefixes
-    oq: dict[str, float] = {}
-    for name, sec in oracle["queries"].items():
-        oq[name.split("_")[0]] = sec
+    oq = dict(oracle["queries"].items())
+    members = entry_members()
+    long_name = {n.split("_")[0]: n for n in members}
     rows = []
     for q, s in sorted(bq.items()):
-        o = oq.get(q)
-        ratio = (s / o) if o and o > 0 else None
-        rows.append((q, s, o, ratio))
-    print("| entry | spark s | oracle s | ratio |")
+        mlist = members.get(long_name.get(q, q), [])
+        osum = sum(oq[m] for m in mlist if m in oq)
+        missing = [m for m in mlist if m not in oq]
+        ratio = (s / osum) if osum > 0 else None
+        rows.append((q, s, osum if osum > 0 else None, ratio, missing))
+    print("| entry | spark s | oracle s (member sum) | ratio |")
     print("|---|---|---|---|")
     over2 = []
-    for q, s, o, r in rows:
+    for q, s, o, r, missing in rows:
         rs = f"{r:.2f}x" if r is not None else "—"
-        print(f"| {q} | {s:.2f} | {o if o is not None else '—'} | {rs} |")
+        os_ = f"{o:.2f}" if o is not None else "—"
+        note = f" ({len(missing)} member(s) rows-only)" if missing else ""
+        print(f"| {q} | {s:.2f} | {os_}{note} | {rs} |")
         if r is not None and r > 2.0:
             over2.append((q, r))
-    ts, to = sum(b for _, b, _, _ in rows), sum(o for _, _, o, _ in rows if o)
+    ts = sum(b for _, b, _, _, _ in rows)
+    to = sum(o for _, _, o, _, _ in rows if o)
     print(f"| **total** | **{ts:.1f}** | **{to:.1f}** | **{ts / to:.2f}x** |")
     print()
     if over2:
