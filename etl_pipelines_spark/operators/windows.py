@@ -72,6 +72,51 @@ def forward_fill(
     return df
 
 
+def global_running_sum(
+    df: DataFrame,
+    order: Sequence[str],
+    value: Column,
+    out: str = "running_total",
+) -> DataFrame:
+    """Running sum over a GLOBAL total order without the single-
+    partition window (W3; reference: batch sizing
+    retrieve_dune_transfer_data.py:194,241) — the distributed two-pass
+    prefix sum:
+
+    1. range-partition on the order columns, so partition p holds a
+       contiguous slice of the total order;
+    2. partition-local cumulative sum (one window, no cross-partition
+       data movement);
+    3. per-partition totals -> exclusive prefix offsets (one tiny
+       frame, one row per partition) broadcast back and added.
+
+    EXACT only for order-independent sums — DECIMAL and integer
+    values, which is why the caller keeps the decimal cast on the
+    value column. Float sums would drift with the fold regrouping;
+    keep those on the single-partition form and bound the input.
+    Both consumers of the range exchange reuse it (ReusedExchange),
+    so the input shuffles once. `order` must be a total order
+    (include a tiebreak key) or rows that compare equal could land
+    in either partition with an ambiguous running value."""
+    ranged = df.repartitionByRange(*[F.col(c) for c in order]).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = ranged.withColumn("_local", F.sum(value).over(w_local))
+    sizes = ranged.groupBy("_pid").agg(F.sum(value).alias("_tot"))
+    w_prefix = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    prefixes = sizes.select(
+        "_pid", F.coalesce(F.sum("_tot").over(w_prefix), F.lit(0)).alias("_before")
+    )
+    return (
+        local.join(F.broadcast(prefixes), "_pid")
+        .withColumn(out, F.col("_local") + F.col("_before"))
+        .drop("_pid", "_local", "_before")
+    )
+
+
 def global_row_number(df: DataFrame, order: Sequence[str | Column], out: str) -> DataFrame:
     """Global-order row_number (W4; reference: orchestrator batch
     assignment core_coin_wallet_profits_orchestrator.py:189-220).

@@ -517,23 +517,25 @@ def q24(spark: SparkSession, sf: str) -> DataFrame:
     QUALIFY running_total <= 1000000
     """,
     description="W3 global-order running total + band filter (reference "
-    "batch sizing retrieve_dune_transfer_data.py:194,241). Single-partition "
-    "window — bounded input by construction, documented skew",
+    "batch sizing retrieve_dune_transfer_data.py:194,241). Distributed "
+    "two-pass prefix sum (range partition -> local cumsum -> broadcast "
+    "partition offsets) — exact because the DECIMAL sum is "
+    "order-independent; no single-partition window at any input size",
     tags=("window",),
 )
 def q25(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.operators.windows import global_running_sum
+
     o = t(spark, sf, "orders")
-    w = (
-        Window.orderBy("o_totalprice", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     return (
-        o.select(
+        global_running_sum(
+            o.select("o_orderkey", "o_totalprice"),
+            order=["o_totalprice", "o_orderkey"],
+            value=F.col("o_totalprice").cast("decimal(18,2)"),
+        )
+        .select(
             "o_orderkey",
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .over(w)
-            .cast("double")
-            .alias("running_total"),
+            F.col("running_total").cast("double").alias("running_total"),
         )
         .filter(F.col("running_total") <= 1000000)
     )
