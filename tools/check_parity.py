@@ -105,7 +105,14 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {tbl} AS SELECT * FROM '{SF_DIR}/{tbl}.parquet'"
         )
-    spark = get_spark("parity-check", shuffle_partitions=8)
+    # verification collects FULL results driver-side by design; at the
+    # sf1 scale corpus some entries return millions of rows, past the
+    # 1g default result cap (a harness limit, not a query property)
+    spark = get_spark(
+        "parity-check",
+        shuffle_partitions=8,
+        extra_conf={"spark.driver.maxResultSize": "6g"},
+    )
     failures = []
     for name, spec in sorted(selected.items()):
         t0 = time.time()
