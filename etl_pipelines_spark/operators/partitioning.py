@@ -20,8 +20,16 @@ from pyspark.sql import DataFrame
 
 def spread_narrow(df: DataFrame) -> DataFrame:
     """Round-robin `df` across the cluster's default parallelism when
-    it arrives with fewer partitions; identity otherwise."""
+    it reads from fewer files than that; identity otherwise.
+
+    The probe is `inputFiles()` (~1 ms of driver work), NOT
+    `rdd.getNumPartitions()`: materializing the RDD lineage costs
+    ~0.5-1 s of plan translation per fresh DataFrame, which re-taxed
+    every query invocation at any scale (measured as a 2x regression
+    on the multimodal suite at sf0.1). File count under-estimates
+    splits for huge single files, but in that direction the repartition
+    it triggers is cheap relative to the work such inputs carry."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    if len(df.inputFiles()) >= target:
+        return df
+    return df.repartition(target)
