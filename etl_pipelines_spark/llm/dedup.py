@@ -73,6 +73,79 @@ def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     return words.select(id_col, F.explode(F.array_distinct(tris)).alias("shingle"))
 
 
+def duplicate_spans(
+    df: DataFrame,
+    min_len: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring-duplication detection (the suffix-array family:
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499 — their exact-substring pass): report
+    every maximal word-span of a document whose every `min_len`-gram
+    occurs at least twice in the corpus (counting same-doc repeats,
+    like the suffix-array total-occurrence rule). Where near-dup
+    operators ask "are these DOCS similar", this asks "which PASSAGES
+    are copied" — boilerplate, license headers, templated text.
+
+    Spark shape (no suffix array needed for a fixed minimum length):
+    1. every min_len-gram as an md5 digest with its 1-based start
+       position — one explode, shuffled by digest, never by text;
+    2. digests occurring >= 2 times survive (partial-aggregable count);
+    3. surviving positions merge per doc into maximal islands — one
+       window over (doc, start): an island breaks where start jumps
+       past the running max span end + 1.
+
+    Everything is linear in corpus token count; the only shuffles are
+    the digest count and the per-doc window. Returns (id_col,
+    span_start, span_end, n_grams) with word positions 1-based
+    inclusive; n_grams = surviving gram starts inside the span (the
+    island may bridge gaps up to min_len words, so it is not derivable
+    from the endpoints)."""
+    from pyspark.sql import Window
+
+    L = int(min_len)
+    words = df.repartition(id_col).select(
+        id_col, F.split(F.col(text_col), " ").alias("_w")
+    )
+    # sequence(a, b) DESCENDS when b < a — guard the short-doc case
+    grams = words.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"if(size(_w) < {L}, array(),"
+                f" transform(sequence(1, size(_w) - {L} + 1),"
+                f" i -> struct(i AS start,"
+                f" md5(concat_ws(' ', slice(_w, i, {L}))) AS h)))"
+            )
+        ).alias("_g"),
+    ).select(id_col, F.col("_g.start").alias("_start"), F.col("_g.h").alias("_h"))
+    dup_hashes = (
+        grams.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("_h")
+    )
+    dup = grams.join(dup_hashes, "_h", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("_start")
+    prev_end = F.max(F.col("_start") + (L - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = dup.withColumn(
+        "_island",
+        F.sum(
+            F.when(
+                prev_end.isNull() | (F.col("_start") > prev_end + 1), 1
+            ).otherwise(0)
+        ).over(w),
+    )
+    return islands.groupBy(id_col, "_island").agg(
+        F.min("_start").cast("long").alias("span_start"),
+        (F.max("_start") + (L - 1)).cast("long").alias("span_end"),
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+    ).drop("_island")
+
+
 def salted_self_pairs(
     keyed: DataFrame,
     key_cols: list[str],

@@ -203,6 +203,9 @@ _PAIR_MEMBERS = [
     ("prefix", "q74_prefix_filter_pairs",
      {"a": "doc_a", "b": "doc_b", "x": "jaccard"}),    ("fuzzy", "q92_fuzzy_name_match",
      {"s": "name_a || '|' || name_b", "c": "distance"}),
+    ("spans", "q104_duplicate_spans",
+     {"a": "doc_id", "b": "span_start", "c": "span_end",
+      "x": "CAST(n_grams AS DOUBLE)"}),
 ]
 
 
@@ -492,8 +495,10 @@ _COMBOS = [
         " exact-Jaccard verify (q34), SimHash hamming pairs (q36),"
         " hyperplane-LSH cosine near-dups (q37), eval-set"
         " decontamination pairs (q60), exact-recall prefix-filter"
-        " pairs (q74). The trigram members (q33/q34/q74) share ONE"
-        " persisted shingle-array scan inside the suite.",
+        " pairs (q74), fuzzy name matches (q92), and exact"
+        " substring-duplication spans (q104, the suffix-array family)."
+        " The trigram members (q33/q34/q74) share ONE persisted"
+        " shingle-array scan inside the suite.",
         _PAIR_SCHEMA,
         _PAIR_MEMBERS,
         ("dedup", "join"),

@@ -2781,3 +2781,58 @@ def _dsir_selection(docs: DataFrame, words: DataFrame | None = None) -> DataFram
         importance.alias("importance"),
         (importance >= 1.0).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------- q104
+@register(
+    "q104_duplicate_spans",
+    """
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    p AS (
+        SELECT doc_id, words,
+               unnest(range(1, greatest(len(words) - 7, 0) + 1)) AS start
+        FROM w
+    ),
+    g AS (
+        SELECT doc_id, CAST(start AS BIGINT) AS start,
+               md5(array_to_string(words[start:start + 7], ' ')) AS h
+        FROM p
+    ),
+    c AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+    d AS (SELECT g.doc_id, g.start FROM g JOIN c USING (h)),
+    m AS (
+        SELECT doc_id, start,
+               MAX(start + 7) OVER (
+                   PARTITION BY doc_id ORDER BY start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_end
+        FROM d
+    ),
+    i AS (
+        SELECT doc_id, start,
+               SUM(CASE WHEN prev_end IS NULL OR start > prev_end + 1
+                        THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id ORDER BY start) AS island
+        FROM m
+    )
+    SELECT doc_id,
+           CAST(MIN(start) AS BIGINT) AS span_start,
+           CAST(MAX(start) + 7 AS BIGINT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_grams
+    FROM i GROUP BY doc_id, island
+    """,
+    description="Exact substring-duplication spans (suffix-array "
+    "family, Lee et al. 2022 arXiv:2107.06499 exact-substring pass; "
+    "llm/dedup.py duplicate_spans): maximal word-spans whose every "
+    "8-gram occurs >= 2 times corpus-wide — copied PASSAGES "
+    "(boilerplate, templates), not similar docs. Linear shape: one "
+    "gram explode shuffled as md5 digests (text never shuffles), "
+    "partial-aggregable count, per-doc island-merge window",
+    tags=("dedup",),
+)
+def q104(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.llm.dedup import duplicate_spans
+
+    return duplicate_spans(t(spark, sf, "documents"), min_len=8)

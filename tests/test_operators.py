@@ -205,6 +205,50 @@ class TestDedupe:
         assert latest == {"k": "new", "j": "only"}
 
 
+class TestDuplicateSpans:
+    def test_shared_phrase_internal_repeat_and_island_merge(self, spark):
+        from etl_pipelines_spark.llm.dedup import duplicate_spans
+
+        # docs 1 and 2 share words 1-4 exactly; doc 3 repeats its own
+        # 4-gram at positions 1 and 5 (adjacent islands must merge into
+        # one 1-8 span); doc 4 shares nothing; doc 5 is too short for
+        # any 4-gram and must contribute zero rows
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d x y z w"),
+                (2, "q r a b c d s t"),
+                (3, "m n o p m n o p"),
+                (4, "unique words only here today friend"),
+                (5, "t u v"),
+            ],
+            "doc_id long, text string",
+        )
+        got = sorted(
+            (r["doc_id"], r["span_start"], r["span_end"], r["n_grams"])
+            for r in duplicate_spans(df, min_len=4).collect()
+        )
+        assert got == [(1, 1, 4, 1), (2, 3, 6, 1), (3, 1, 8, 2)]
+
+    def test_gap_splits_islands(self, spark):
+        from etl_pipelines_spark.llm.dedup import duplicate_spans
+
+        # the duplicated 3-grams sit at positions 1 and 8 of doc 1
+        # (ends 3 and 10): a gap wider than the span length yields TWO
+        # spans, not one bridged region
+        df = spark.createDataFrame(
+            [
+                (1, "a b c x1 x2 x3 x4 d e f"),
+                (2, "a b c y1 y2 y3 y4 d e f"),
+            ],
+            "doc_id long, text string",
+        )
+        got = sorted(
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in duplicate_spans(df, min_len=3).collect()
+        )
+        assert got == [(1, 1, 3), (1, 8, 10), (2, 1, 3), (2, 8, 10)]
+
+
 class TestWindowHelpers:
     def test_forward_fill_multiple_columns(self, spark):
         df = spark.createDataFrame(
