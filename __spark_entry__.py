@@ -2,14 +2,14 @@
 
 entry(spark): flagship wallet-profits kernel on sf0.001.
 queries(): 50 driver-facing entries — exactly at the gate's 50-entry
-  cap, no headroom — covering the 100-query internal registry: the
+  cap, no headroom — covering the 104-query internal registry: the
   SURVEY.md §2 operator inventory (scans, filters,
   scalar fns, every join type incl. as-of and range, aggs, windows
   incl. RANGE frames and rollup, densify/impute, set ops,
   incremental/streaming, outlier rules, the materialized quality
   audit, external federation, the FULL five-stage wallet-profits
   pipeline) + the LLM-data operators (exact/MinHash-LSH/SimHash/
-  cosine dedup + star-path canonical clustering, ANN, quantization,
+  cosine/substring-span dedup + star-path canonical clustering, ANN, quantization,
   text quality, scrubbing, water-fill mixing, collocations, RAG
   chunking, multimodal features). Related internal queries are
   consolidated into tagged union combos (queries/combos.py) so every
