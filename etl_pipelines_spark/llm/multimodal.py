@@ -310,7 +310,7 @@ def extract_media_features(
                 }
             )
 
-    return _spread(df).select(id_col, payload_col).mapInPandas(run, schema=MEDIA_FEATURE_SCHEMA)
+    return _spread(df.select(id_col, payload_col)).mapInPandas(run, schema=MEDIA_FEATURE_SCHEMA)
 
 
 def extract_image_features(
@@ -347,7 +347,7 @@ def extract_image_features(
                 }
             )
 
-    return _spread(df).select(id_col, payload_col, format_col).mapInPandas(
+    return _spread(df.select(id_col, payload_col, format_col)).mapInPandas(
         run, schema=schema
     )
 
@@ -475,7 +475,7 @@ def synthetic_media_payloads(
                 rows.append({id_col: doc_id, "payload": payload, "media_format": fmt})
             yield pd.DataFrame(rows, columns=[id_col, "payload", "media_format"])
 
-    return _spread(df).select(id_col, size_col).mapInPandas(
+    return _spread(df.select(id_col, size_col)).mapInPandas(
         run, schema=f"{id_col} long, payload binary, media_format string"
     )
 
@@ -521,7 +521,7 @@ def extract_audio_features(
                 )
             yield pd.DataFrame(out)
 
-    return _spread(df).select(id_col, payload_col, format_col).mapInPandas(run, schema=schema)
+    return _spread(df.select(id_col, payload_col, format_col)).mapInPandas(run, schema=schema)
 
 
 def extract_video_features(
@@ -566,7 +566,7 @@ def extract_video_features(
                 ],
             )
 
-    return _spread(df).select(id_col, payload_col, format_col).mapInPandas(run, schema=schema)
+    return _spread(df.select(id_col, payload_col, format_col)).mapInPandas(run, schema=schema)
 
 
 def resize_images(
@@ -642,7 +642,7 @@ def resize_images(
                 ],
             )
 
-    return _spread(df).select(id_col, payload_col, format_col).mapInPandas(run, schema=schema)
+    return _spread(df.select(id_col, payload_col, format_col)).mapInPandas(run, schema=schema)
 
 
 def sample_frames(
@@ -713,4 +713,4 @@ def resize_media(
                 }
             )
 
-    return _spread(df).select(id_col, payload_col).mapInPandas(run, schema=RESIZE_SCHEMA)
+    return _spread(df.select(id_col, payload_col)).mapInPandas(run, schema=RESIZE_SCHEMA)

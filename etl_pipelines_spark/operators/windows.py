@@ -94,26 +94,46 @@ def global_running_sum(
     values, which is why the caller keeps the decimal cast on the
     value column. Float sums would drift with the fold regrouping;
     keep those on the single-partition form and bound the input.
-    Both consumers of the range exchange reuse it (ReusedExchange),
-    so the input shuffles once. `order` must be a total order
-    (include a tiebreak key) or rows that compare equal could land
-    in either partition with an ambiguous running value."""
-    ranged = df.repartitionByRange(*[F.col(c) for c in order]).withColumn(
-        "_pid", F.spark_partition_id()
+    `order` must be a total order (include a tiebreak key) or rows
+    that compare equal could land in either slice with an ambiguous
+    running value.
+
+    The slice id is a PURE FUNCTION of the row (count of driver-
+    collected quantile boundaries below the leading order column),
+    NOT spark_partition_id() over a range exchange: partition ids
+    are only consistent between the window branch and the offsets
+    branch if the optimizer happens to reuse the exchange — range
+    boundaries re-sample per exchange instance, so a missed
+    ReusedExchange would silently mis-assign offsets. Data-derived
+    buckets stay correct under ANY plan. The double cast used for
+    bucketing is monotone w.r.t. the native ordering and boundary
+    ties share a bucket, so buckets are contiguous slices of the
+    total order; nulls land in bucket 0, where ascending NULLS FIRST
+    ordering puts them anyway. approxQuantile is one extra pass
+    collecting <= n_buckets doubles — the legitimate driver scalar
+    of the algorithm (same class as k-means centroids)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    lead = F.col(order[0]).cast("double")
+    qs = df.select(lead.alias("_v")).approxQuantile(
+        "_v", [i / n for i in range(1, n)], 0.001
     )
-    w_local = Window.partitionBy("_pid").orderBy(*order).rowsBetween(
+    bucket = F.lit(0)
+    for b in sorted(set(qs)):
+        bucket = bucket + F.when(lead > F.lit(b), 1).otherwise(0)
+    keyed = df.withColumn("_bkt", bucket)
+    w_local = Window.partitionBy("_bkt").orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    local = ranged.withColumn("_local", F.sum(value).over(w_local))
-    sizes = ranged.groupBy("_pid").agg(F.sum(value).alias("_tot"))
-    w_prefix = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    local = keyed.withColumn("_local", F.sum(value).over(w_local))
+    sizes = keyed.groupBy("_bkt").agg(F.sum(value).alias("_tot"))
+    w_prefix = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
     prefixes = sizes.select(
-        "_pid", F.coalesce(F.sum("_tot").over(w_prefix), F.lit(0)).alias("_before")
+        "_bkt", F.coalesce(F.sum("_tot").over(w_prefix), F.lit(0)).alias("_before")
     )
     return (
-        local.join(F.broadcast(prefixes), "_pid")
+        local.join(F.broadcast(prefixes), "_bkt")
         .withColumn(out, F.col("_local") + F.col("_before"))
-        .drop("_pid", "_local", "_before")
+        .drop("_bkt", "_local", "_before")
     )
 
 

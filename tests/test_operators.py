@@ -4,6 +4,7 @@ window helpers — including empty/edge inputs."""
 
 import datetime as dt
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from etl_pipelines_spark.llm.dedup import (
@@ -203,6 +204,33 @@ class TestDedupe:
         latest = {r["id"]: r["v"] for r in dedupe_keep_latest(df, ["id"], "updated_at").collect()}
         assert first == {"k": "old", "j": "only"}
         assert latest == {"k": "new", "j": "only"}
+
+
+class TestGlobalRunningSum:
+    def test_matches_single_window_reference_with_boundary_ties(self, spark):
+        from decimal import Decimal
+
+        from etl_pipelines_spark.operators.windows import global_running_sum
+
+        # many duplicated leading values: quantile boundaries land ON
+        # ties, exercising the ties-share-a-bucket contiguity argument;
+        # the tiebreak id makes the order total
+        rows = [(i, Decimal(f"{(i * 7) % 13}.50")) for i in range(500)]
+        df = spark.createDataFrame(rows, "id long, v decimal(18,2)")
+        got = {
+            r["id"]: r["rt"]
+            for r in global_running_sum(
+                df, order=["v", "id"], value=F.col("v"), out="rt"
+            ).collect()
+        }
+        w = Window.orderBy("v", "id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        want = {
+            r["id"]: r["rt"]
+            for r in df.withColumn("rt", F.sum("v").over(w)).collect()
+        }
+        assert got == want
 
 
 class TestDuplicateSpans:
