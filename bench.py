@@ -125,12 +125,12 @@ def main() -> None:
                     "refresh row: whole SURVEY-3.1 warehouse rebuild (6 "
                     "tables, date-partitioned writes, 15 declared audits) "
                     "vs tools/bench_refresh_oracle.py DuckDB rebuild = "
-                    "1.5-1.7x at sf0.1, 1.16x at sf1 (floor amortizes). "
+                    "1.5-1.7x at sf0.1, 0.91-1.16x at sf1 (floor amortizes). "
                     "q42,q68 include streaming micro-batch startup floor; "
                     "catalog vs the member-oracle set (tools/"
-                    "bench_oracle.py + tools/ratio_table.py): 62 s vs "
-                    "37 s = 1.7x at sf0.1, 132-145 s vs 391 s = "
-                    "0.34-0.37x at sf1 — Spark's per-query stage floor "
+                    "bench_oracle.py + tools/ratio_table.py): 60-62 s vs "
+                    "33-37 s = 1.6-1.8x at sf0.1, 124-145 s vs 391 s = "
+                    "0.32-0.37x at sf1 — Spark's per-query stage floor "
                     "dominates the small corpus and inverts by 10x "
                     "(round-3 oracle totals were 56-72 s at sf0.1; the "
                     "round-4 adaptive banding/codebook laws, shared "
