@@ -22,6 +22,12 @@ from etl_pipelines_spark.queries import DRIVER_QUERIES  # noqa: E402
 from etl_pipelines_spark.session import get_spark  # noqa: E402
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+# the generated 10x corpus (tools/gen_scaled.py) extends the range to
+# 1000x when present
+_SF1 = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "testdata_scaled", "sf1")
+if os.path.isdir(_SF1):
+    SFS = SFS + [_SF1]
 DEFAULT = ["q22", "q29", "q33", "q64", "q75"]
 
 
@@ -43,10 +49,12 @@ def main() -> None:
                 spark.catalog.clearCache()
             times.append(best)
             print(f"{name} {os.path.basename(sf)}: {best:.2f}s", flush=True)
-        # growth factors across the two 10x steps
-        g1 = times[1] / max(times[0], 1e-9)
-        g2 = times[2] / max(times[1], 1e-9)
-        print(f"{name} growth: 10x data -> {g1:.1f}x, next 10x -> {g2:.1f}x", flush=True)
+        # growth factors across each 10x step
+        steps = ", ".join(
+            f"{times[i + 1] / max(times[i], 1e-9):.1f}x"
+            for i in range(len(times) - 1)
+        )
+        print(f"{name} growth per 10x step: {steps}", flush=True)
 
 
 if __name__ == "__main__":
