@@ -2,7 +2,7 @@
 
 entry(spark): flagship wallet-profits kernel on sf0.001.
 queries(): 50 driver-facing entries — exactly at the gate's 50-entry
-  cap, no headroom — covering the 104-query internal registry: the
+  cap, no headroom — covering the 105-query internal registry: the
   SURVEY.md §2 operator inventory (scans, filters,
   scalar fns, every join type incl. as-of and range, aggs, windows
   incl. RANGE frames and rollup, densify/impute, set ops,

@@ -146,6 +146,41 @@ def duplicate_spans(
     ).drop("_island")
 
 
+def duplication_rate(
+    df: DataFrame,
+    min_len: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplication rate — the fraction of a doc's words
+    sitting inside `duplicate_spans` islands. THE filter signal
+    corpus-quality pipelines actually threshold on ("drop docs that are
+    >X% boilerplate", Lee et al. 2022 §5): span detection finds the
+    copied passages, this rolls them into one number per doc. Islands
+    are disjoint by construction, so covered words sum without overlap
+    correction; docs with no duplicated span report 0.0. Returns
+    (id_col, n_words, dup_words, dup_fraction)."""
+    words = df.select(
+        id_col, F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_words")
+    )
+    covered = (
+        duplicate_spans(df, min_len, text_col, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("dup_words")
+        )
+    )
+    dup = F.coalesce(F.col("dup_words"), F.lit(0)).cast("long")
+    return words.join(covered, id_col, "left").select(
+        id_col,
+        "n_words",
+        dup.alias("dup_words"),
+        (dup / F.col("n_words")).alias("dup_fraction"),
+    )
+
+
 def salted_self_pairs(
     keyed: DataFrame,
     key_cols: list[str],

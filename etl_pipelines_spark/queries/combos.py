@@ -240,6 +240,9 @@ _Q55_MEMBERS = [
     ("dsir", "q102_dsir_selection",
      {"doc": "doc_id", "c1": "target_mass", "c2": "corpus_mass",
       "x": "importance", "s1": "CAST(keep AS STRING)"}),
+    ("duprate", "q105_duplication_rate",
+     {"doc": "doc_id", "c1": "n_words", "c2": "dup_words",
+      "x": "dup_fraction"}),
 ]
 
 
@@ -641,8 +644,9 @@ _COMBOS = [
         "q55_doc_scoring",
         "Per-doc corpus scoring, tagged: Gopher repetition ratio (q55),"
         " deterministic split assignment (q59), CCNet unigram-LM"
-        " likelihood (q62), and DSIR-style importance selection vs"
-        " the 'en' target stratum (q102). The tokenizing members share"
+        " likelihood (q62), DSIR-style importance selection vs"
+        " the 'en' target stratum (q102), and the q104-span"
+        " duplication rate (q105). The tokenizing members share"
         " one lazily-shared pre-split words expression inside the"
         " suite.",
         _Q55_SCHEMA,

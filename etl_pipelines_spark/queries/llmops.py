@@ -2784,10 +2784,9 @@ def _dsir_selection(docs: DataFrame, words: DataFrame | None = None) -> DataFram
 
 
 # --------------------------------------------------------------------- q104
-@register(
-    "q104_duplicate_spans",
-    """
-    WITH w AS (
+# shared CTE chain for the exact-substring family: ends at `i`, one row
+# per surviving 8-gram start tagged with its per-doc island id
+_DUP_SPAN_CTES = """w AS (
         SELECT doc_id, string_split(text, ' ') AS words FROM documents
     ),
     p AS (
@@ -2816,7 +2815,13 @@ def _dsir_selection(docs: DataFrame, words: DataFrame | None = None) -> DataFram
                         THEN 1 ELSE 0 END) OVER (
                    PARTITION BY doc_id ORDER BY start) AS island
         FROM m
-    )
+    )"""
+
+
+@register(
+    "q104_duplicate_spans",
+    f"""
+    WITH {_DUP_SPAN_CTES}
     SELECT doc_id,
            CAST(MIN(start) AS BIGINT) AS span_start,
            CAST(MAX(start) + 7 AS BIGINT) AS span_end,
@@ -2836,3 +2841,36 @@ def q104(spark: SparkSession, sf: str) -> DataFrame:
     from etl_pipelines_spark.llm.dedup import duplicate_spans
 
     return duplicate_spans(t(spark, sf, "documents"), min_len=8)
+
+
+# --------------------------------------------------------------------- q105
+@register(
+    "q105_duplication_rate",
+    f"""
+    WITH {_DUP_SPAN_CTES},
+    spans AS (
+        SELECT doc_id, MIN(start) AS s, MAX(start) + 7 AS e
+        FROM i GROUP BY doc_id, island
+    ),
+    cov AS (SELECT doc_id, SUM(e - s + 1) AS dup_words FROM spans GROUP BY doc_id),
+    n AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM documents
+    )
+    SELECT n.doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(COALESCE(dup_words, 0) AS BIGINT) AS dup_words,
+           CAST(COALESCE(dup_words, 0) / n_words AS DOUBLE) AS dup_fraction
+    FROM n LEFT JOIN cov USING (doc_id)
+    """,
+    description="Per-document duplication rate (llm/dedup.py "
+    "duplication_rate): fraction of a doc's words inside q104's "
+    "duplicate-span islands — the filter signal quality pipelines "
+    "threshold on ('drop docs over X% boilerplate', Lee et al. 2022 "
+    "section 5). Islands are disjoint so coverage sums without overlap "
+    "correction; span-free docs report 0.0",
+    tags=("dedup", "text"),
+)
+def q105(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.llm.dedup import duplication_rate
+
+    return duplication_rate(t(spark, sf, "documents"), min_len=8)

@@ -257,6 +257,26 @@ class TestDuplicateSpans:
         )
         assert got == [(1, 1, 4, 1), (2, 3, 6, 1), (3, 1, 8, 2)]
 
+    def test_duplication_rate_coverage_and_zero_docs(self, spark):
+        from etl_pipelines_spark.llm.dedup import duplication_rate
+
+        # docs 1/2 share their full 4 words (coverage 4/8 = 0.5 for
+        # doc 1, 4/4 = 1.0 for... both are 8 and 4 words); doc 3 has
+        # no duplicated 4-gram and must report 0.0, not drop out
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d x y z w"),
+                (2, "a b c d"),
+                (3, "totally different words here now"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["n_words"], r["dup_words"], r["dup_fraction"])
+            for r in duplication_rate(df, min_len=4).collect()
+        }
+        assert got == {1: (8, 4, 0.5), 2: (4, 4, 1.0), 3: (5, 0, 0.0)}
+
     def test_gap_splits_islands(self, spark):
         from etl_pipelines_spark.llm.dedup import duplicate_spans
 
