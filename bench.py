@@ -16,6 +16,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# the bench harness opts into the big-host heap; the library default
+# stays 8g for small hosts (session.py)
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "12g")
+
 from etl_pipelines_spark.queries import DRIVER_QUERIES as QUERIES  # noqa: E402
 from etl_pipelines_spark.session import get_spark  # noqa: E402
 

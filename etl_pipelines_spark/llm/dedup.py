@@ -105,6 +105,12 @@ def duplicate_spans(
     from pyspark.sql import Window
 
     L = int(min_len)
+    if L < 2:
+        # L is interpolated into slice/sequence exprs below; < 2 yields
+        # degenerate expressions (every single word "duplicated", or
+        # empty slices) rather than meaningful spans — fail loudly,
+        # the kmeans_centroids input-validation convention
+        raise ValueError(f"duplicate_spans: min_len must be >= 2, got {min_len}")
     words = df.repartition(id_col).select(
         id_col, F.split(F.col(text_col), " ").alias("_w")
     )

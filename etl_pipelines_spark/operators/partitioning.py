@@ -30,6 +30,14 @@ def spread_narrow(df: DataFrame) -> DataFrame:
     splits for huge single files, but in that direction the repartition
     it triggers is cheap relative to the work such inputs carry."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if len(df.inputFiles()) >= target:
+    files = df.inputFiles()
+    # No file source (createDataFrame, cached/shuffle-derived frames):
+    # inputFiles() == [] is AMBIGUOUS, not "narrow" — such frames are
+    # either tiny local fixtures or already carry the parallelism of
+    # the shuffle that produced them, and a forced round-robin here
+    # would add a full shuffle for nothing. Pass through.
+    if not files:
+        return df
+    if len(files) >= target:
         return df
     return df.repartition(target)

@@ -112,8 +112,25 @@ def global_running_sum(
     ordering puts them anyway. approxQuantile is one extra pass
     collecting <= n_buckets doubles — the legitimate driver scalar
     of the algorithm (same class as k-means centroids)."""
+    from pyspark.sql.types import DateType, NumericType, TimestampType
+
     n = df.sparkSession.sparkContext.defaultParallelism
-    lead = F.col(order[0]).cast("double")
+    lead_type = df.schema[order[0]].dataType
+    if isinstance(lead_type, NumericType):
+        lead = F.col(order[0]).cast("double")
+    elif isinstance(lead_type, (DateType, TimestampType)):
+        # epoch seconds: monotone w.r.t. temporal ordering
+        lead = F.col(order[0]).cast("timestamp").cast("double")
+    else:
+        # a string '10' < '2' lexicographically but 10.0 > 2.0 as
+        # doubles — the bucket boundaries would not be contiguous
+        # slices of the total order and running totals silently wrong
+        raise TypeError(
+            "global_running_sum: leading order column must be numeric/"
+            f"date/timestamp (got {lead_type.simpleString()} for "
+            f"{order[0]!r}); double-cast bucketing is not monotone for "
+            "other types"
+        )
     qs = df.select(lead.alias("_v")).approxQuantile(
         "_v", [i / n for i in range(1, n)], 0.001
     )

@@ -20,6 +20,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# scale harness opts into the big-host heap (library default is 8g)
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "12g")
+
 import duckdb  # noqa: E402
 
 from etl_pipelines_spark.queries import QUERIES  # noqa: E402

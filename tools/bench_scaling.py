@@ -18,6 +18,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# scale harness opts into the big-host heap (library default is 8g)
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "12g")
+
 from etl_pipelines_spark.queries import DRIVER_QUERIES  # noqa: E402
 from etl_pipelines_spark.session import get_spark  # noqa: E402
 

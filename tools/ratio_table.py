@@ -54,9 +54,24 @@ def main() -> None:
         print(f"| {q} | {s:.2f} | {os_}{note} | {rs} |")
         if r is not None and r > 2.0:
             over2.append((q, r))
-    ts = sum(b for _, b, _, _, _ in rows)
+    # the total ratio is computed over ORACLE-TIMED entries only: an
+    # entry with no oracle timing would contribute spark seconds to the
+    # numerator with nothing in the denominator, skewing the bottom
+    # line upward. Excluded entries are counted in the total row note.
+    ts_timed = sum(b for _, b, o, _, _ in rows if o)
     to = sum(o for _, _, o, _, _ in rows if o)
-    print(f"| **total** | **{ts:.1f}** | **{to:.1f}** | **{ts / to:.2f}x** |")
+    ts_all = sum(b for _, b, _, _, _ in rows)
+    n_excl = sum(1 for _, _, o, _, _ in rows if not o)
+    note = (
+        f" ({n_excl} oracle-less entr{'y' if n_excl == 1 else 'ies'}, "
+        f"{ts_all - ts_timed:.1f} spark s, excluded)"
+        if n_excl
+        else ""
+    )
+    print(
+        f"| **total (oracle-timed)** | **{ts_timed:.1f}**{note} | "
+        f"**{to:.1f}** | **{ts_timed / to:.2f}x** |"
+    )
     print()
     if over2:
         print(f"entries over 2x: {', '.join(f'{q} ({r:.2f}x)' for q, r in over2)}")
