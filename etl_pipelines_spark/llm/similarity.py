@@ -356,34 +356,202 @@ def kmeans_centroids(
     return centroids
 
 
+# ------------------------------------------------------ codebook transport
+#
+# How the k x dim codebook reaches executor tasks. Three tiers, all
+# producing BIT-IDENTICAL assignments (same _exact_sq_dists int64
+# distances, same (d, cluster) tie-break order; pinned in
+# test_operators):
+#
+# - "closure"   (k <= KM_CLOSURE_MAX_K): the matrix rides the pandas-
+#   UDF closure, serialized into every task. Zero extra plan nodes —
+#   right while the codebook is a few MB.
+# - "broadcast" (default past the threshold): the matrix ships ONCE
+#   per executor as a TorrentBroadcast variable — the same transport
+#   Spark's own broadcast joins use — and the closure holds only the
+#   handle. Scales to executor-memory-sized codebooks (10^6+ centroids
+#   at dim 64 ~ 512 MB) with per-task cost independent of k.
+# - "table"     (opt-in, beyond-executor-memory tier): the codebook is
+#   a DataFrame of G-centroid group rows; vectors broadcast-join the
+#   group table, an Arrow UDF emits each group's top-nprobe (d,
+#   cluster) partials, and a groupBy(id) merge keeps the global
+#   bottom-nprobe — exact because the k-wide argmin distributes over a
+#   partition of the clusters (a global best is its own group's best)
+#   and min over (d, cluster) pairs reproduces the flat argmin's
+#   lowest-index tie-break (groups partition clusters in ascending
+#   index order). The merge shuffle carries only (id, d, cluster)
+#   partials — k/G small rows per vector, never the vectors and never
+#   the codebook. Cost shape: each joined row re-carries its group's
+#   centroid array across the Arrow boundary, so keep G modest; this
+#   tier exists for codebooks too big for any single executor, where
+#   the other transports are impossible.
+#
+# adaptive_km_k (queries/llmops.py) grows k with the corpus; at 10^9+
+# vectors the closure transport was the named 100 TB ceiling — the
+# broadcast/table tiers remove it, and KM_MAX_K is raised accordingly.
+
+KM_CLOSURE_MAX_K = 256
+KM_TABLE_GROUP = 64
+
+
+def _nearest_probes_pandas(spark, centroids, nprobe: int, transport: str):
+    """Arrow UDF returning each vector's `nprobe` nearest cluster ids,
+    nearest first — shared by assign (nprobe=1) and multi-probe. The
+    codebook rides the closure or a TorrentBroadcast per `transport`."""
+    import numpy as np
+    import pandas as pd
+
+    if transport == "broadcast":
+        bc = spark.sparkContext.broadcast(
+            np.array(centroids, dtype="float64")
+        )
+
+        def get_C():
+            return bc.value
+
+    else:
+        C_local = np.array(centroids, dtype="float64")
+
+        def get_C():
+            return C_local
+
+    @F.pandas_udf("array<int>")
+    def probes(v):
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        C = get_C()
+        A = np.vstack(v.to_numpy()).astype("float64")
+        d = _exact_sq_dists(A, C)
+        order = np.argsort(d, axis=1, kind="stable")[:, :nprobe].astype("int32")
+        return pd.Series(list(order))
+
+    return probes
+
+
+def _table_probes(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int,
+    vec_col: str,
+    id_col: str,
+    group: int = KM_TABLE_GROUP,
+) -> DataFrame:
+    """(id_col, probes array<int>) via the centroid-TABLE join tier.
+    `id_col` must be unique per row (it keys the partial merge)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    spark = embeddings.sparkSession
+    k = len(centroids)
+    nprobe = min(nprobe, k)
+    rows = [
+        (g0, [list(map(float, c)) for c in centroids[g0 : g0 + group]])
+        for g0 in range(0, k, group)
+    ]
+    groups = spark.createDataFrame(
+        rows,
+        StructType(
+            [
+                StructField("_base", IntegerType(), False),
+                StructField("_cents", ArrayType(ArrayType(DoubleType())), False),
+            ]
+        ),
+    )
+
+    @F.pandas_udf("array<array<long>>")
+    def tops(v, base, cents):
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        out = [None] * len(v)
+        base_np = base.to_numpy()
+        # rows sharing a _base share one centroid chunk: vectorize per
+        # distinct group within the batch
+        for b in np.unique(base_np):
+            idx = np.nonzero(base_np == b)[0]
+            A = np.vstack(v.iloc[idx].to_numpy()).astype("float64")
+            C = np.vstack(
+                [np.asarray(c, dtype="float64") for c in cents.iloc[idx[0]]]
+            )
+            d = _exact_sq_dists(A, C)
+            order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+            for j, row_i in enumerate(idx):
+                out[row_i] = [
+                    [int(d[j, c]), int(b) + int(c)] for c in order[j]
+                ]
+        return pd.Series(out)
+
+    # broadcast cross join: every vector meets every (small) group row;
+    # the per-group partial then shrinks each meeting to nprobe pairs
+    part = (
+        embeddings.select(id_col, vec_col)
+        .crossJoin(F.broadcast(groups))
+        .select(
+            id_col,
+            tops(F.col(vec_col), F.col("_base"), F.col("_cents")).alias("_t"),
+        )
+    )
+    merged = (
+        part.select(id_col, F.explode("_t").alias("_p"))
+        .groupBy(id_col)
+        # lexicographic [d, cluster] ascending == (dist, index) order
+        .agg(F.slice(F.array_sort(F.collect_list("_p")), 1, nprobe).alias("_top"))
+    )
+    return merged.select(
+        id_col,
+        F.transform("_top", lambda x: F.element_at(x, 2).cast("int")).alias(
+            "probes"
+        ),
+    )
+
+
+def _resolve_transport(transport: str, k: int) -> str:
+    if transport == "auto":
+        return "closure" if k <= KM_CLOSURE_MAX_K else "broadcast"
+    if transport not in ("closure", "broadcast", "table"):
+        raise ValueError(f"unknown codebook transport: {transport!r}")
+    return transport
+
+
 def assign_clusters(
     embeddings: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
     out: str = "cluster",
+    id_col: str = "vec_id",
+    transport: str = "auto",
 ) -> DataFrame:
-    """Map-side nearest-centroid assignment, Arrow-batched: squared-L2
-    against each centroid as floor-scaled int64 sums (exact in any
-    order, so identical in every engine/plan); np.argmin ties break
-    toward the lowest cluster index — the same (dist, index) order the
-    SQL oracle's ROW_NUMBER uses. The codebook rides in the UDF closure
-    (k x dim floats — the broadcast degenerate case); one matrix op per
-    batch replaces a k*dim-literal expression tree that blows past
-    JVM codegen limits and falls back to interpreted eval."""
-    import numpy as np
-    import pandas as pd
+    """Nearest-centroid assignment, Arrow-batched: squared-L2 against
+    each centroid as floor-scaled int64 sums (exact in any order, so
+    identical in every engine/plan/transport); ties break toward the
+    lowest cluster index — the same (dist, index) order the SQL
+    oracle's ROW_NUMBER uses. One matrix op per batch replaces a
+    k*dim-literal expression tree that blows past JVM codegen limits.
 
-    C = np.array(centroids, dtype="float64")  # k x dim
-
-    @F.pandas_udf("int")
-    def nearest(v):
-        if len(v) == 0:
-            return pd.Series([], dtype="int32")
-        A = np.vstack(v.to_numpy()).astype("float64")
-        d = _exact_sq_dists(A, C)
-        return pd.Series(np.argmin(d, axis=1).astype("int32"))
-
-    return embeddings.withColumn(out, nearest(F.col(vec_col)))
+    `transport` picks how the codebook reaches tasks (see the
+    transport note above); "auto" = closure for small k, broadcast
+    past KM_CLOSURE_MAX_K. The "table" tier needs `id_col` unique."""
+    transport = _resolve_transport(transport, len(centroids))
+    if transport == "table":
+        probes = _table_probes(embeddings, centroids, 1, vec_col, id_col)
+        assigned = probes.select(
+            id_col, F.element_at("probes", 1).alias(out)
+        )
+        return embeddings.join(assigned, id_col).select(
+            *embeddings.columns, out
+        )
+    probes_udf = _nearest_probes_pandas(
+        embeddings.sparkSession, centroids, 1, transport
+    )
+    return embeddings.withColumn(
+        out, F.element_at(probes_udf(F.col(vec_col)), 1)
+    )
 
 
 def nearest_clusters(
@@ -392,28 +560,27 @@ def nearest_clusters(
     nprobe: int,
     vec_col: str = "embedding",
     out: str = "probes",
+    id_col: str = "vec_id",
+    transport: str = "auto",
 ) -> DataFrame:
     """Array of the `nprobe` nearest cluster indices per vector,
     nearest first — the multi-probe query side of IVF. Same exact
     floor-scaled int64 distances as `assign_clusters`; ties break
     toward the lower cluster index (np.argsort stable over an index-
-    ordered distance matrix == ORDER BY (d, cluster))."""
-    import numpy as np
-    import pandas as pd
-
-    C = np.array(centroids, dtype="float64")
-    nprobe = min(nprobe, len(centroids))
-
-    @F.pandas_udf("array<int>")
-    def probes(v):
-        if len(v) == 0:
-            return pd.Series([], dtype=object)
-        A = np.vstack(v.to_numpy()).astype("float64")
-        d = _exact_sq_dists(A, C)
-        order = np.argsort(d, axis=1, kind="stable")[:, :nprobe].astype("int32")
-        return pd.Series(list(order))
-
-    return embeddings.withColumn(out, probes(F.col(vec_col)))
+    ordered distance matrix == ORDER BY (d, cluster)). `transport` as
+    in `assign_clusters`."""
+    transport = _resolve_transport(transport, len(centroids))
+    if transport == "table":
+        probes = _table_probes(
+            embeddings, centroids, nprobe, vec_col, id_col
+        ).withColumnRenamed("probes", out)
+        return embeddings.join(probes, id_col).select(
+            *embeddings.columns, out
+        )
+    probes_udf = _nearest_probes_pandas(
+        embeddings.sparkSession, centroids, min(nprobe, len(centroids)), transport
+    )
+    return embeddings.withColumn(out, probes_udf(F.col(vec_col)))
 
 
 def ivf_topk(

@@ -542,11 +542,23 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
 # k is NOT fixed: a fixed codebook makes |cell| grow linearly with the
 # corpus, so SemDeDup's within-cell pairs grow QUADRATICALLY (measured:
 # k=4 at sf1 put q96 at ~140 s vs ~3 s at sf0.1). k = ceil(n / 250)
-# clamped to [4, 128] pins expected cell occupancy at ~250 vectors, so
-# candidates grow ~linearly with n. Integer ceil on both engines
-# ((n + 249) // 250 — no float division) keeps the choice bit-equal.
+# clamped to [KM_MIN_K, KM_MAX_K] pins expected cell occupancy at ~250
+# vectors, so candidates grow ~linearly with n. Integer ceil on both
+# engines ((n + 249) // 250 — no float division) keeps the choice
+# bit-equal.
+#
+# KM_MAX_K = 4096 serves corpora to ~10^6 vectors at the occupancy
+# law; past KM_CLOSURE_MAX_K (= 256) the codebook automatically rides
+# a TorrentBroadcast instead of the UDF closure, and past executor
+# memory the "table" transport joins a grouped centroid table
+# (llm/similarity.py, codebook-transport note) — the round-4 closure
+# ceiling is gone, so the clamp is now only an ORACLE-replay bound
+# (the unrolled SQL joins n x dim component rows against k centroids
+# per Lloyd's round; gate corpora stay at k <= 80 where both engines
+# replay in seconds). tools/bench_codebook.py carries the k >= 1000
+# scale point.
 KM_MIN_K = 4
-KM_MAX_K = 128
+KM_MAX_K = 4096
 KM_CELL_TARGET = 250
 KM_ITER = 2
 KM_SEED = 42

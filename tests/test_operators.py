@@ -622,6 +622,109 @@ class TestKmeansCoarseQuantizer:
         assert a == b
 
 
+class TestCodebookTransports:
+    """The three codebook transports (closure / TorrentBroadcast /
+    grouped centroid-table join) must assign bit-identically — the
+    round-4 `weak` was the closure-only transport; the fix is only a
+    fix if the scale tiers reproduce the exact same assignment,
+    including argmin ties (lowest cluster index wins)."""
+
+    def _fixture(self, spark, n=150, dim=5):
+        rows = [
+            (
+                i,
+                [
+                    float(((i * 7 + d * 13) % 29) - 14) / 3.0
+                    for d in range(dim)
+                ],
+            )
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def _centroids(self, k, dim=5):
+        cents = [
+            [float(((c * 11 + d * 3) % 17) - 8) / 2.0 for d in range(dim)]
+            for c in range(k)
+        ]
+        # exact duplicate centroid: forces distance ties, so the
+        # lowest-index tie-break is actually exercised
+        cents[-1] = list(cents[0])
+        return cents
+
+    def test_assign_bit_identical_across_transports(self, spark):
+        from etl_pipelines_spark.llm.similarity import assign_clusters
+
+        df = self._fixture(spark)
+        cents = self._centroids(9)
+        ref = {
+            r["vec_id"]: r["cluster"]
+            for r in assign_clusters(df, cents, transport="closure").collect()
+        }
+        # the duplicate centroid (index 8 == index 0) must never win
+        assert 8 not in set(ref.values())
+        for transport in ("broadcast", "table"):
+            got = {
+                r["vec_id"]: r["cluster"]
+                for r in assign_clusters(
+                    df, cents, transport=transport
+                ).collect()
+            }
+            assert got == ref, transport
+
+    def test_nearest_probes_bit_identical_across_transports(self, spark):
+        from etl_pipelines_spark.llm.similarity import nearest_clusters
+
+        df = self._fixture(spark, n=80)
+        cents = self._centroids(10)
+        ref = {
+            r["vec_id"]: list(r["probes"])
+            for r in nearest_clusters(
+                df, cents, 4, transport="closure"
+            ).collect()
+        }
+        for transport in ("broadcast", "table"):
+            got = {
+                r["vec_id"]: list(r["probes"])
+                for r in nearest_clusters(
+                    df, cents, 4, transport=transport
+                ).collect()
+            }
+            assert got == ref, transport
+
+    def test_table_transport_spans_multiple_groups(self, spark):
+        """k beyond one group row: the per-group partial + merge must
+        still find the global argmin (this is the distributivity the
+        table tier relies on)."""
+        from etl_pipelines_spark.llm import similarity
+        from etl_pipelines_spark.llm.similarity import assign_clusters
+
+        df = self._fixture(spark, n=60)
+        cents = self._centroids(2 * similarity.KM_TABLE_GROUP + 5)
+        ref = assign_clusters(df, cents, transport="closure")
+        got = assign_clusters(df, cents, transport="table")
+        assert {tuple(r) for r in ref.select("vec_id", "cluster").collect()} == {
+            tuple(r) for r in got.select("vec_id", "cluster").collect()
+        }
+
+    def test_auto_switches_past_closure_threshold(self, spark):
+        from etl_pipelines_spark.llm import similarity
+
+        assert similarity._resolve_transport("auto", 8) == "closure"
+        assert (
+            similarity._resolve_transport(
+                "auto", similarity.KM_CLOSURE_MAX_K + 1
+            )
+            == "broadcast"
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            similarity._resolve_transport("bogus", 8)
+
+
 class TestBloomFilter:
     """Portable Bloom filter: build/probe/merge contracts."""
 

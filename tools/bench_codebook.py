@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Codebook-transport scale point: prove the adaptive occupancy law
+keeps within-cell pair counts ~linear in corpus size once KM_MAX_K no
+longer clamps at 128, and that assignment at k >= 1000 runs through
+the TorrentBroadcast transport at sane cost.
+
+    python tools/bench_codebook.py                 # n = 300k and 600k, dim 16
+    python tools/bench_codebook.py --n 300000 --dim 16
+
+Prints ONE JSON line per corpus size:
+  {"n", "k_adaptive", "assign_sec", "pairs_adaptive",
+   "k_clamped128", "assign_sec_128", "pairs_clamped128"}
+
+pairs_* = sum over cells of |cell|^2 — the SemDeDup/IVF candidate
+count. Under the occupancy law (cell ~ 250) it grows ~linearly with n
+(~250 * n); under a 128 clamp it grows quadratically (~n^2 / 128).
+The two JSON lines make the growth rate directly readable: doubling n
+should ~double pairs_adaptive and ~quadruple pairs_clamped128.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# scale harness opts into the big-host heap (library default is 8g)
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "12g")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_pipelines_spark.session import get_spark  # noqa: E402
+
+
+def synth_embeddings(spark, n: int, dim: int):
+    """Deterministic synthetic corpus: dim pseudo-random components in
+    [-1, 1) per id via xxhash64 — no files, reproducible anywhere."""
+    comps = F.expr(
+        f"transform(sequence(0, {dim - 1}), d -> "
+        "cast(pmod(xxhash64(id, d), 100000) as double) / 50000.0 - 1.0)"
+    )
+    return (
+        spark.range(n)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(F.col("id").alias("vec_id"), comps.alias("embedding"))
+    )
+
+
+def measure(spark, n: int, dim: int, n_iter: int) -> dict:
+    from etl_pipelines_spark.llm.similarity import (
+        assign_clusters,
+        kmeans_centroids,
+    )
+    from etl_pipelines_spark.queries.llmops import adaptive_km_k
+
+    emb = synth_embeddings(spark, n, dim).persist()
+    emb.count()
+
+    out = {"n": n, "dim": dim}
+    for label, k in (
+        ("adaptive", adaptive_km_k(n)),
+        ("clamped128", min(128, adaptive_km_k(n))),
+    ):
+        cents = kmeans_centroids(emb, k=k, n_iter=n_iter)
+        t0 = time.time()
+        cells = (
+            assign_clusters(emb, cents)
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum(F.col("c") * F.col("c")).alias("pairs"))
+            .first()
+        )
+        sec = round(time.time() - t0, 2)
+        if label == "adaptive":
+            out["k_adaptive"] = k
+            out["assign_sec"] = sec
+            out["pairs_adaptive"] = int(cells["pairs"])
+        else:
+            out["k_clamped128"] = k
+            out["assign_sec_128"] = sec
+            out["pairs_clamped128"] = int(cells["pairs"])
+    emb.unpersist()
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=None)
+    ap.add_argument("--dim", type=int, default=16)
+    ap.add_argument(
+        "--iters", type=int, default=1,
+        help="Lloyd's rounds for the bench codebook (1: enough to "
+        "spread centroids; the transport cost is what's measured)",
+    )
+    args = ap.parse_args()
+    spark = get_spark("bench-codebook")
+    spark.sparkContext.setLogLevel("ERROR")
+    sizes = [args.n] if args.n else [300_000, 600_000]
+    for n in sizes:
+        print(json.dumps(measure(spark, n, args.dim, args.iters)))
+
+
+if __name__ == "__main__":
+    main()
