@@ -28,10 +28,17 @@ from etl_pipelines_spark.sources.registry import write_partitioned
 class RefreshReport:
     tables: dict[str, int] = field(default_factory=dict)  # rows written
     expectations: list[ExpectationResult] = field(default_factory=list)
+    # incremental runs only: per-table write-path reconciliation
+    # (plans/reconcile.validate_incremental_load report dicts) and the
+    # coin count the increment actually touched
+    reconcile: dict[str, dict] = field(default_factory=dict)
+    affected_coins: int | None = None
 
     @property
     def passed(self) -> bool:
-        return all(r.passed for r in self.expectations)
+        return all(r.passed for r in self.expectations) and all(
+            r["clean"] for r in self.reconcile.values()
+        )
 
 
 def refresh_warehouse(
@@ -55,8 +62,6 @@ def refresh_warehouse(
     schema.yml's authoring surface) — adding a constraint to a curated
     table is a config edit; `expectations_path` points tests or
     sandboxes at an alternate ruleset."""
-    from etl_pipelines_spark.operators.densify import densify_daily, with_days_imputed
-    from etl_pipelines_spark.operators.windows import forward_fill
     from etl_pipelines_spark.queries.timeseries import (
         daily_prices,
         transfers,
@@ -76,9 +81,62 @@ def refresh_warehouse(
         report.expectations.extend(run_expectations(back, name, rules, built))
         return back
 
-    # 0. dimensions (§3.1 steps 2-4 composed): chains with alias
-    # dedupe, coins intake with normalization + data-presence flags,
-    # facts via full-outer metadata coalesce (J7/P10)
+    # 0. dimensions (§3.1 steps 2-4 composed)
+    for name, df in _dim_frames(spark, sf_dir):
+        land(name, df)
+
+    # 1. market data: densify + ffill (D1/D2) over daily prices
+    scope = _scope_fn(coin_limit, since, until)
+
+    # shared by the dense rebuild AND the profits kernel: keys-sized
+    # after the daily aggregation, so one cached copy serves both
+    md = scope(daily_prices(spark, sf_dir)).persist()
+    land("coin_market_data", _dense_market(md))
+
+    # 2. wallet transfers: daily net + running balance (W1/W2)
+    x = scope(transfers(spark, sf_dir))
+    cwt = land("coin_wallet_transfers", _with_balance(x))
+
+    # 3. wallet profits: the flagship kernel (§3.2 in one job), fed
+    # from the LANDED transfers table (the curated lineage: profits
+    # derive from the transfers table users see, not a parallel
+    # re-derivation of the raw scans) and the shared prices frame.
+    # Scope applies to the INPUTS — cumulative metrics accumulate
+    # within the refresh window, consistent with the landed balances.
+    profits = wallet_profits_kernel_from(
+        cwt.select(
+            "coin_id", "wallet_address", "date", "net_transfers", "balance"
+        ),
+        md,
+    )
+    land("coin_wallet_profits", profits)
+    md.unpersist()
+    return report
+
+
+# ------------------------------------------------ shared stage builders
+
+
+def _scope_fn(coin_limit, since, until):
+    def scope(df: DataFrame) -> DataFrame:
+        if coin_limit is not None:
+            df = df.filter(F.col("coin_id") < coin_limit)
+        if since is not None:
+            df = df.filter(F.col("date") >= F.lit(since).cast("date"))
+        if until is not None:
+            df = df.filter(F.col("date") <= F.lit(until).cast("date"))
+        return df
+
+    return scope
+
+
+def _dim_frames(spark: SparkSession, sf_dir: str):
+    """The three dimension tables, in build order: chains with alias
+    dedupe, coins intake with normalization + data-presence flags,
+    facts via full-outer metadata coalesce (J7/P10). Key-grain
+    dimension rebuilds — cheap at any scale, so both the full and the
+    incremental refresh rebuild them whole (the reference's daily dim
+    rebuild discipline)."""
     from etl_pipelines_spark.functions.scalars import deterministic_id
     from etl_pipelines_spark.operators.dedupe import dedupe_keep_first
     from etl_pipelines_spark.sources.registry import load_table
@@ -96,7 +154,6 @@ def refresh_warehouse(
         ["chain"],
         [F.col("chain_id").asc()],  # A6 alias dedupe, keep-first
     )
-    chains = land("chains", chains)
 
     part = load_table(spark, sf_dir, "part")
     li_keys = load_table(spark, sf_dir, "lineitem").select("l_partkey")
@@ -112,7 +169,6 @@ def refresh_warehouse(
         .withColumn("has_market_data", F.col("l_partkey").isNotNull())
         .drop("l_partkey")
     )
-    coins = land("coins", coins)
 
     # facts: source A (part attributes) ⟗ source B (lineitem-derived
     # observations) with COALESCE cascades — core_coin_facts_metadata
@@ -140,21 +196,15 @@ def refresh_warehouse(
             F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
         )
     )
-    land("coin_facts", facts)
+    return [("chains", chains), ("coins", coins), ("coin_facts", facts)]
 
-    # 1. market data: densify + ffill (D1/D2) over daily prices
-    def scope(df):
-        if coin_limit is not None:
-            df = df.filter(F.col("coin_id") < coin_limit)
-        if since is not None:
-            df = df.filter(F.col("date") >= F.lit(since).cast("date"))
-        if until is not None:
-            df = df.filter(F.col("date") <= F.lit(until).cast("date"))
-        return df
 
-    # shared by the dense rebuild AND the profits kernel: keys-sized
-    # after the daily aggregation, so one cached copy serves both
-    md = scope(daily_prices(spark, sf_dir)).persist()
+def _dense_market(md: DataFrame) -> DataFrame:
+    """coin_market_data from a daily-prices frame: densify + ffill
+    (D1/D2) with the days_imputed provenance column."""
+    from etl_pipelines_spark.operators.densify import densify_daily, with_days_imputed
+    from etl_pipelines_spark.operators.windows import forward_fill
+
     dense = forward_fill(
         with_days_imputed(
             densify_daily(md, ["coin_id"], "date"),
@@ -166,33 +216,177 @@ def refresh_warehouse(
         ["date"],
         ["price"],
     )
-    land(
-        "coin_market_data",
-        dense.select("coin_id", "date", "price", "days_imputed"),
-    )
+    return dense.select("coin_id", "date", "price", "days_imputed")
 
-    # 2. wallet transfers: daily net + running balance (W1/W2)
-    x = scope(transfers(spark, sf_dir))
-    balances = x.withColumn(
+
+def _with_balance(x: DataFrame) -> DataFrame:
+    """coin_wallet_transfers from a daily-net frame: the W1/W2 running
+    balance."""
+    return x.withColumn(
         "balance",
         F.sum("net_transfers")
         .over(cumulative_window(["coin_id", "wallet_address"], ["date"]))
         .cast("double"),
     )
-    cwt = land("coin_wallet_transfers", balances)
 
-    # 3. wallet profits: the flagship kernel (§3.2 in one job), fed
-    # from the LANDED transfers table (the curated lineage: profits
-    # derive from the transfers table users see, not a parallel
-    # re-derivation of the raw scans) and the shared prices frame.
-    # Scope applies to the INPUTS — cumulative metrics accumulate
-    # within the refresh window, consistent with the landed balances.
+
+# ------------------------------------------- incremental refresh driver
+
+
+def refresh_warehouse_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    state_dir: str,
+    coin_limit: int | None = None,
+    since: str | None = None,
+    until: str | None = None,
+    expectations_path: str | None = None,
+) -> RefreshReport:
+    """The reference's STEADY-STATE mode as one driver: pull -> merge
+    -> audit -> reconcile, per table in build order. Re-running
+    `workflows/core_tables_all.yaml` lands only new data — high-water-
+    mark pulls (retrieve_dune_transfer_data.py:127-147), date-array
+    diffs (coingecko_market_data.py:138-158) — and this composes the
+    engine's pieces the same way:
+
+    1. PULL   — `incremental_pull` filters each raw daily stream to
+       rows strictly newer than the per-coin high-water marks saved by
+       the previous run (everything, on the first run).
+    2. MERGE  — affected coins (any coin carrying new price or
+       transfer days) have their curated slices RECOMPUTED over their
+       full history and `upsert_table`d into the on-disk tables (merge
+       key = coin_id: replace-the-slice). Recompute-per-key is what
+       makes the cumulative columns (running balance, the profits
+       kernel's cost-basis cumsums) exactly equal a full rebuild — a
+       blind append would freeze history; O(churn x key-history), not
+       O(corpus).
+    3. AUDIT  — the same declarative expectations.yml suites as the
+       full rebuild, on the post-merge tables.
+    4. RECONCILE — `validate_incremental_load` proves each table's
+       landed affected-slice equals the recomputed slice (key diff +
+       order-independent table digest), so a write-path bug fails the
+       run instead of corrupting the warehouse silently.
+
+    Watermark state advances ONLY after the table it covers has been
+    written and reconciled — a failed run replays its pull
+    (at-least-once; the coin-grain merge makes the replay idempotent).
+    Two incremental days == one full rebuild, digest-for-digest,
+    is pinned in test_refresh.py.
+
+    Dimensions (chains/coins/coin_facts) rebuild whole each run —
+    key-grain tables, the reference's daily dim rebuild discipline.
+    """
+    from etl_pipelines_spark.operators.merge import upsert_table
+    from etl_pipelines_spark.plans.reconcile import validate_incremental_load
+    from etl_pipelines_spark.queries.timeseries import (
+        daily_prices,
+        transfers,
+        wallet_profits_kernel_from,
+    )
+    from etl_pipelines_spark.streaming.incremental import (
+        high_water_marks,
+        incremental_pull,
+        save_watermark_state,
+    )
+
+    report = RefreshReport()
+    rules = load_expectations(expectations_path)
+    built: dict[str, DataFrame] = {}
+    scope = _scope_fn(coin_limit, since, until)
+
+    def audit(name: str, back: DataFrame) -> None:
+        report.tables[name] = back.count()
+        built[name] = back
+        report.expectations.extend(run_expectations(back, name, rules, built))
+
+    # dims: full rebuild (see docstring)
+    for name, df in _dim_frames(spark, sf_dir):
+        path = os.path.join(out_dir, name)
+        write_partitioned(df, path)
+        audit(name, spark.read.parquet(path))
+
+    # ---- PULL: per-coin high-water-mark filters on both raw streams
+    md_all = scope(daily_prices(spark, sf_dir))
+    x_all = scope(transfers(spark, sf_dir))
+    md_state = os.path.join(state_dir, "hwm_prices")
+    x_state = os.path.join(state_dir, "hwm_transfers")
+    md_delta = incremental_pull(md_all, spark, md_state, ["coin_id"], "date")
+    x_delta = incremental_pull(x_all, spark, x_state, ["coin_id"], "date")
+
+    # affected = any coin with a new price day OR a new transfer day;
+    # profits depend on both inputs so the union drives all three facts
+    affected = (
+        md_delta.select("coin_id")
+        .unionByName(x_delta.select("coin_id"))
+        .distinct()
+        # coin-count-sized: pin it so the three slice recomputes and
+        # the reconcile probes don't re-run both delta pulls each
+        .localCheckpoint(eager=True)
+    )
+    n_affected = affected.count()
+    report.affected_coins = n_affected
+
+    def touch(df: DataFrame) -> DataFrame:
+        return df.join(F.broadcast(affected), "coin_id")
+
+    def merge_and_check(
+        name: str, slice_df: DataFrame, keys: list[str]
+    ) -> DataFrame:
+        """Upsert the recomputed affected-coin slice (replace-the-
+        slice on coin_id), audit, and reconcile the landed slice
+        against the recomputation."""
+        path = os.path.join(out_dir, name)
+        if os.path.exists(path):
+            upsert_table(
+                spark, path, slice_df, ["coin_id"], partition_cols=("date",)
+            )
+        else:  # first run: the delta IS the corpus
+            write_partitioned(slice_df, path)
+        back = spark.read.parquet(path)
+        audit(name, back)
+        report.reconcile[name] = validate_incremental_load(
+            slice_df, touch(back), keys
+        )
+        return back
+
+    if n_affected == 0:
+        # nothing new anywhere: audit the standing tables and return
+        for name in ("coin_market_data", "coin_wallet_transfers", "coin_wallet_profits"):
+            path = os.path.join(out_dir, name)
+            if os.path.exists(path):
+                audit(name, spark.read.parquet(path))
+        return report
+
+    # ---- MERGE + AUDIT + RECONCILE, per table in build order.
+    # Slices recompute over the affected coins' FULL history (the
+    # cumulative-column requirement); md_aff is shared by the dense
+    # rebuild and the profits kernel exactly like the full refresh.
+    md_aff = touch(md_all).persist()
+    merge_and_check(
+        "coin_market_data", _dense_market(md_aff), ["coin_id", "date"]
+    )
+    cwt_back = merge_and_check(
+        "coin_wallet_transfers",
+        _with_balance(touch(x_all)),
+        ["coin_id", "wallet_address", "date"],
+    )
     profits = wallet_profits_kernel_from(
-        cwt.select(
+        touch(cwt_back).select(
             "coin_id", "wallet_address", "date", "net_transfers", "balance"
         ),
-        md,
+        md_aff,
     )
-    land("coin_wallet_profits", profits)
-    md.unpersist()
+    merge_and_check(
+        "coin_wallet_profits", profits, ["coin_id", "wallet_address", "date"]
+    )
+    md_aff.unpersist()
+
+    # ---- advance watermarks LAST (state reflects only landed work)
+    save_watermark_state(
+        high_water_marks(md_all, ["coin_id"], "date"), md_state
+    )
+    save_watermark_state(
+        high_water_marks(x_all, ["coin_id"], "date"), x_state
+    )
     return report
