@@ -199,15 +199,20 @@ def _dim_frames(spark: SparkSession, sf_dir: str):
     return [("chains", chains), ("coins", coins), ("coin_facts", facts)]
 
 
-def _dense_market(md: DataFrame) -> DataFrame:
+def _dense_market(md: DataFrame, end_date=None) -> DataFrame:
     """coin_market_data from a daily-prices frame: densify + ffill
-    (D1/D2) with the days_imputed provenance column."""
+    (D1/D2) with the days_imputed provenance column. `end_date`
+    overrides the scaffold horizon — the incremental driver MUST pass
+    the true global max date here, because its `md` frame is the
+    affected-coin subset whose own max may trail the corpus max (an
+    affected coin densified only to the subset max would diverge from
+    a full rebuild under uneven per-coin arrival)."""
     from etl_pipelines_spark.operators.densify import densify_daily, with_days_imputed
     from etl_pipelines_spark.operators.windows import forward_fill
 
     dense = forward_fill(
         with_days_imputed(
-            densify_daily(md, ["coin_id"], "date"),
+            densify_daily(md, ["coin_id"], "date", end_date=end_date),
             ["coin_id"],
             presence_col="price",
             date_col="date",
@@ -217,6 +222,53 @@ def _dense_market(md: DataFrame) -> DataFrame:
         ["price"],
     )
     return dense.select("coin_id", "date", "price", "days_imputed")
+
+
+def _horizon_tails(
+    standing: DataFrame, affected: DataFrame, horizon
+) -> DataFrame:
+    """Last standing row per UNAFFECTED coin whose dense series stops
+    short of the new global `horizon` — the coins a full rebuild would
+    extend (ffill to global max) but the affected-slice recompute never
+    touches. Struct-max pulls the whole last row in one agg (no
+    max_by-per-column null hazards)."""
+    return (
+        standing.join(F.broadcast(affected), "coin_id", "left_anti")
+        .groupBy("coin_id")
+        .agg(F.max(F.struct("date", "price", "days_imputed")).alias("_last"))
+        .select(
+            "coin_id",
+            F.col("_last.date").alias("_maxd"),
+            F.col("_last.price").alias("_price"),
+            F.col("_last.days_imputed").alias("_days"),
+        )
+        .filter(F.col("_maxd") < F.lit(horizon))
+    )
+
+
+def _horizon_extension(tails: DataFrame, horizon) -> DataFrame:
+    """Pure-ffill extension rows (standing_max, horizon] for the
+    `_horizon_tails` coins: price carries forward, days_imputed
+    continues the standing imputation streak (a real last row starts a
+    fresh 1,2,... streak — exactly what the full rebuild's
+    gaps-and-islands counter produces). O(trailing coins × horizon
+    advance), no history recompute."""
+    return (
+        tails.withColumn(
+            "date",
+            F.explode(
+                F.sequence(F.date_add("_maxd", 1), F.lit(horizon).cast("date"))
+            ),
+        )
+        .select(
+            "coin_id",
+            "date",
+            F.col("_price").alias("price"),
+            (F.coalesce("_days", F.lit(0)) + F.datediff("date", "_maxd"))
+            .cast("long")
+            .alias("days_imputed"),
+        )
+    )
 
 
 def _with_balance(x: DataFrame) -> DataFrame:
@@ -255,12 +307,18 @@ def refresh_warehouse_incremental(
        the previous run (everything, on the first run).
     2. MERGE  — affected coins (any coin carrying new price or
        transfer days) have their curated slices RECOMPUTED over their
-       full history and `upsert_table`d into the on-disk tables (merge
-       key = coin_id: replace-the-slice). Recompute-per-key is what
-       makes the cumulative columns (running balance, the profits
-       kernel's cost-basis cumsums) exactly equal a full rebuild — a
-       blind append would freeze history; O(churn x key-history), not
-       O(corpus).
+       full history and `upsert_table`d into the on-disk tables
+       (replace-the-slice). Recompute-per-key is what makes the
+       cumulative columns (running balance, the profits kernel's
+       cost-basis cumsums) exactly equal a full rebuild — a blind
+       append would freeze history; O(churn x key-history), not
+       O(corpus). coin_market_data additionally honors the DENSIFY
+       HORIZON: affected coins fill to the true global max date (from
+       the full raw stream, not the affected subset), and unaffected
+       coins whose standing series trail an advanced horizon get pure
+       ffill extension rows — without either, uneven per-coin arrival
+       (the reference's normal case: per-chain pulls lag days apart)
+       silently diverges from a full rebuild.
     3. AUDIT  — the same declarative expectations.yml suites as the
        full rebuild, on the post-merge tables.
     4. RECONCILE — `validate_incremental_load` proves each table's
@@ -271,8 +329,10 @@ def refresh_warehouse_incremental(
     Watermark state advances ONLY after the table it covers has been
     written and reconciled — a failed run replays its pull
     (at-least-once; the coin-grain merge makes the replay idempotent).
-    Two incremental days == one full rebuild, digest-for-digest,
-    is pinned in test_refresh.py.
+    N incremental runs == one full rebuild, digest-for-digest — under
+    UNEVEN per-coin arrival, including a horizon advance carried only
+    by a coin subset — is pinned in test_refresh.py
+    (test_incremental_refresh_equals_rebuild_uneven_arrival).
 
     Dimensions (chains/coins/coin_facts) rebuild whole each run —
     key-grain tables, the reference's daily dim rebuild discipline.
@@ -363,9 +423,59 @@ def refresh_warehouse_incremental(
     # cumulative-column requirement); md_aff is shared by the dense
     # rebuild and the profits kernel exactly like the full refresh.
     md_aff = touch(md_all).persist()
-    merge_and_check(
-        "coin_market_data", _dense_market(md_aff), ["coin_id", "date"]
+
+    # coin_market_data is the one densified table, so it alone has a
+    # HORIZON obligation beyond the affected slice: every coin fills to
+    # the global max date. Two uneven-arrival hazards a coin-sliced
+    # merge misses: (a) md_aff's own max can trail the corpus max —
+    # densify to the TRUE horizon from md_all, never the subset max;
+    # (b) when the horizon advances, unaffected coins' standing series
+    # must extend (ffill) without recomputing their history. Both are
+    # pinned digest-for-digest against a full rebuild in
+    # test_refresh.py (uneven-arrival lifecycle).
+    horizon = md_all.agg(F.max("date").alias("_h")).first()["_h"]
+    dense_aff = _dense_market(md_aff, end_date=horizon)
+    cmd_path = os.path.join(out_dir, "coin_market_data")
+    tails = None
+    if os.path.exists(cmd_path):
+        # checkpoint BEFORE the rewrite: the extension plan must not
+        # lazily re-read files the staged swap is about to retire
+        tails = _horizon_tails(
+            spark.read.parquet(cmd_path), affected, horizon
+        ).localCheckpoint(eager=True)
+        ext = (
+            _horizon_extension(tails, horizon) if tails.count() else None
+        )
+        update = (
+            dense_aff.unionByName(ext) if ext is not None else dense_aff
+        )
+        # merge key (coin_id, date): replace-per-day. Equivalent to
+        # replace-the-slice for affected coins — their recomputed slice
+        # spans min(date)..horizon, a superset of every standing day —
+        # and a pure insert for the horizon-extension rows.
+        upsert_table(
+            spark, cmd_path, update, ["coin_id", "date"],
+            partition_cols=("date",),
+        )
+    else:
+        ext = None
+        write_partitioned(dense_aff, cmd_path)
+    cmd_back = spark.read.parquet(cmd_path)
+    audit("coin_market_data", cmd_back)
+    report.reconcile["coin_market_data"] = validate_incremental_load(
+        dense_aff, touch(cmd_back), ["coin_id", "date"]
     )
+    if ext is not None:
+        ext_loaded = (
+            cmd_back.join(
+                F.broadcast(tails.select("coin_id", "_maxd")), "coin_id"
+            )
+            .filter(F.col("date") > F.col("_maxd"))
+            .drop("_maxd")
+        )
+        report.reconcile["coin_market_data_horizon"] = (
+            validate_incremental_load(ext, ext_loaded, ["coin_id", "date"])
+        )
     cwt_back = merge_and_check(
         "coin_wallet_transfers",
         _with_balance(touch(x_all)),

@@ -1,9 +1,14 @@
 """End-to-end warehouse refresh (§3.1): raw star schema -> three
 curated partitioned tables -> expectation suites, one driver program."""
 
+import os
+
 import pytest
 
-from etl_pipelines_spark.plans.refresh import refresh_warehouse
+from etl_pipelines_spark.plans.refresh import (
+    refresh_warehouse,
+    refresh_warehouse_incremental,
+)
 
 
 @pytest.fixture(scope="module")
@@ -57,6 +62,137 @@ def test_whale_chart_spec_payload(spark):
     assert spec["x"]["values"] == ["2024-01-01", "2024-01-02"]
     by_name = {s["name"]: s["values"] for s in spec["series"]}
     assert by_name == {"small": [6, 5], "medium": [2, 3], "whale": [0, 1]}
+
+
+# ------------------------------------------------------------------
+# Incremental refresh lifecycle: N incremental runs == one full
+# rebuild, digest-for-digest, under UNEVEN per-coin arrival — the
+# reference's steady-state reality (per-chain pulls lag days apart,
+# retrieve_dune_transfer_data.py:127-147).
+
+SRC = "/root/testdata/sf0.001"
+FACTS = ("coin_market_data", "coin_wallet_transfers", "coin_wallet_profits")
+N_COINS = 40  # dev_core-style sandbox scope, consistent across runs
+
+
+def _stage_source(spark, root: str, name: str, arrival) -> str:
+    """A staged raw-source dir: `lineitem` filtered to the rows that
+    have 'arrived', every other table symlinked whole. `arrival` is a
+    Column predicate over lineitem."""
+    from pyspark.sql import functions as F  # noqa: F401  (predicates built by caller)
+
+    stage = os.path.join(root, name)
+    os.makedirs(stage, exist_ok=True)
+    for t in ("nation", "region", "part", "orders", "customer", "supplier"):
+        dst = os.path.join(stage, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SRC, f"{t}.parquet"), dst)
+    li = spark.read.parquet(os.path.join(SRC, "lineitem.parquet"))
+    li.filter(arrival).write.mode("overwrite").parquet(
+        os.path.join(stage, "lineitem.parquet")
+    )
+    return stage
+
+
+def _fact_digests(spark, out_dir: str) -> dict:
+    from etl_pipelines_spark.operators.tablediff import table_digest
+
+    digests = {}
+    for t in FACTS:
+        df = spark.read.parquet(os.path.join(out_dir, t))
+        cols = sorted(df.columns)
+        r = table_digest(df.select(*cols), cols).first()
+        digests[t] = (r["n_rows"], r["digest"])
+    return digests
+
+
+def test_incremental_refresh_equals_rebuild_uneven_arrival(spark, tmp_path):
+    """Three increments with UNEVEN arrival vs full rebuilds of the
+    same cumulative corpus. Group A (even coins) and group B (odd
+    coins) arrive on different schedules, exercising both densify-
+    horizon hazards:
+
+    - stage 2: only A gets new rows, and A's new data ends BEFORE B's
+      standing max — densifying the affected subset to its own max
+      (instead of the true global max) would cut A's grids short.
+    - stage 3: only A advances the GLOBAL horizon — B (unaffected)
+      must extend its standing dense series by pure ffill, or the
+      increment diverges from a rebuild and per-slice reconciliation
+      can never see it.
+    """
+    from pyspark.sql import functions as F
+
+    ship = F.to_date("l_shipdate")
+    in_scope = F.col("l_partkey") < N_COINS
+    grp_a = in_scope & (F.col("l_partkey") % 2 == 0)
+    grp_b = in_scope & (F.col("l_partkey") % 2 == 1)
+    out_of_scope = ~in_scope  # arrives whole; coin_limit excludes it
+
+    # cumulative arrival fronts: A lags B at stage 1-2, overtakes at 3
+    arrivals = [
+        (grp_a & (ship <= F.lit("1997-12-31")))
+        | (grp_b & (ship <= F.lit("1998-05-31")))
+        | out_of_scope,
+        (grp_a & (ship <= F.lit("1998-03-31")))
+        | (grp_b & (ship <= F.lit("1998-05-31")))
+        | out_of_scope,
+        (grp_a & (ship <= F.lit("1998-08-02")))
+        | (grp_b & (ship <= F.lit("1998-05-31")))
+        | out_of_scope,
+    ]
+
+    inc_out = str(tmp_path / "wh_inc")
+    state = str(tmp_path / "state")
+    # `since` bounds the dense grid (and the date-partitioned write
+    # fan-out) to the arrival window — same scope on every run
+    since = "1997-06-01"
+    for i, arrival in enumerate(arrivals, start=1):
+        stage = _stage_source(spark, str(tmp_path), f"stage{i}", arrival)
+        rep = refresh_warehouse_incremental(
+            spark, stage, inc_out, state, coin_limit=N_COINS, since=since
+        )
+        assert rep.passed, f"stage {i} audits/reconcile failed"
+        if i == 1:
+            # first run == full write of everything arrived; the
+            # interesting rebuild comparisons are the uneven stages
+            continue
+        # uneven arrival means only group A carries new rows
+        assert rep.affected_coins <= N_COINS // 2, (
+            f"stage {i} should touch only group A"
+        )
+        # non-vacuousness: stage 2 leaves B already at the horizon (no
+        # extension), stage 3 advances the horizon past B's standing
+        # max so the pure-ffill extension branch MUST fire
+        if i == 3:
+            assert "coin_market_data_horizon" in rep.reconcile
+        else:
+            assert "coin_market_data_horizon" not in rep.reconcile
+        # the full rebuild of the SAME cumulative corpus
+        full_out = str(tmp_path / f"wh_full{i}")
+        refresh_warehouse(
+            spark, stage, full_out, coin_limit=N_COINS, since=since
+        )
+        assert _fact_digests(spark, inc_out) == _fact_digests(
+            spark, full_out
+        ), f"increment {i} diverged from full rebuild"
+
+
+def test_incremental_refresh_noop_second_run(spark, tmp_path):
+    """Re-running with nothing new must touch zero coins, leave the
+    tables byte-identical, and still audit green (the at-least-once
+    replay discipline: watermarks advanced, so the pull is empty)."""
+    inc_out = str(tmp_path / "wh")
+    state = str(tmp_path / "state")
+    first = refresh_warehouse_incremental(
+        spark, SRC, inc_out, state, coin_limit=20, since="1998-01-01"
+    )
+    assert first.passed and first.affected_coins > 0
+    before = _fact_digests(spark, inc_out)
+    again = refresh_warehouse_incremental(
+        spark, SRC, inc_out, state, coin_limit=20, since="1998-01-01"
+    )
+    assert again.passed and again.affected_coins == 0
+    assert _fact_digests(spark, inc_out) == before
 
 
 def test_validate_incremental_load_clean_and_dirty(spark):
