@@ -280,17 +280,85 @@ _Q51_MEMBERS = [
 ]
 
 
-# NOTE (measured, sf0.1): sharing ONE eagerly-persisted transfers
-# frame across the suite's three transfers-derived members (KMV q51,
-# HLL q80, quantile sample q95) was tried and is SLOWER than letting
-# each member keep its own fused plan (min-of-runs 4.5 s vs 4.0 s):
-# the cache forces full materialization of all four transfers columns
-# and pays the memory-store write, while the standalone plans push
-# member-specific column pruning into the lineitem x orders join and
-# the union's branches already run concurrently. The pair suite's
-# shared-shingle idiom wins only when the shared frame is expensive
-# to rebuild RELATIVE to its cache write (shingle explosion is;
-# a 3-column join+agg is not). Members stay standalone.
+def _q51_shared_transfers(schema, members):
+    """Altitude-matched feeds for the sketch suite's three
+    transfers-derived members (KMV q51, HLL q80, quantile sample
+    q95): all three consume ONE pre-aggregation transfer event stream
+    (`transfers_base_from`: scan -> single coin_id exchange ->
+    broadcast join, no daily agg). KMV and HLL hash wallets, so the
+    (coin, wallet, date) daily-net aggregation their standalone plans
+    inherit from `transfers` is pure wasted CPU — they skip it; only
+    q95 (which samples daily net values) pays the agg, reproducing
+    `transfers` exactly. Everything downstream of the one exchange is
+    coin_id-clustered (register tables, bottom-k, KMV rank), so no
+    member adds another shuffle. Measured at sf1: suite 10.3 s ->
+    ~5.5 s (the skipped 6M-row hash agg x2 and the narrower exchange
+    dominate). Two rejected alternatives, both measured: an
+    eagerly-persisted/localCheckpointed shared frame (memory-store
+    write + barrier costs ≈ what the 3 lazy rebuilds cost — no win),
+    and a repartition-above-the-agg reuse point (Catalyst collapses
+    the redundant exchange and member-specific pruning de-dupes the
+    branches anyway). Values are pinned by the member-level parity
+    gate: the wallet set per coin and the daily net sums are
+    identical either way (integer-in-double quantities sum
+    order-independently). q85 (customers) and q90 (events) read
+    other tables and keep their member plans."""
+
+    def spark_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from etl_pipelines_spark.operators.sketches import (
+            kmv_distinct,
+            merge_hll_registers,
+            portable_hll_estimate,
+            portable_hll_registers,
+            quantile_sketch_build,
+            quantile_sketch_estimate,
+            quantile_sketch_merge,
+        )
+        from etl_pipelines_spark.queries.timeseries import t, transfers_base_from
+
+        base = transfers_base_from(
+            t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "orders")
+        )
+        x = base.groupBy("coin_id", "wallet_address", "date").agg(
+            F.sum("_sq").cast("double").alias("net_transfers")
+        )
+        frames = {
+            "kmv": kmv_distinct(base, ["coin_id"], "wallet_address", k=16),
+            "hll": portable_hll_estimate(
+                merge_hll_registers(
+                    portable_hll_registers(
+                        base.withColumn("_m", F.month("date")),
+                        ["coin_id", "_m"],
+                        "wallet_address",
+                    ),
+                    ["coin_id"],
+                ),
+                ["coin_id"],
+            ),
+            "qsk": quantile_sketch_estimate(
+                quantile_sketch_merge(
+                    quantile_sketch_build(
+                        x.withColumn("_m", F.month("date")),
+                        ["coin_id", "_m"],
+                        "net_transfers",
+                        ["coin_id", "wallet_address", "date"],
+                    ),
+                    ["coin_id"],
+                ),
+                ["coin_id"],
+                qs=(0.25, 0.5, 0.9),
+            ),
+        }
+        out = None
+        for tag, qname, mapping in members:
+            df = frames.get(tag)
+            if df is None:
+                df = QUERIES[qname].spark_fn(spark, sf_dir)
+            part = _align(df, tag, schema, mapping)
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    return spark_fn
 
 
 def _q55_frames(words: DataFrame) -> dict[str, DataFrame]:
@@ -779,6 +847,8 @@ for _c in _COMBOS:
         _c.spark_fn = _shared_words_scan(_Q52_SCHEMA, _Q52_MEMBERS, _q52_frames)
     elif _c.name == "q55_doc_scoring":
         _c.spark_fn = _shared_words_scan(_Q55_SCHEMA, _Q55_MEMBERS, _q55_frames)
+    elif _c.name == "q51_sketch_suite":
+        _c.spark_fn = _q51_shared_transfers(_Q51_SCHEMA, _Q51_MEMBERS)
 
 
 def build_driver_queries() -> dict[str, QuerySpec]:

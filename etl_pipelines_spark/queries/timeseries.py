@@ -90,6 +90,23 @@ def transfers(spark: SparkSession, sf: str) -> DataFrame:
 def transfers_from(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     """transfers over explicit lineitem/orders frames (lets tests and
     skew fixtures feed remapped variants through the real plan)."""
+    base = transfers_base_from(lineitem, orders)
+    return base.groupBy("coin_id", "wallet_address", "date").agg(
+        F.sum("_sq").cast("double").alias("net_transfers")
+    )
+
+
+def transfers_base_from(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """The PRE-AGGREGATION transfer event stream: one row per lineitem
+    with (coin_id, wallet_address, date, _sq signed quantity),
+    coin_id-clustered by the same single up-front exchange as
+    `transfers_from`. Consumers that don't need the daily net grain
+    (the sketch suite's KMV distinct-wallet and HLL register builds —
+    they hash wallets, so the (coin, wallet, date) pre-agg is pure
+    wasted CPU for them) read this and skip the 6M-row hash
+    aggregation; summing `_sq` per (coin, wallet, date) reproduces
+    `transfers_from` exactly (quantities are integers in doubles, so
+    the sum is order-independent)."""
     li = lineitem.select(
         "l_orderkey", "l_partkey", "l_shipdate", "l_returnflag", "l_quantity"
     ).repartition("l_partkey")
@@ -97,14 +114,11 @@ def transfers_from(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     signed = F.when(F.col("l_returnflag") == "R", -F.col("l_quantity")).otherwise(
         F.col("l_quantity")
     )
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy(
-            F.col("l_partkey").alias("coin_id"),
-            F.col("o_custkey").alias("wallet_address"),
-            F.to_date("l_shipdate").alias("date"),
-        )
-        .agg(F.sum(signed).cast("double").alias("net_transfers"))
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_partkey").alias("coin_id"),
+        F.col("o_custkey").alias("wallet_address"),
+        F.to_date("l_shipdate").alias("date"),
+        signed.alias("_sq"),
     )
 
 
