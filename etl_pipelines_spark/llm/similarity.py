@@ -327,7 +327,19 @@ def kmeans_centroids(
     k = len(centroids)  # clamp: frame may hold fewer than k rows
     dim = len(centroids[0])
     for _ in range(n_iter):
-        assigned = assign_clusters(embeddings, centroids, vec_col=vec_col)
+        # the pair API instead of assign_clusters: each round's
+        # TorrentBroadcast (k > KM_CLOSURE_MAX_K) is destroyed right
+        # after its collect — without release, n_iter codebooks
+        # accumulate on the driver and every executor
+        probes_udf, release = _nearest_probes_pandas(
+            embeddings.sparkSession,
+            centroids,
+            1,
+            _resolve_transport("auto", k),
+        )
+        assigned = embeddings.withColumn(
+            "cluster", F.element_at(probes_udf(F.col(vec_col)), 1)
+        )
         sums = (
             assigned.select(
                 "cluster",
@@ -351,6 +363,7 @@ def kmeans_centroids(
             r["cluster"]: [float(r[f"_s{i}"]) / SCALE / r["_n"] for i in range(dim)]
             for r in sums
         }
+        release()
         # empty clusters keep their previous centroid (standard Lloyd's)
         centroids = [new.get(c, centroids[c]) for c in range(k)]
     return centroids
@@ -372,19 +385,25 @@ def kmeans_centroids(
 #   handle. Scales to executor-memory-sized codebooks (10^6+ centroids
 #   at dim 64 ~ 512 MB) with per-task cost independent of k.
 # - "table"     (opt-in, beyond-executor-memory tier): the codebook is
-#   a DataFrame of G-centroid group rows; vectors broadcast-join the
-#   group table, an Arrow UDF emits each group's top-nprobe (d,
-#   cluster) partials, and a groupBy(id) merge keeps the global
-#   bottom-nprobe — exact because the k-wide argmin distributes over a
-#   partition of the clusters (a global best is its own group's best)
-#   and min over (d, cluster) pairs reproduces the flat argmin's
-#   lowest-index tie-break (groups partition clusters in ascending
-#   index order). The merge shuffle carries only (id, d, cluster)
-#   partials — k/G small rows per vector, never the vectors and never
-#   the codebook. Cost shape: each joined row re-carries its group's
-#   centroid array across the Arrow boundary, so keep G modest; this
-#   tier exists for codebooks too big for any single executor, where
-#   the other transports are impossible.
+#   a DataFrame of G-centroid group rows; vectors meet the group table
+#   through a PARTITIONED cartesian join (each task holds one group
+#   partition, never the whole codebook), an Arrow UDF emits each
+#   group's top-nprobe (d, cluster) partials, and a groupBy(id) merge
+#   keeps the global bottom-nprobe — exact because the k-wide argmin
+#   distributes over a partition of the clusters (a global best is its
+#   own group's best) and min over (d, cluster) pairs reproduces the
+#   flat argmin's lowest-index tie-break (groups partition clusters in
+#   ascending index order). The merge shuffle carries only (id, d,
+#   cluster) partials — k/G small rows per vector, never the vectors
+#   and never the codebook. Cost shape: vectors replicate once per
+#   group partition (block-matrix-product shape) and each joined row
+#   re-carries its group's centroid array across the Arrow boundary,
+#   so keep G modest. Caveat this tier does NOT remove: the Python
+#   `centroids` list itself is built driver-side (it is the API input
+#   — kmeans_centroids returns a list), so the DRIVER still holds the
+#   codebook once at plan build; past that, no executor ever does. A
+#   codebook too big for the driver needs a table-to-table join
+#   against a persisted codebook table, same shape as this plan.
 #
 # adaptive_km_k (queries/llmops.py) grows k with the corpus; at 10^9+
 # vectors the closure transport was the named 100 TB ceiling — the
@@ -395,9 +414,18 @@ KM_TABLE_GROUP = 64
 
 
 def _nearest_probes_pandas(spark, centroids, nprobe: int, transport: str):
-    """Arrow UDF returning each vector's `nprobe` nearest cluster ids,
-    nearest first — shared by assign (nprobe=1) and multi-probe. The
-    codebook rides the closure or a TorrentBroadcast per `transport`."""
+    """(Arrow UDF, release) pair: the UDF returns each vector's
+    `nprobe` nearest cluster ids, nearest first — shared by assign
+    (nprobe=1) and multi-probe. The codebook rides the closure or a
+    TorrentBroadcast per `transport`; `release()` destroys the
+    broadcast once every job reading the UDF has finished (a no-op
+    for the closure tier) — iterative callers like kmeans_centroids
+    MUST call it per round or k x dim x 8 bytes leak per iteration.
+
+    nprobe == 1 takes np.argmin (O(k) per row, first-occurrence =
+    lowest-index tie-break) instead of a full stable argsort
+    (O(k log k)) — same winner, measurably cheaper on the hot
+    assignment path now that k can reach 4096."""
     import numpy as np
     import pandas as pd
 
@@ -409,11 +437,17 @@ def _nearest_probes_pandas(spark, centroids, nprobe: int, transport: str):
         def get_C():
             return bc.value
 
+        def release():
+            bc.destroy()
+
     else:
         C_local = np.array(centroids, dtype="float64")
 
         def get_C():
             return C_local
+
+        def release():
+            pass
 
     @F.pandas_udf("array<int>")
     def probes(v):
@@ -422,10 +456,17 @@ def _nearest_probes_pandas(spark, centroids, nprobe: int, transport: str):
         C = get_C()
         A = np.vstack(v.to_numpy()).astype("float64")
         d = _exact_sq_dists(A, C)
-        order = np.argsort(d, axis=1, kind="stable")[:, :nprobe].astype("int32")
+        if nprobe == 1:
+            # argmin returns the FIRST minimum: identical tie-break
+            # to stable argsort's head (lowest cluster index)
+            order = np.argmin(d, axis=1).astype("int32")[:, None]
+        else:
+            order = np.argsort(d, axis=1, kind="stable")[:, :nprobe].astype(
+                "int32"
+            )
         return pd.Series(list(order))
 
-    return probes
+    return probes, release
 
 
 def _table_probes(
@@ -487,11 +528,25 @@ def _table_probes(
                 ]
         return pd.Series(out)
 
-    # broadcast cross join: every vector meets every (small) group row;
-    # the per-group partial then shrinks each meeting to nprobe pairs
+    # PARTITIONED cross join — deliberately NOT broadcast: a broadcast
+    # would materialize the whole grouped codebook on the driver and
+    # every executor, re-creating exactly the memory ceiling this tier
+    # exists to remove. As a CartesianProduct, each task pairs one
+    # vector partition with one group partition, so a task holds only
+    # its slice of the codebook (G x dim x 8 bytes per group row) and
+    # the vectors replicate per group partition — the cost shape of
+    # every shared-nothing block-matrix product.
     part = (
         embeddings.select(id_col, vec_col)
-        .crossJoin(F.broadcast(groups))
+        .crossJoin(
+            # shuffle_replicate_nl pins the CartesianProduct strategy:
+            # without it the planner sees a kilobyte-sized group table
+            # and silently picks BroadcastNestedLoop — the exact
+            # transport this tier must avoid
+            groups.repartition(max(2, len(rows))).hint(
+                "shuffle_replicate_nl"
+            )
+        )
         .select(
             id_col,
             tops(F.col(vec_col), F.col("_base"), F.col("_cents")).alias("_t"),
@@ -546,9 +601,11 @@ def assign_clusters(
         return embeddings.join(assigned, id_col).select(
             *embeddings.columns, out
         )
-    probes_udf = _nearest_probes_pandas(
+    probes_udf, _release = _nearest_probes_pandas(
         embeddings.sparkSession, centroids, 1, transport
     )
+    # the returned frame is lazy: the broadcast must outlive every
+    # consumer job, so release is the caller's (or GC's) business here
     return embeddings.withColumn(
         out, F.element_at(probes_udf(F.col(vec_col)), 1)
     )
@@ -577,7 +634,7 @@ def nearest_clusters(
         return embeddings.join(probes, id_col).select(
             *embeddings.columns, out
         )
-    probes_udf = _nearest_probes_pandas(
+    probes_udf, _release = _nearest_probes_pandas(
         embeddings.sparkSession, centroids, min(nprobe, len(centroids)), transport
     )
     return embeddings.withColumn(out, probes_udf(F.col(vec_col)))

@@ -709,6 +709,23 @@ class TestCodebookTransports:
             tuple(r) for r in got.select("vec_id", "cluster").collect()
         }
 
+    def test_table_transport_never_broadcasts_codebook(self, spark):
+        """The table tier exists for codebooks past executor memory:
+        the plan must pair vectors with group PARTITIONS (a pinned
+        CartesianProduct), never ship the whole group table to every
+        node (BroadcastNestedLoop / BroadcastExchange would re-create
+        the ceiling the tier removes)."""
+        from etl_pipelines_spark.llm.similarity import _table_probes
+
+        df = self._fixture(spark, n=40)
+        probes = _table_probes(
+            df, self._centroids(9), 1, "embedding", "vec_id", group=4
+        )
+        plan = probes._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" in plan
+        assert "BroadcastNestedLoop" not in plan
+        assert "BroadcastExchange" not in plan
+
     def test_auto_switches_past_closure_threshold(self, spark):
         from etl_pipelines_spark.llm import similarity
 

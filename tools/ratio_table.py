@@ -68,10 +68,13 @@ def main() -> None:
         if n_excl
         else ""
     )
-    print(
-        f"| **total (oracle-timed)** | **{ts_timed:.1f}**{note} | "
-        f"**{to:.1f}** | **{ts_timed / to:.2f}x** |"
-    )
+    if to:
+        print(
+            f"| **total (oracle-timed)** | **{ts_timed:.1f}**{note} | "
+            f"**{to:.1f}** | **{ts_timed / to:.2f}x** |"
+        )
+    else:
+        print(f"| **total** | **{ts_all:.1f}**{note} | — | — |")
     print()
     if over2:
         print(f"entries over 2x: {', '.join(f'{q} ({r:.2f}x)' for q, r in over2)}")
