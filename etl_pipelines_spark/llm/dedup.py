@@ -101,9 +101,42 @@ def duplicate_spans(
     span_start, span_end, n_grams) with word positions 1-based
     inclusive; n_grams = surviving gram starts inside the span (the
     island may bridge gaps up to min_len words, so it is not derivable
-    from the endpoints)."""
-    from pyspark.sql import Window
+    from the endpoints).
 
+    The text is tokenized and hashed ONCE: the compact per-doc gram
+    arrays persist (the persisted_shingle_arrays idiom) and both
+    consumers — the digest count and the semi-join probe — explode
+    the cached arrays instead of re-running split+md5 over raw text.
+    Default storage spills to disk when the gram stream outgrows
+    memory; caller/bench owns cache lifecycle (clearCache between
+    queries)."""
+    arrays = gram_position_arrays(df, min_len, text_col, id_col).persist()
+    arrays.count()  # eager: both consumers schedule stages independently
+    grams = _gram_stream(arrays, id_col)
+    dup_hashes = (
+        grams.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("_h")
+    )
+    dup = grams.join(dup_hashes, "_h", "left_semi")
+    return _spans_from_dup_grams(dup, min_len, id_col)
+
+
+def gram_position_arrays(
+    df: DataFrame,
+    min_len: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, _gs: array<struct<start int, h string>>) — every
+    `min_len`-gram of each doc as (1-based start, md5 digest), folded
+    to ONE compact row per doc. This is the cache-friendly form of the
+    gram stream (the persisted_shingle_arrays idiom): split + slice +
+    md5 run ONCE over the text, and every consumer re-derives the
+    exploded stream as a cheap Generate over cached arrays instead of
+    a second pass over raw text. Also the per-doc position index the
+    incremental spans state persists."""
     L = int(min_len)
     if L < 2:
         # L is interpolated into slice/sequence exprs below; < 2 yields
@@ -115,24 +148,33 @@ def duplicate_spans(
         id_col, F.split(F.col(text_col), " ").alias("_w")
     )
     # sequence(a, b) DESCENDS when b < a — guard the short-doc case
-    grams = words.select(
+    return words.select(
         id_col,
-        F.explode(
-            F.expr(
-                f"if(size(_w) < {L}, array(),"
-                f" transform(sequence(1, size(_w) - {L} + 1),"
-                f" i -> struct(i AS start,"
-                f" md5(concat_ws(' ', slice(_w, i, {L}))) AS h)))"
-            )
-        ).alias("_g"),
-    ).select(id_col, F.col("_g.start").alias("_start"), F.col("_g.h").alias("_h"))
-    dup_hashes = (
-        grams.groupBy("_h")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= 2)
-        .select("_h")
+        F.expr(
+            f"if(size(_w) < {L}, array(),"
+            f" transform(sequence(1, size(_w) - {L} + 1),"
+            f" i -> struct(i AS start,"
+            f" md5(concat_ws(' ', slice(_w, i, {L}))) AS h)))"
+        ).alias("_gs"),
     )
-    dup = grams.join(dup_hashes, "_h", "left_semi")
+
+
+def _gram_stream(arrays: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id_col, _start, _h) exploded from gram_position_arrays rows."""
+    return arrays.select(id_col, F.explode("_gs").alias("_g")).select(
+        id_col, F.col("_g.start").alias("_start"), F.col("_g.h").alias("_h")
+    )
+
+
+def _spans_from_dup_grams(
+    dup: DataFrame, min_len: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Maximal islands over surviving gram starts: one window over
+    (doc, start); an island breaks where start jumps past the running
+    max span end + 1."""
+    from pyspark.sql import Window
+
+    L = int(min_len)
     w = Window.partitionBy(id_col).orderBy("_start")
     prev_end = F.max(F.col("_start") + (L - 1)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -185,6 +227,105 @@ def duplication_rate(
         dup.alias("dup_words"),
         (dup / F.col("n_words")).alias("dup_fraction"),
     )
+
+
+def duplicate_spans_incremental(
+    batch: DataFrame,
+    state: dict[str, DataFrame] | None = None,
+    min_len: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """Incremental `duplicate_spans`: (spans_over_all_ingested, state).
+
+    After every batch the returned spans equal a one-shot
+    `duplicate_spans` over the UNION of all batches — including the
+    hard case where a gram's corpus count crosses >= 2 only across
+    batches, flipping spans of a document ingested long ago (pinned
+    in test_corpus_plan). Batches must carry disjoint doc ids (the
+    exact_dedup_incremental contract). State tables:
+
+    - ``arrays``: per-doc gram position arrays (gram_position_arrays)
+      — the positional index a re-spanned old doc is recomputed from;
+      at 100 TB a partitioned table clustered by doc id, so the
+      affected-doc semi-join prunes instead of scanning.
+    - ``counts``: (h, n, only_doc) — corpus occurrence count per gram
+      digest plus, for singletons (n == 1), the one doc holding the
+      gram. `only_doc` is what makes the update O(batch + churn): when
+      a batch pushes a singleton to n >= 2, the affected OLD doc reads
+      straight off the state row — no corpus-wide inverted index, no
+      gram-stream rescan.
+    - ``spans``: the standing output; affected docs' slices are
+      replaced (the warehouse replace-the-slice merge, operators/
+      merge.py) and everything else carries forward untouched.
+
+    Soundness: a doc's spans depend only on its own gram positions
+    (immutable once ingested) and each gram's global dup status
+    (count >= 2). Counts never decrease, so status flips only
+    1 -> >=2; every old doc holding a flipping gram is recomputed,
+    every other old doc's inputs are unchanged — equality with the
+    rebuild follows doc-by-doc."""
+    arrs_new = gram_position_arrays(
+        batch, min_len, text_col, id_col
+    ).localCheckpoint()
+    g_new = _gram_stream(arrs_new, id_col)
+    c_new = g_new.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(id_col).alias("_d"),
+    )
+    c_new = c_new.select(
+        "_h", "_n", F.when(F.col("_n") == 1, F.col("_d")).alias("_only")
+    )
+
+    if state is None:
+        counts = c_new.localCheckpoint()
+        dup = g_new.join(
+            counts.filter(F.col("_n") >= 2).select("_h"), "_h", "left_semi"
+        )
+        spans = _spans_from_dup_grams(dup, min_len, id_col).localCheckpoint()
+        return spans, {"arrays": arrs_new, "counts": counts, "spans": spans}
+
+    old = state["counts"].select(
+        "_h", F.col("_n").alias("_no"), F.col("_only").alias("_oo")
+    )
+    merged = (
+        old.join(c_new.withColumnRenamed("_n", "_nn"), "_h", "full_outer")
+        .select(
+            "_h",
+            (F.coalesce("_no", F.lit(0)) + F.coalesce("_nn", F.lit(0))).alias("_n"),
+            F.col("_no"),
+            F.col("_oo"),
+            F.col("_only").alias("_on"),
+        )
+    )
+    counts = merged.select(
+        "_h",
+        "_n",
+        F.when(F.col("_n") == 1, F.coalesce("_oo", "_on")).alias("_only"),
+    ).localCheckpoint()
+    # old docs whose spans can change: holders of a singleton gram the
+    # batch pushed to >= 2 — read off the state row, O(churn)
+    affected_old = (
+        merged.filter((F.col("_no") == 1) & (F.col("_n") >= 2))
+        .select(F.col("_oo").alias(id_col))
+        .distinct()
+    )
+    affected_arrays = state["arrays"].join(
+        affected_old, id_col, "left_semi"
+    ).unionByName(arrs_new)
+    dup = _gram_stream(affected_arrays, id_col).join(
+        counts.filter(F.col("_n") >= 2).select("_h"), "_h", "left_semi"
+    )
+    new_slices = _spans_from_dup_grams(dup, min_len, id_col)
+    recomputed = affected_old.unionByName(arrs_new.select(id_col)).distinct()
+    spans = (
+        state["spans"]
+        .join(recomputed, id_col, "left_anti")
+        .unionByName(new_slices)
+        .localCheckpoint()
+    )
+    arrays_all = state["arrays"].unionByName(arrs_new).localCheckpoint()
+    return spans, {"arrays": arrays_all, "counts": counts, "spans": spans}
 
 
 def salted_self_pairs(

@@ -86,6 +86,64 @@ def test_incremental_exact_dedup_matches_full_rebuild(spark):
     assert state.count() == len(full)
 
 
+class TestIncrementalDuplicateSpans:
+    def _spans_set(self, df):
+        return {
+            (r["doc_id"], r["span_start"], r["span_end"], r["n_grams"])
+            for r in df.collect()
+        }
+
+    def test_batch_ingest_matches_one_shot_rebuild(self, spark):
+        """Three batches through duplicate_spans_incremental == a
+        one-shot duplicate_spans over the cumulative corpus, pinned
+        after EVERY batch. The designed hard case: doc 0 (batch 1)
+        carries a gram exactly once; doc 20 (batch 2) carries the same
+        gram — its corpus count crosses >= 2 only ACROSS batches, so
+        doc 0's spans must flip long after doc 0 was ingested. Batch 3
+        adds a doc with no duplicated grams (affected set empty — the
+        carry-forward path)."""
+        from pyspark.sql import functions as F
+
+        from etl_pipelines_spark.llm.dedup import (
+            duplicate_spans,
+            duplicate_spans_incremental,
+        )
+
+        passage = " ".join(f"p{i}" for i in range(6))  # a 6-gram passage
+        rows = [
+            # batch 1: doc 0 holds the passage once; doc 1 repeats its
+            # own gram twice (within-doc duplication, dup from day one)
+            (0, f"a1 a2 {passage} a3 a4"),
+            (1, "b1 b2 b3 b4 b5 b6 b7 b1 b2 b3 b4 b5 b6 b7"),
+            # batch 2: doc 20 re-uses the passage -> doc 0 flips
+            (20, f"c1 c2 c3 {passage} c4"),
+            # batch 3: nothing duplicated
+            (30, " ".join(f"d{i}" for i in range(12))),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        batches = [
+            docs.filter(F.col("doc_id") < 10),
+            docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 30)),
+            docs.filter(F.col("doc_id") >= 30),
+        ]
+        state = None
+        seen = None
+        for i, b in enumerate(batches, start=1):
+            spans, state = duplicate_spans_incremental(b, state, min_len=6)
+            seen = b if seen is None else seen.unionByName(b)
+            assert self._spans_set(spans) == self._spans_set(
+                duplicate_spans(seen, min_len=6)
+            ), f"batch {i} diverged from rebuild"
+            if i == 1:
+                # doc 0's passage is still a singleton: no span yet
+                assert not any(d == 0 for d, *_ in self._spans_set(spans))
+            if i == 2:
+                # the cross-batch flip actually fired
+                assert any(d == 0 for d, *_ in self._spans_set(spans))
+        # duplication_rate over the final corpus agrees with the spans
+        assert state["arrays"].count() == len(rows)
+
+
 class TestIncrementalLshDedup:
     def _one_shot(self, docs):
         from etl_pipelines_spark.llm.dedup import (
