@@ -84,25 +84,66 @@ def main() -> None:
     # at a bounded scope — full coin universe, one calendar year, so
     # the 365-partition layout cost is real but the local-FS dir count
     # stays sane. Oracle denominator: tools/bench_refresh_oracle.py
-    # (same rebuild + audits in DuckDB; measured 1.66x at sf0.1).
+    # (same rebuild + audits in DuckDB). Same adaptive min-of-N
+    # protocol as the catalog — a single shot was up to 40% co-tenant
+    # noise (round-5 drift finding).
     import shutil
     import tempfile
 
-    from etl_pipelines_spark.plans.refresh import refresh_warehouse
-
-    refresh_out = tempfile.mkdtemp(prefix="bench_refresh_")
-    t0 = time.time()
-    refresh_report = refresh_warehouse(
-        spark, SF_DIR, refresh_out, since="1998-01-01", until="1998-12-31"
+    from etl_pipelines_spark.plans.refresh import (
+        refresh_warehouse,
+        refresh_warehouse_incremental,
     )
-    refresh_sec = round(time.time() - t0, 3)
-    shutil.rmtree(refresh_out, ignore_errors=True)
+
+    refresh_runs: list[float] = []
+    refresh_report = None
+    while len(refresh_runs) < MAX_RUNS:
+        refresh_out = tempfile.mkdtemp(prefix="bench_refresh_")
+        t0 = time.time()
+        refresh_report = refresh_warehouse(
+            spark, SF_DIR, refresh_out, since="1998-01-01", until="1998-12-31"
+        )
+        t_run = time.time() - t0
+        shutil.rmtree(refresh_out, ignore_errors=True)
+        still_warming = refresh_runs and t_run < 0.8 * min(refresh_runs)
+        refresh_runs.append(t_run)
+        if len(refresh_runs) >= MIN_RUNS and not still_warming:
+            break
     refresh_row = {
-        "sec": refresh_sec,
+        "sec": round(min(refresh_runs), 3),
+        "runs": len(refresh_runs),
         "rows": sum(refresh_report.tables.values()),
         "audits_pass": refresh_report.passed,
         "scope": "1998 year slice, full coin universe",
     }
+
+    # steady-state row: the INCREMENTAL refresh (pull -> merge ->
+    # audit -> reconcile) landing H2 1998 on top of a standing H1
+    # warehouse — the reference's daily mode. Measured as min over
+    # bootstrap+increment pairs (state makes a lone re-run a no-op).
+    inc_runs: list[float] = []
+    inc_report = None
+    while len(inc_runs) < MIN_RUNS:
+        inc_out = tempfile.mkdtemp(prefix="bench_inc_")
+        inc_state = tempfile.mkdtemp(prefix="bench_incstate_")
+        refresh_warehouse_incremental(
+            spark, SF_DIR, inc_out, inc_state,
+            since="1998-01-01", until="1998-06-30",
+        )
+        t0 = time.time()
+        inc_report = refresh_warehouse_incremental(
+            spark, SF_DIR, inc_out, inc_state,
+            since="1998-01-01", until="1998-12-31",
+        )
+        inc_runs.append(time.time() - t0)
+        shutil.rmtree(inc_out, ignore_errors=True)
+        shutil.rmtree(inc_state, ignore_errors=True)
+    refresh_row["incremental_sec"] = round(min(inc_runs), 3)
+    refresh_row["incremental_ok"] = inc_report.passed
+    refresh_row["incremental_scope"] = (
+        "H2-1998 increment onto a standing H1 warehouse (pull+merge+"
+        "audit+reconcile, replace-the-slice per coin)"
+    )
 
     # The driver captures only a bounded tail of stdout: emit ONE compact
     # line (short query keys = the qNN prefix, no spaces, 2-digit secs)
@@ -126,21 +167,20 @@ def main() -> None:
                 # bit-exact via their oracles). Ratios vs a 30 ms
                 # batch-SQL oracle measure that floor, not throughput.
                 "notes": (
-                    "refresh row: whole SURVEY-3.1 warehouse rebuild (6 "
-                    "tables, date-partitioned writes, 15 declared audits) "
-                    "vs tools/bench_refresh_oracle.py DuckDB rebuild = "
-                    "1.5-1.7x at sf0.1, 0.91-1.16x at sf1 (floor amortizes). "
-                    "q42,q68 include streaming micro-batch startup floor; "
-                    "catalog vs the member-oracle set (tools/"
-                    "bench_oracle.py + tools/ratio_table.py): 60-62 s vs "
-                    "33-37 s = 1.6-1.8x at sf0.1, 124-145 s vs 391 s = "
-                    "0.32-0.37x at sf1 — Spark's per-query stage floor "
-                    "dominates the small corpus and inverts by 10x "
-                    "(round-3 oracle totals were 56-72 s at sf0.1; the "
-                    "round-4 adaptive banding/codebook laws, shared "
-                    "with the oracle SQL, sped the DuckDB side too — "
-                    "the denominator moved, not a Spark regression; "
-                    "per-entry table + growth stats in SCALE.md round 4)"
+                    "all rows are min-of-adaptive-runs under THIS "
+                    "protocol; SCALE.md cites these recorded values "
+                    "verbatim (no side-channel figures). refresh row: "
+                    "whole SURVEY-3.1 warehouse rebuild (6 tables, "
+                    "date-partitioned writes, 15 declared audits); "
+                    "oracle denominator tools/bench_refresh_oracle.py. "
+                    "incremental_sec: the steady-state H2 increment on "
+                    "a standing H1 warehouse. q42,q68 include the "
+                    "streaming micro-batch startup floor (~1-3 s per "
+                    "trigger, not per-row work). Catalog-vs-oracle "
+                    "ratios: tools/bench_oracle.py + tools/"
+                    "ratio_table.py on the same corpus — Spark's "
+                    "per-query stage floor dominates small corpora "
+                    "and amortizes at 10x (SCALE.md scaling table)"
                 ),
             },
             separators=(",", ":"),

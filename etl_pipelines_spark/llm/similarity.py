@@ -413,7 +413,9 @@ KM_CLOSURE_MAX_K = 256
 KM_TABLE_GROUP = 64
 
 
-def _nearest_probes_pandas(spark, centroids, nprobe: int, transport: str):
+def _nearest_probes_pandas(
+    spark, centroids, nprobe: int, transport: str, distance: str = "exact"
+):
     """(Arrow UDF, release) pair: the UDF returns each vector's
     `nprobe` nearest cluster ids, nearest first — shared by assign
     (nprobe=1) and multi-probe. The codebook rides the closure or a
@@ -425,14 +427,31 @@ def _nearest_probes_pandas(spark, centroids, nprobe: int, transport: str):
     nprobe == 1 takes np.argmin (O(k) per row, first-occurrence =
     lowest-index tie-break) instead of a full stable argsort
     (O(k log k)) — same winner, measurably cheaper on the hot
-    assignment path now that k can reach 4096."""
+    assignment path now that k can reach 4096.
+
+    `distance` picks the kernel:
+    - "exact" (default, the gate path): floor-scaled per-component
+      int64 squared-L2 — bit-identical across engines/plans, but an
+      interpreted O(n*k*dim) loop no BLAS can touch.
+    - "matmul": float32 GEMM — d2(a, c) ~ |c|^2 - 2 a.c (the per-row
+      |a|^2 constant drops out of argmin/ordering, so it is never
+      computed). One A @ C.T per Arrow batch: 50-100x the exact
+      kernel's throughput at k >= 10^3, the production assignment
+      path past ~10^7 vectors (SCALE.md). NOT oracle-bit-exact: ties
+      and near-ties (|d2 gap| within float32 rounding of the dot) may
+      order differently — use on corpora, not on gate fixtures."""
     import numpy as np
     import pandas as pd
 
+    if distance not in ("exact", "matmul"):
+        raise ValueError(f"unknown distance kernel: {distance!r}")
+
+    C0 = np.array(centroids, dtype="float64")
+    if distance == "matmul":
+        C0 = C0.astype("float32")
+
     if transport == "broadcast":
-        bc = spark.sparkContext.broadcast(
-            np.array(centroids, dtype="float64")
-        )
+        bc = spark.sparkContext.broadcast(C0)
 
         def get_C():
             return bc.value
@@ -441,10 +460,8 @@ def _nearest_probes_pandas(spark, centroids, nprobe: int, transport: str):
             bc.destroy()
 
     else:
-        C_local = np.array(centroids, dtype="float64")
-
         def get_C():
-            return C_local
+            return C0
 
         def release():
             pass
@@ -454,8 +471,13 @@ def _nearest_probes_pandas(spark, centroids, nprobe: int, transport: str):
         if len(v) == 0:
             return pd.Series([], dtype=object)
         C = get_C()
-        A = np.vstack(v.to_numpy()).astype("float64")
-        d = _exact_sq_dists(A, C)
+        A = np.vstack(v.to_numpy())
+        if distance == "matmul":
+            A = A.astype("float32")
+            # |c|^2 - 2 a.c ranks identically to true squared-L2
+            d = (C * C).sum(axis=1)[None, :] - 2.0 * (A @ C.T)
+        else:
+            d = _exact_sq_dists(A.astype("float64"), C)
         if nprobe == 1:
             # argmin returns the FIRST minimum: identical tie-break
             # to stable argsort's head (lowest cluster index)
@@ -581,6 +603,7 @@ def assign_clusters(
     out: str = "cluster",
     id_col: str = "vec_id",
     transport: str = "auto",
+    distance: str = "exact",
 ) -> DataFrame:
     """Nearest-centroid assignment, Arrow-batched: squared-L2 against
     each centroid as floor-scaled int64 sums (exact in any order, so
@@ -591,9 +614,19 @@ def assign_clusters(
 
     `transport` picks how the codebook reaches tasks (see the
     transport note above); "auto" = closure for small k, broadcast
-    past KM_CLOSURE_MAX_K. The "table" tier needs `id_col` unique."""
+    past KM_CLOSURE_MAX_K. The "table" tier needs `id_col` unique.
+    `distance="matmul"` swaps in the float32 GEMM kernel (see
+    _nearest_probes_pandas) — the production assignment path past
+    ~10^7 vectors, where oracle bit-equality is not required; the
+    table tier is exact-only (its partial merge compares int64
+    distances across tasks)."""
     transport = _resolve_transport(transport, len(centroids))
     if transport == "table":
+        if distance != "exact":
+            raise ValueError(
+                "table transport merges int64 distance partials across "
+                "tasks and is exact-only; use closure/broadcast for matmul"
+            )
         probes = _table_probes(embeddings, centroids, 1, vec_col, id_col)
         assigned = probes.select(
             id_col, F.element_at("probes", 1).alias(out)
@@ -602,7 +635,7 @@ def assign_clusters(
             *embeddings.columns, out
         )
     probes_udf, _release = _nearest_probes_pandas(
-        embeddings.sparkSession, centroids, 1, transport
+        embeddings.sparkSession, centroids, 1, transport, distance
     )
     # the returned frame is lazy: the broadcast must outlive every
     # consumer job, so release is the caller's (or GC's) business here
@@ -619,15 +652,21 @@ def nearest_clusters(
     out: str = "probes",
     id_col: str = "vec_id",
     transport: str = "auto",
+    distance: str = "exact",
 ) -> DataFrame:
     """Array of the `nprobe` nearest cluster indices per vector,
     nearest first — the multi-probe query side of IVF. Same exact
     floor-scaled int64 distances as `assign_clusters`; ties break
     toward the lower cluster index (np.argsort stable over an index-
-    ordered distance matrix == ORDER BY (d, cluster)). `transport` as
-    in `assign_clusters`."""
+    ordered distance matrix == ORDER BY (d, cluster)). `transport`
+    and `distance` as in `assign_clusters`."""
     transport = _resolve_transport(transport, len(centroids))
     if transport == "table":
+        if distance != "exact":
+            raise ValueError(
+                "table transport merges int64 distance partials across "
+                "tasks and is exact-only; use closure/broadcast for matmul"
+            )
         probes = _table_probes(
             embeddings, centroids, nprobe, vec_col, id_col
         ).withColumnRenamed("probes", out)
@@ -635,7 +674,11 @@ def nearest_clusters(
             *embeddings.columns, out
         )
     probes_udf, _release = _nearest_probes_pandas(
-        embeddings.sparkSession, centroids, min(nprobe, len(centroids)), transport
+        embeddings.sparkSession,
+        centroids,
+        min(nprobe, len(centroids)),
+        transport,
+        distance,
     )
     return embeddings.withColumn(out, probes_udf(F.col(vec_col)))
 

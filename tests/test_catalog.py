@@ -31,6 +31,19 @@ class TestCatalogInvariants:
                 spec.oracle.strip() in c.oracle for c in _COMBOS
             ), f"{name} is neither standalone nor embedded in any combo oracle"
 
+    def test_combo_member_counts_stay_hash_sensitive(self):
+        """A combo's gate hash covers the UNION of its members — every
+        member added dilutes how much of the hash any one member
+        controls. Cap membership at 8 so a future member can't
+        silently turn a combo into a low-sensitivity catch-all; past
+        the cap, split the combo or promote members to standalone."""
+        from etl_pipelines_spark.queries.combos import COMBO_MEMBERS
+
+        for name, members in COMBO_MEMBERS.items():
+            assert 1 <= len(members) <= 8, (
+                f"{name} carries {len(members)} members — split it"
+            )
+
     def test_all_driver_entries_have_descriptions_and_oracles(self):
         for name, spec in DRIVER_QUERIES.items():
             assert spec.oracle, name

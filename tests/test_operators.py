@@ -726,6 +726,53 @@ class TestCodebookTransports:
         assert "BroadcastNestedLoop" not in plan
         assert "BroadcastExchange" not in plan
 
+    def test_matmul_distance_agrees_with_exact(self, spark):
+        """The float32 GEMM kernel (the production assignment path
+        past ~10^7 vectors) must agree with the exact int64 kernel on
+        every non-degenerate point: the fixture's coordinates are
+        multiples of 1/3 and 1/2 with squared-distance gaps far above
+        float32 rounding, so agreement here is exact — only true ties
+        (the duplicated centroid) may legitimately differ, and those
+        also break toward the lowest index (np.argmin first-hit)."""
+        from etl_pipelines_spark.llm.similarity import (
+            assign_clusters,
+            nearest_clusters,
+        )
+
+        df = self._fixture(spark, n=200)
+        cents = self._centroids(9)
+        exact = {
+            r["vec_id"]: r["cluster"]
+            for r in assign_clusters(df, cents, distance="exact").collect()
+        }
+        fast = {
+            r["vec_id"]: r["cluster"]
+            for r in assign_clusters(df, cents, distance="matmul").collect()
+        }
+        assert fast == exact
+        e4 = {
+            r["vec_id"]: list(r["probes"])
+            for r in nearest_clusters(df, cents, 4, distance="exact").collect()
+        }
+        m4 = {
+            r["vec_id"]: list(r["probes"])
+            for r in nearest_clusters(df, cents, 4, distance="matmul").collect()
+        }
+        assert m4 == e4
+
+    def test_matmul_rejects_table_transport_and_bad_kernel(self, spark):
+        import pytest as _pytest
+
+        from etl_pipelines_spark.llm.similarity import assign_clusters
+
+        df = self._fixture(spark, n=10)
+        with _pytest.raises(ValueError, match="exact-only"):
+            assign_clusters(
+                df, self._centroids(9), transport="table", distance="matmul"
+            )
+        with _pytest.raises(ValueError, match="distance kernel"):
+            assign_clusters(df, self._centroids(9), distance="cosine")
+
     def test_auto_switches_past_closure_threshold(self, spark):
         from etl_pipelines_spark.llm import similarity
 

@@ -83,6 +83,28 @@ def measure(spark, n: int, dim: int, n_iter: int) -> dict:
             out["k_clamped128"] = k
             out["assign_sec_128"] = sec
             out["pairs_clamped128"] = int(cells["pairs"])
+        if label == "adaptive":
+            # the float32 GEMM kernel over the SAME codebook — the
+            # production assignment path past ~10^7 vectors; also
+            # record how often it disagrees with the exact kernel
+            # (near-ties within float32 rounding)
+            t0 = time.time()
+            diff = (
+                assign_clusters(emb, cents, out="c_exact")
+                .join(
+                    assign_clusters(emb, cents, out="c_mm", distance="matmul"),
+                    "vec_id",
+                )
+                .filter(F.col("c_exact") != F.col("c_mm"))
+                .count()
+            )
+            out["assign_sec_matmul_pass"] = round(time.time() - t0, 2)
+            t0 = time.time()
+            assign_clusters(emb, cents, distance="matmul").agg(
+                F.count(F.lit(1))
+            ).first()
+            out["assign_sec_matmul"] = round(time.time() - t0, 2)
+            out["matmul_disagree"] = int(diff)
     emb.unpersist()
     return out
 
