@@ -43,6 +43,52 @@ def merge_upsert(
     return kept.unionByName(updates.select(*target.columns))
 
 
+def upsert_partitions(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    partition_col: str = "date",
+    fmt: str = "parquet",
+) -> None:
+    """Partition-restricted MERGE — the next rung past `upsert_table`'s
+    whole-table rewrite: only the partitions PRESENT in `updates` are
+    rewritten (Spark dynamic partition overwrite); every other
+    partition's files are untouched on disk. Within a touched
+    partition, target rows matching an update key are replaced and the
+    rest carry over — so the caller's contract is just "every row that
+    may change is in `updates`", and cost is O(touched partitions),
+    not O(table).
+
+    The merged frame is localCheckpointed before the write: the plan
+    reads the same path it overwrites, and materializing first both
+    breaks that cycle and bounds the rewrite's input to
+    touched-partition data. Crash safety is weaker than
+    staged_table_swap (partition dirs commit independently); callers
+    in the incremental-refresh path rely on at-least-once replay +
+    idempotent merge + post-write reconciliation instead."""
+    touched = updates.select(partition_col).distinct()
+    target = spark.read.format(fmt).load(path)
+    kept = target.join(F.broadcast(touched), partition_col, "left_semi").join(
+        updates.select(*keys).distinct(), keys, "left_anti"
+    )
+    merged = kept.unionByName(updates.select(*target.columns)).localCheckpoint(
+        eager=True
+    )
+    (
+        # repartition ON the partition column first — the same
+        # small-files discipline as sources.registry.write_partitioned
+        # (without it, tasks x partitions files per write murder every
+        # downstream scan and the dynamic commit's file moves)
+        merged.repartition(partition_col)
+        .write.mode("overwrite")
+        .format(fmt)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .save(path)
+    )
+
+
 def upsert_table(
     spark: SparkSession,
     path: str,

@@ -307,18 +307,26 @@ def refresh_warehouse_incremental(
        the previous run (everything, on the first run).
     2. MERGE  — affected coins (any coin carrying new price or
        transfer days) have their curated slices RECOMPUTED over their
-       full history and `upsert_table`d into the on-disk tables
-       (replace-the-slice). Recompute-per-key is what makes the
-       cumulative columns (running balance, the profits kernel's
-       cost-basis cumsums) exactly equal a full rebuild — a blind
-       append would freeze history; O(churn x key-history), not
-       O(corpus). coin_market_data additionally honors the DENSIFY
-       HORIZON: affected coins fill to the true global max date (from
-       the full raw stream, not the affected subset), and unaffected
-       coins whose standing series trail an advanced horizon get pure
-       ffill extension rows — without either, uneven per-coin arrival
-       (the reference's normal case: per-chain pulls lag days apart)
-       silently diverges from a full rebuild.
+       full history (the cumulative-column requirement: running
+       balance and the profits cumsums at NEW dates need the whole
+       past), but only the DELTA rows — date strictly past the coin's
+       saved high-water mark — are merged, through `upsert_partitions`
+       (dynamic partition overwrite: only touched date partitions
+       rewrite, O(churn), never O(table)). The delta restriction is
+       sound because `incremental_pull` admits only rows NEWER than
+       each coin's mark: cumulative columns at or before the mark
+       depend only on data at or before the mark, so standing history
+       is bit-identical to the recompute and rewriting it would be
+       pure waste (profits uses the LEAST of a coin's price/transfer
+       marks — a new price at an old transfer day creates a profits
+       row between the two marks). coin_market_data additionally
+       honors the DENSIFY HORIZON: affected coins fill to the true
+       global max date (from the full raw stream, not the affected
+       subset), and unaffected coins whose standing series trail an
+       advanced horizon get pure ffill extension rows — without
+       either, uneven per-coin arrival (the reference's normal case:
+       per-chain pulls lag days apart) silently diverges from a full
+       rebuild.
     3. AUDIT  — the same declarative expectations.yml suites as the
        full rebuild, on the post-merge tables.
     4. RECONCILE — `validate_incremental_load` proves each table's
@@ -337,7 +345,7 @@ def refresh_warehouse_incremental(
     Dimensions (chains/coins/coin_facts) rebuild whole each run —
     key-grain tables, the reference's daily dim rebuild discipline.
     """
-    from etl_pipelines_spark.operators.merge import upsert_table
+    from etl_pipelines_spark.operators.merge import upsert_partitions
     from etl_pipelines_spark.plans.reconcile import validate_incremental_load
     from etl_pipelines_spark.queries.timeseries import (
         daily_prices,
@@ -347,6 +355,7 @@ def refresh_warehouse_incremental(
     from etl_pipelines_spark.streaming.incremental import (
         high_water_marks,
         incremental_pull,
+        load_watermark_state,
         save_watermark_state,
     )
 
@@ -390,23 +399,45 @@ def refresh_warehouse_incremental(
     def touch(df: DataFrame) -> DataFrame:
         return df.join(F.broadcast(affected), "coin_id")
 
+    # per-coin delta cutoffs = the PREVIOUS run's saved marks (None on
+    # the first run, where the delta is the corpus). Broadcast-joined:
+    # the delta restriction never shuffles the slice.
+    md_hwm = load_watermark_state(spark, md_state)
+    x_hwm = load_watermark_state(spark, x_state)
+
+    def after_hwm(df: DataFrame, hwm: DataFrame | None) -> DataFrame:
+        """Rows strictly past their coin's saved mark — the merge
+        delta. Coins without a mark (first seen this run) pass whole."""
+        if hwm is None:
+            return df
+        j = df.join(F.broadcast(hwm), "coin_id", "left")
+        return j.filter(
+            F.col("hwm").isNull() | (F.col("date") > F.col("hwm"))
+        ).drop("hwm")
+
     def merge_and_check(
-        name: str, slice_df: DataFrame, keys: list[str]
+        name: str, delta_df: DataFrame, keys: list[str], probe: DataFrame
     ) -> DataFrame:
-        """Upsert the recomputed affected-coin slice (replace-the-
-        slice on coin_id), audit, and reconcile the landed slice
-        against the recomputation."""
+        """Merge the delta rows (dynamic partition overwrite: only the
+        touched date partitions rewrite), audit the post-merge table,
+        and reconcile the landed delta against the recomputation.
+
+        The delta is localCheckpointed FIRST: the merge reads it three
+        times (touched partitions, replace keys, the union) and the
+        reconcile twice more (key diff, digest) — five evaluations of
+        a windowed-recompute plan was the dominant cost of the whole
+        increment before this (76 s -> seconds for the market-data
+        delta at sf0.1). Churn-sized, so executor storage holds it."""
+        delta_df = delta_df.localCheckpoint(eager=True)
         path = os.path.join(out_dir, name)
         if os.path.exists(path):
-            upsert_table(
-                spark, path, slice_df, ["coin_id"], partition_cols=("date",)
-            )
+            upsert_partitions(spark, path, delta_df, keys)
         else:  # first run: the delta IS the corpus
-            write_partitioned(slice_df, path)
+            write_partitioned(delta_df, path)
         back = spark.read.parquet(path)
         audit(name, back)
         report.reconcile[name] = validate_incremental_load(
-            slice_df, touch(back), keys
+            delta_df, probe(back), keys
         )
         return back
 
@@ -435,11 +466,14 @@ def refresh_warehouse_incremental(
     # test_refresh.py (uneven-arrival lifecycle).
     horizon = md_all.agg(F.max("date").alias("_h")).first()["_h"]
     dense_aff = _dense_market(md_aff, end_date=horizon)
+    # materialized once for the same reason merge_and_check checkpoints
+    # its delta: the merge + reconcile read this five times
+    dense_delta = after_hwm(dense_aff, md_hwm).localCheckpoint(eager=True)
     cmd_path = os.path.join(out_dir, "coin_market_data")
     tails = None
     if os.path.exists(cmd_path):
         # checkpoint BEFORE the rewrite: the extension plan must not
-        # lazily re-read files the staged swap is about to retire
+        # lazily re-read files the merge is about to replace
         tails = _horizon_tails(
             spark.read.parquet(cmd_path), affected, horizon
         ).localCheckpoint(eager=True)
@@ -447,23 +481,25 @@ def refresh_warehouse_incremental(
             _horizon_extension(tails, horizon) if tails.count() else None
         )
         update = (
-            dense_aff.unionByName(ext) if ext is not None else dense_aff
+            dense_delta.unionByName(ext) if ext is not None else dense_delta
         )
-        # merge key (coin_id, date): replace-per-day. Equivalent to
-        # replace-the-slice for affected coins — their recomputed slice
-        # spans min(date)..horizon, a superset of every standing day —
-        # and a pure insert for the horizon-extension rows.
-        upsert_table(
-            spark, cmd_path, update, ["coin_id", "date"],
-            partition_cols=("date",),
-        )
+        # (coin_id, date) keys: replace-per-day. The delta covers every
+        # row that can differ from standing (real new days, recomputed
+        # imputed days past the mark, horizon fills), and the standing
+        # imputed rows it replaces sit at the same (coin, date) keys.
+        upsert_partitions(spark, cmd_path, update, ["coin_id", "date"])
     else:
         ext = None
-        write_partitioned(dense_aff, cmd_path)
+        # first run: no marks, so the checkpointed delta IS the corpus
+        write_partitioned(dense_delta, cmd_path)
     cmd_back = spark.read.parquet(cmd_path)
     audit("coin_market_data", cmd_back)
+    # dense_delta == dense_aff on the first run (no marks yet), so one
+    # expression serves both paths; the probe mirrors the same cutoff
     report.reconcile["coin_market_data"] = validate_incremental_load(
-        dense_aff, touch(cmd_back), ["coin_id", "date"]
+        dense_delta,
+        after_hwm(touch(cmd_back), md_hwm),
+        ["coin_id", "date"],
     )
     if ext is not None:
         ext_loaded = (
@@ -478,9 +514,26 @@ def refresh_warehouse_incremental(
         )
     cwt_back = merge_and_check(
         "coin_wallet_transfers",
-        _with_balance(touch(x_all)),
+        after_hwm(_with_balance(touch(x_all)), x_hwm),
         ["coin_id", "wallet_address", "date"],
+        probe=lambda back: after_hwm(touch(back), x_hwm),
     )
+    # profits can gain/change rows anywhere past the LEAST of the two
+    # marks: a new price at an old transfer day mints a profits row
+    # between them, and every later row's cumsums shift with it
+    p_hwm = None
+    if md_hwm is not None and x_hwm is not None:
+        p_hwm = (
+            md_hwm.withColumnRenamed("hwm", "_mh")
+            .join(x_hwm.withColumnRenamed("hwm", "_xh"), "coin_id", "full_outer")
+            .select(
+                "coin_id",
+                F.least(
+                    F.coalesce("_mh", F.lit("0001-01-01").cast("date")),
+                    F.coalesce("_xh", F.lit("0001-01-01").cast("date")),
+                ).alias("hwm"),
+            )
+        )
     profits = wallet_profits_kernel_from(
         touch(cwt_back).select(
             "coin_id", "wallet_address", "date", "net_transfers", "balance"
@@ -488,7 +541,10 @@ def refresh_warehouse_incremental(
         md_aff,
     )
     merge_and_check(
-        "coin_wallet_profits", profits, ["coin_id", "wallet_address", "date"]
+        "coin_wallet_profits",
+        after_hwm(profits, p_hwm),
+        ["coin_id", "wallet_address", "date"],
+        probe=lambda back: after_hwm(touch(back), p_hwm),
     )
     md_aff.unpersist()
 
