@@ -118,9 +118,13 @@ def main() -> None:
     }
 
     # steady-state row: the INCREMENTAL refresh (pull -> merge ->
-    # audit -> reconcile) landing H2 1998 on top of a standing H1
-    # warehouse — the reference's daily mode. Measured as min over
-    # bootstrap+increment pairs (state makes a lone re-run a no-op).
+    # audit -> reconcile) landing Nov-Dec 1998 on top of a standing
+    # Jan-Oct warehouse — the reference's daily mode at a monthly
+    # grain (TPC-H ship dates end 1998-12-01, so this is the last
+    # ~30 days of real arrivals; roughly a third of coins carry new
+    # rows, the sparse-churn shape incremental exists for). Measured
+    # as min over bootstrap+increment pairs (state makes a lone
+    # re-run a no-op).
     inc_runs: list[float] = []
     inc_report = None
     while len(inc_runs) < MIN_RUNS:
@@ -128,7 +132,7 @@ def main() -> None:
         inc_state = tempfile.mkdtemp(prefix="bench_incstate_")
         refresh_warehouse_incremental(
             spark, SF_DIR, inc_out, inc_state,
-            since="1998-01-01", until="1998-06-30",
+            since="1998-01-01", until="1998-10-31",
         )
         t0 = time.time()
         inc_report = refresh_warehouse_incremental(
@@ -139,10 +143,12 @@ def main() -> None:
         shutil.rmtree(inc_out, ignore_errors=True)
         shutil.rmtree(inc_state, ignore_errors=True)
     refresh_row["incremental_sec"] = round(min(inc_runs), 3)
+    refresh_row["incremental_affected_coins"] = inc_report.affected_coins
     refresh_row["incremental_ok"] = inc_report.passed
     refresh_row["incremental_scope"] = (
-        "H2-1998 increment onto a standing H1 warehouse (pull+merge+"
-        "audit+reconcile, replace-the-slice per coin)"
+        "Nov-Dec 1998 increment onto a standing Jan-Oct warehouse "
+        "(pull+merge+audit+reconcile, delta rows past each coin's "
+        "high-water mark, dynamic-partition merge)"
     )
 
     # The driver captures only a bounded tail of stdout: emit ONE compact

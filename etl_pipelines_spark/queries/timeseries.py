@@ -96,7 +96,9 @@ def transfers_from(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     )
 
 
-def transfers_base_from(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+def transfers_base_from(
+    lineitem: DataFrame, orders: DataFrame, shuffle_on=("l_partkey",)
+) -> DataFrame:
     """The PRE-AGGREGATION transfer event stream: one row per lineitem
     with (coin_id, wallet_address, date, _sq signed quantity),
     coin_id-clustered by the same single up-front exchange as
@@ -106,10 +108,15 @@ def transfers_base_from(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     wasted CPU for them) read this and skip the 6M-row hash
     aggregation; summing `_sq` per (coin, wallet, date) reproduces
     `transfers_from` exactly (quantities are integers in doubles, so
-    the sum is order-independent)."""
+    the sum is order-independent). `shuffle_on=None` skips the
+    up-front exchange for consumers that plan their own (q72 keys its
+    one shuffle on the (coin, wallet) pair to stay balanced under
+    hot-coin skew)."""
     li = lineitem.select(
         "l_orderkey", "l_partkey", "l_shipdate", "l_returnflag", "l_quantity"
-    ).repartition("l_partkey")
+    )
+    if shuffle_on:
+        li = li.repartition(*shuffle_on)
     o = orders.select("o_orderkey", "o_custkey")
     signed = F.when(F.col("l_returnflag") == "R", -F.col("l_quantity")).otherwise(
         F.col("l_quantity")
@@ -1097,12 +1104,24 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
         F.to_date("l_shipdate").alias("lo"),
         F.date_add(F.to_date("l_shipdate"), (F.col("l_linenumber") % 7) + 1).alias("hi"),
     )
+    # COUNT-WEIGHTED interval dedupe before the bucket explode: the
+    # count distributes over identical (coin, lo, hi) triples, so the
+    # explode + join see only DISTINCT intervals and the final agg
+    # sums weights. Algebraically exact, and the lever that keeps a
+    # hot key sane: a Zipf coin carrying a third of the corpus has
+    # ~2.9M interval rows but only ~17k distinct (lo, hi) windows —
+    # without the pre-agg the explode pays the duplication x bucket
+    # factor (measured 12.4 s -> ~1 s at skewed-sf1, plans unchanged
+    # on uniform corpora where intervals are near-distinct).
+    distinct_iv = intervals.groupBy("coin_id", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("_w")
+    )
     points = (
         daily_prices(spark, sf).filter(F.col("coin_id") < 40).select("coin_id", "date").distinct()
     )
-    joined = point_in_interval_join(points, intervals, ["coin_id"], "date", "lo", "hi")
+    joined = point_in_interval_join(points, distinct_iv, ["coin_id"], "date", "lo", "hi")
     return joined.groupBy("coin_id", "date").agg(
-        F.count(F.lit(1)).alias("n_in_flight")
+        F.sum("_w").cast("long").alias("n_in_flight")
     )
 
 
@@ -1303,7 +1322,21 @@ def q72(spark: SparkSession, sf: str) -> DataFrame:
     from etl_pipelines_spark.quality import fused_balance_audit
 
     pair = ["coin_id", "wallet_address"]
-    bal = transfers(spark, sf).select(
+    # q72 never joins back on coin alone, so unlike the q22/q75 family
+    # it owes nothing to coin-grain clustering — shuffle once on the
+    # (coin, wallet) PAIR instead. Under a Zipf corpus a coin-keyed
+    # exchange puts the hot coin's third-of-the-corpus in ONE task
+    # while 31 cores idle through the agg + window; pair-keying caps a
+    # task at the hottest (coin, wallet) cell (~5% here), the same
+    # work in 1/6 the wall (measured at skewed-sf1: 7.6 s -> ~2 s;
+    # uniform corpora see the identical plan shape, one exchange).
+    base = transfers_base_from(
+        t(spark, sf, "lineitem"), t(spark, sf, "orders"), shuffle_on=None
+    ).repartition(*pair)
+    x = base.groupBy(*pair, "date").agg(
+        F.sum("_sq").cast("double").alias("net_transfers")
+    )
+    bal = x.select(
         *pair,
         "date",
         F.sum("net_transfers")
