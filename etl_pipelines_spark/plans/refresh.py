@@ -422,17 +422,22 @@ def refresh_warehouse_incremental(
         touched date partitions rewrite), audit the post-merge table,
         and reconcile the landed delta against the recomputation.
 
-        The delta is localCheckpointed FIRST: the merge reads it three
-        times (touched partitions, replace keys, the union) and the
-        reconcile twice more (key diff, digest) — five evaluations of
-        a windowed-recompute plan was the dominant cost of the whole
-        increment before this (76 s -> seconds for the market-data
-        delta at sf0.1). Churn-sized, so executor storage holds it."""
-        delta_df = delta_df.localCheckpoint(eager=True)
+        On the MERGE path the delta is localCheckpointed first: the
+        merge reads it three times (touched partitions, replace keys,
+        the union) and the reconcile twice more (key diff, digest) —
+        five evaluations of a windowed-recompute plan was the dominant
+        cost of the whole increment before this (76 s -> seconds for
+        the market-data delta at sf0.1). Churn-sized, so executor
+        storage holds it. On the FIRST run the "delta" is the whole
+        corpus — checkpointing tens of millions of rows OOMs the heap
+        for zero benefit (a straight write evaluates the plan once),
+        so it writes directly and only the reconcile re-reads the
+        landed files."""
         path = os.path.join(out_dir, name)
         if os.path.exists(path):
+            delta_df = delta_df.localCheckpoint(eager=True)
             upsert_partitions(spark, path, delta_df, keys)
-        else:  # first run: the delta IS the corpus
+        else:  # first run: the delta IS the corpus — write, don't cache
             write_partitioned(delta_df, path)
         back = spark.read.parquet(path)
         audit(name, back)
@@ -466,10 +471,14 @@ def refresh_warehouse_incremental(
     # test_refresh.py (uneven-arrival lifecycle).
     horizon = md_all.agg(F.max("date").alias("_h")).first()["_h"]
     dense_aff = _dense_market(md_aff, end_date=horizon)
-    # materialized once for the same reason merge_and_check checkpoints
-    # its delta: the merge + reconcile read this five times
-    dense_delta = after_hwm(dense_aff, md_hwm).localCheckpoint(eager=True)
+    dense_delta = after_hwm(dense_aff, md_hwm)
     cmd_path = os.path.join(out_dir, "coin_market_data")
+    if md_hwm is not None and os.path.exists(cmd_path):
+        # materialized once for the same reason merge_and_check
+        # checkpoints its delta (merge + reconcile read it five
+        # times); churn-sized only on the merge path — a first run's
+        # corpus-sized "delta" writes straight to parquet instead
+        dense_delta = dense_delta.localCheckpoint(eager=True)
     tails = None
     if os.path.exists(cmd_path):
         # checkpoint BEFORE the rewrite: the extension plan must not
