@@ -280,70 +280,53 @@ _Q51_MEMBERS = [
 ]
 
 
-def _q51_shared_transfers(schema, members):
-    """Altitude-matched feeds for the sketch suite's three
-    transfers-derived members (KMV q51, HLL q80, quantile sample
-    q95): all three consume ONE pre-aggregation transfer event stream
-    (`transfers_base_from`: scan -> single coin_id exchange ->
-    broadcast join, no daily agg). KMV and HLL hash wallets, so the
-    (coin, wallet, date) daily-net aggregation their standalone plans
-    inherit from `transfers` is pure wasted CPU — they skip it; only
-    q95 (which samples daily net values) pays the agg, reproducing
-    `transfers` exactly. Everything downstream of the one exchange is
-    coin_id-clustered (register tables, bottom-k, KMV rank), so no
-    member adds another shuffle. Measured at sf1: suite 10.3 s ->
-    ~5.5 s (the skipped 6M-row hash agg x2 and the narrower exchange
-    dominate). Two rejected alternatives, both measured: an
-    eagerly-persisted/localCheckpointed shared frame (memory-store
-    write + barrier costs ≈ what the 3 lazy rebuilds cost — no win),
-    and a repartition-above-the-agg reuse point (Catalyst collapses
-    the redundant exchange and member-specific pruning de-dupes the
-    branches anyway). Values are pinned by the member-level parity
-    gate: the wallet set per coin and the daily net sums are
-    identical either way (integer-in-double quantities sum
-    order-independently). q85 (customers) and q90 (events) read
-    other tables and keep their member plans."""
+def _q51_direct_grain(schema, members):
+    """Suite-level feeds for HLL (q80) and the quantile sample (q95):
+    build each sketch state DIRECTLY at coin grain instead of the
+    standalone members' month-grain-build-then-merge. The merge
+    CLOSURE those members exist to demonstrate (register max and
+    bottom-k selection are associative; merge(fine) == build(direct),
+    pinned in test_operators) is exactly what makes this
+    value-identical — the suite just skips one full-corpus
+    aggregation level per member. Measured at sf1 under the full-plan
+    noop-sink protocol: suite ~10 s -> ~8 s. Rejected alternatives,
+    all measured under the same protocol: a shared pre-aggregation
+    event stream (base-feeding kmv/hll looked 2x better under
+    count() — a column-pruning artifact; under the full-plan sink it
+    was 10-20% WORSE than the standalone members), an
+    eagerly-persisted shared transfers frame (cache write + barrier
+    cost more than the three ~1.5 s rebuilds they replace), and a
+    repartition-above-the-agg reuse point (Catalyst collapses the
+    redundant exchange; member-specific pruning de-dupes the branches
+    anyway). The residual gap to the DuckDB oracle (~1.5x at sf1) is
+    md5 throughput: every member's hash is anchored to md5 for
+    cross-engine exactness, and ONE md5+conv pass over the 6M-row
+    stream costs ~1.9 s in the JVM — three members pay it. Production
+    reads ride xxhash64 / approx_count_distinct (operators/sketches.py
+    note); the portable tier exists to be oracle-diffable. kmv (q51),
+    q85 (customers), q90 (events) keep their member plans."""
 
     def spark_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         from etl_pipelines_spark.operators.sketches import (
-            kmv_distinct,
-            merge_hll_registers,
             portable_hll_estimate,
             portable_hll_registers,
             quantile_sketch_build,
             quantile_sketch_estimate,
-            quantile_sketch_merge,
         )
-        from etl_pipelines_spark.queries.timeseries import t, transfers_base_from
+        from etl_pipelines_spark.queries.timeseries import transfers
 
-        base = transfers_base_from(
-            t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "orders")
-        )
-        x = base.groupBy("coin_id", "wallet_address", "date").agg(
-            F.sum("_sq").cast("double").alias("net_transfers")
-        )
+        x = transfers(spark, sf_dir)
         frames = {
-            "kmv": kmv_distinct(base, ["coin_id"], "wallet_address", k=16),
             "hll": portable_hll_estimate(
-                merge_hll_registers(
-                    portable_hll_registers(
-                        base.withColumn("_m", F.month("date")),
-                        ["coin_id", "_m"],
-                        "wallet_address",
-                    ),
-                    ["coin_id"],
-                ),
+                portable_hll_registers(x, ["coin_id"], "wallet_address"),
                 ["coin_id"],
             ),
             "qsk": quantile_sketch_estimate(
-                quantile_sketch_merge(
-                    quantile_sketch_build(
-                        x.withColumn("_m", F.month("date")),
-                        ["coin_id", "_m"],
-                        "net_transfers",
-                        ["coin_id", "wallet_address", "date"],
-                    ),
+                quantile_sketch_build(
+                    x,
                     ["coin_id"],
+                    "net_transfers",
+                    ["coin_id", "wallet_address", "date"],
                 ),
                 ["coin_id"],
                 qs=(0.25, 0.5, 0.9),
@@ -848,7 +831,7 @@ for _c in _COMBOS:
     elif _c.name == "q55_doc_scoring":
         _c.spark_fn = _shared_words_scan(_Q55_SCHEMA, _Q55_MEMBERS, _q55_frames)
     elif _c.name == "q51_sketch_suite":
-        _c.spark_fn = _q51_shared_transfers(_Q51_SCHEMA, _Q51_MEMBERS)
+        _c.spark_fn = _q51_direct_grain(_Q51_SCHEMA, _Q51_MEMBERS)
 
 
 def build_driver_queries() -> dict[str, QuerySpec]:
