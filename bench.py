@@ -26,12 +26,16 @@ from etl_pipelines_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def sf_label(path: str) -> float:
+def sf_label(path: str):
+    """Numeric scale factor when the dir name is sfN.N; otherwise the
+    basename itself (e.g. "sf1skew") — a -1.0 sentinel misled JSON
+    consumers about the artifact's provenance. The `corpus` field in
+    the output always carries the basename verbatim."""
     base = os.path.basename(path.rstrip("/"))
     try:
         return float(base.replace("sf", ""))
     except ValueError:
-        return -1.0
+        return base
 
 
 def main() -> None:
@@ -62,6 +66,10 @@ def main() -> None:
     # bounded at 4 runs.
     MIN_RUNS, MAX_RUNS = 2, 4
     timings: dict[str, float] = {}
+    # per-run arrays recorded alongside the min: cross-round drift can
+    # then be attributed to variance (wide spread within a round) vs a
+    # real regression (tight spread at a new level) without re-running
+    run_arrays: dict[str, list[float]] = {}
     for name, spec in sorted(QUERIES.items()):
         runs: list[float] = []
         while len(runs) < MAX_RUNS:
@@ -76,6 +84,7 @@ def main() -> None:
             if len(runs) >= MIN_RUNS and not still_warming:
                 break
         timings[name] = round(min(runs), 3)
+        run_arrays[name.split("_")[0]] = [round(r, 2) for r in runs]
 
     total = round(sum(timings.values()), 3)
 
@@ -151,6 +160,42 @@ def main() -> None:
         "high-water mark, dynamic-partition merge)"
     )
 
+    # SPARSE-CHURN row: ONE day of arrivals (the final TPC-H ship day)
+    # onto a standing full-year warehouse — the reference's actual
+    # daily shape (workflows/core_tables_all.yaml re-run after one
+    # day's pulls, retrieve_dune_transfer_data.py:127-147), where a
+    # couple percent of coins carry new rows. This is the shape the
+    # O(churn) merge exists for; the dense two-month row above is the
+    # honest worst case (a third of coins, recompute ~ rebuild).
+    day_runs: list[float] = []
+    day_report = None
+    while len(day_runs) < MIN_RUNS:
+        day_out = tempfile.mkdtemp(prefix="bench_day_")
+        day_state = tempfile.mkdtemp(prefix="bench_daystate_")
+        refresh_warehouse_incremental(
+            spark, SF_DIR, day_out, day_state,
+            since="1998-01-01", until="1998-11-30",
+        )
+        t0 = time.time()
+        day_report = refresh_warehouse_incremental(
+            spark, SF_DIR, day_out, day_state,
+            since="1998-01-01", until="1998-12-01",
+        )
+        day_runs.append(time.time() - t0)
+        shutil.rmtree(day_out, ignore_errors=True)
+        shutil.rmtree(day_state, ignore_errors=True)
+    refresh_row["incremental_day_sec"] = round(min(day_runs), 3)
+    refresh_row["incremental_day_affected_coins"] = day_report.affected_coins
+    refresh_row["incremental_day_ok"] = day_report.passed
+    refresh_row["incremental_day_vs_rebuild"] = round(
+        min(refresh_runs) / max(min(day_runs), 1e-9), 2
+    )
+    refresh_row["incremental_day_scope"] = (
+        "one day of arrivals (1998-12-01, the last ship day) onto a "
+        "standing Jan-Nov warehouse — the reference's steady-state "
+        "daily shape; _vs_rebuild = full-rebuild sec / this"
+    )
+
     # The driver captures only a bounded tail of stdout: emit ONE compact
     # line (short query keys = the qNN prefix, no spaces, 2-digit secs)
     # so the whole JSON object survives the capture and parses.
@@ -164,8 +209,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": short,
+                "runs_sec": run_arrays,
                 "refresh": refresh_row,
                 "sf": sf_label(SF_DIR),
+                "corpus": os.path.basename(SF_DIR.rstrip("/")),
                 # q42/q68 run REAL Structured Streaming micro-batch
                 # pipelines: their wall time is dominated by a fixed
                 # ~1-3 s trigger/startup floor per run, not per-row

@@ -11,6 +11,14 @@ ulp-ish deviation). Usage:
     python tools/check_parity.py --internal        # full internal registry
     python tools/check_parity.py --internal q69    # internal member query
     SPARK_GRAFT_PARITY_SF=/root/testdata/sf0.001 python tools/check_parity.py
+
+Scaled-corpus parity artifacts (machine-readable, same shape as the
+driver's CORRECTNESS gate — rows/schema/hash booleans per entry):
+
+    SPARK_GRAFT_PARITY_SF=testdata_scaled/sf1 \
+        python tools/check_parity.py --emit-json CORRECTNESS_sf1.json
+    SPARK_GRAFT_PARITY_SF=testdata_scaled/sf1skew \
+        python tools/check_parity.py --emit-json CORRECTNESS_sf1skew.json
 """
 
 from __future__ import annotations
@@ -96,6 +104,11 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
 def main() -> int:
     args = sys.argv[1:]
     internal = "--internal" in args
+    emit_path = None
+    if "--emit-json" in args:
+        i = args.index("--emit-json")
+        emit_path = args[i + 1]
+        args = args[:i] + args[i + 2 :]
     prefixes = [a for a in args if a != "--internal"]
     registry = QUERIES if internal else DRIVER_QUERIES
     selected = {
@@ -117,33 +130,68 @@ def main() -> int:
         extra_conf={"spark.driver.maxResultSize": "6g"},
     )
     failures = []
+    # driver-gate-shaped record per entry (CORRECTNESS_r{N}.json keys)
+    records: dict[str, dict] = {}
     for name, spec in sorted(selected.items()):
         t0 = time.time()
+        rec = {
+            "rows_match": False,
+            "schema_match": False,
+            "hash_match": False,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        records[name] = rec
         try:
             sdf = spec.spark_fn(spark, SF_DIR).toPandas()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            rec["err"] = f"spark error: {e}"
             print(f"FAIL  {name}: spark error: {e}")
             continue
+        rec["spark_rows"] = len(sdf)
         if spec.oracle is None:
-            status = "ROWS-ONLY"
-            print(f"ok    {name}: {len(sdf)} rows [{status}] ({time.time()-t0:.1f}s)")
+            rec.update(rows_match=True, schema_match=None, hash_match=None,
+                       mode="rows_only")
+            print(f"ok    {name}: {len(sdf)} rows [ROWS-ONLY] ({time.time()-t0:.1f}s)")
             continue
         try:
             odf = con.execute(spec.oracle).df()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            rec["err"] = f"oracle error: {e}"
             print(f"FAIL  {name}: oracle error: {e}")
             continue
+        rec["oracle_rows"] = len(odf)
         problems = compare(name, sdf, odf)
+        rec["schema_match"] = not any(p.startswith("columns differ") for p in problems)
+        rec["rows_match"] = rec["schema_match"] and not any(
+            p.startswith("row count differ") for p in problems
+        )
+        rec["hash_match"] = not problems
         if problems:
             failures.append(name)
+            rec["err"] = "; ".join(problems)[:500]
             print(f"FAIL  {name}: ({time.time()-t0:.1f}s)")
             for p in problems:
                 print(f"      {p}")
         else:
             print(f"ok    {name}: {len(sdf)} rows match ({time.time()-t0:.1f}s)")
     print(f"\n{len(selected) - len(failures)}/{len(selected)} queries match")
+    if emit_path:
+        import json
+
+        payload = {
+            "corpus": os.path.basename(SF_DIR.rstrip("/")),
+            "sf_dir": SF_DIR,
+            "n_match": len(selected) - len(failures),
+            "n_total": len(selected),
+            "entries": records,
+        }
+        with open(emit_path, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"wrote {emit_path}")
     return 1 if failures else 0
 
 
