@@ -73,6 +73,21 @@ def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     return words.select(id_col, F.explode(F.array_distinct(tris)).alias("shingle"))
 
 
+# single-slot registry for duplicate_spans' corpus-sized gram-array
+# cache: bounds repeated-call accumulation at one copy (see docstring)
+_LAST_GRAM_CACHE: DataFrame | None = None
+
+
+def release_gram_cache() -> None:
+    """Unpersist the gram-array cache left by the most recent
+    `duplicate_spans` call. Safe anytime: consumers that re-read the
+    released frame recompute from lineage (slower, never wrong)."""
+    global _LAST_GRAM_CACHE
+    if _LAST_GRAM_CACHE is not None:
+        _LAST_GRAM_CACHE.unpersist()
+        _LAST_GRAM_CACHE = None
+
+
 def duplicate_spans(
     df: DataFrame,
     min_len: int = 8,
@@ -108,9 +123,16 @@ def duplicate_spans(
     consumers — the digest count and the semi-join probe — explode
     the cached arrays instead of re-running split+md5 over raw text.
     Default storage spills to disk when the gram stream outgrows
-    memory; caller/bench owns cache lifecycle (clearCache between
-    queries)."""
+    memory. Cache lifecycle: the handle can't be unpersisted here (the
+    returned spans frame is lazy and re-reads it per action), so each
+    call RELEASES THE PREVIOUS call's corpus-sized cache — repeated
+    invocation in one session holds at most ONE cached copy instead of
+    accumulating toward OOM/spill pressure; `release_gram_cache()`
+    frees the last one explicitly once its spans are materialized."""
+    global _LAST_GRAM_CACHE
+    release_gram_cache()
     arrays = gram_position_arrays(df, min_len, text_col, id_col).persist()
+    _LAST_GRAM_CACHE = arrays
     arrays.count()  # eager: both consumers schedule stages independently
     grams = _gram_stream(arrays, id_col)
     dup_hashes = (
@@ -264,7 +286,16 @@ def duplicate_spans_incremental(
     (count >= 2). Counts never decrease, so status flips only
     1 -> >=2; every old doc holding a flipping gram is recomputed,
     every other old doc's inputs are unchanged — equality with the
-    rebuild follows doc-by-doc."""
+    rebuild follows doc-by-doc.
+
+    Cost note: the COUNTS update and the affected-doc re-span are
+    O(batch + churn), but this in-memory harness localCheckpoints the
+    full ``arrays`` and ``spans`` UNIONS each batch, so per-batch
+    materialization is O(corpus ingested so far). That is a harness
+    artifact, not an algorithmic one: with state as partitioned TABLES
+    (the 100 TB deployment shape), the unions become appends + slice
+    replacements of churn-sized partitions and the per-batch write is
+    O(batch + churn) too."""
     arrs_new = gram_position_arrays(
         batch, min_len, text_col, id_col
     ).localCheckpoint()

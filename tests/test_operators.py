@@ -277,6 +277,31 @@ class TestDuplicateSpans:
         }
         assert got == {1: (8, 4, 0.5), 2: (4, 4, 1.0), 3: (5, 0, 0.0)}
 
+    def test_repeated_calls_hold_at_most_one_gram_cache(self, spark):
+        """The corpus-sized gram-array cache is single-slot: each call
+        releases the previous call's copy, so a long-lived session
+        invoking duplicate_spans N times holds one cached frame, not N
+        (accumulation was a measured OOM/spill pressure risk)."""
+        from etl_pipelines_spark.llm.dedup import (
+            duplicate_spans,
+            release_gram_cache,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b c d x y z w"), (2, "q r a b c d s t")],
+            "doc_id long, text string",
+        )
+        release_gram_cache()
+        before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        for _ in range(3):
+            duplicate_spans(df, min_len=4).collect()
+        after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        assert after - before <= 1
+        release_gram_cache()
+        assert (
+            spark.sparkContext._jsc.sc().getPersistentRDDs().size() <= before
+        )
+
     def test_gap_splits_islands(self, spark):
         from etl_pipelines_spark.llm.dedup import duplicate_spans
 
