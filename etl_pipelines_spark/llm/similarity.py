@@ -737,6 +737,204 @@ def ivf_topk(
     )
 
 
+# ------------------------------------------- two-level (coarse+fine) quantizer
+#
+# The last named 100 TB ceiling (SCALE.md): a FLAT codebook at the
+# ~250-vector occupancy law needs k ~ 4 x 10^6 cells for 10^9 vectors —
+# assignment is O(k * dim) per row and the argmin matrix no longer fits
+# a sane Arrow batch budget. The classical escape (IVF-HNSW aside) is a
+# TWO-LEVEL quantizer (coarse k1, then k2 fine cells per coarse cell,
+# k_eff = k1 * k2): per-row assignment cost drops from O(k_eff * dim)
+# to O((k1 + k2) * dim) — sqrt(k_eff) vs k_eff — while the full fine
+# codebook (k1 * k2 * dim doubles) still ships ONCE per executor via
+# the same TorrentBroadcast transport tier `assign_clusters` uses.
+# At k_eff = 4M, dim 64: codebook 2 GB broadcast (executor-memory-
+# sized, the broadcast tier's documented ceiling) but per-row work is
+# ~4k dots, 1000x less than flat.
+#
+# Training is fully distributed: the coarse level is plain
+# kmeans_centroids; the fine level trains ALL cells simultaneously —
+# one deterministic md5-ranked init per cell (a window, not a driver
+# loop), then Lloyd rounds where assignment indexes the broadcast
+# [cell -> fine block] and the update is one groupBy((cell, fine))
+# shuffle of floor-scaled partial sums. No per-cell driver iteration
+# anywhere, so k1 cells train in O(n) per round regardless of k1.
+
+
+def two_level_centroids(
+    embeddings: DataFrame,
+    k1: int = 256,
+    k2: int = 256,
+    n_iter: int = 3,
+    fine_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """(coarse, fine): `coarse` is a k1-row codebook; `fine[c]` holds
+    the fine centroids of coarse cell c (<= k2 rows — cells with fewer
+    members than k2 clamp to their member count, so k_eff =
+    sum(len(fine[c])) <= k1 * k2). Same exact floor-scaled BIGINT
+    arithmetic as `kmeans_centroids`, so results are deterministic
+    across partitionings and engines."""
+    from pyspark.sql import Window
+
+    coarse = kmeans_centroids(
+        embeddings, k=k1, n_iter=n_iter, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    k1 = len(coarse)  # may have clamped
+    dim = len(coarse[0])
+    spark = embeddings.sparkSession
+
+    assigned = assign_clusters(
+        _spread(embeddings), coarse, vec_col=vec_col, out="_c1", id_col=id_col
+    ).select(id_col, vec_col, "_c1")
+    # fine Lloyd rounds re-read the assignment; cache the thin frame
+    assigned = assigned.persist()
+
+    # deterministic per-cell init: the k2 members with the smallest
+    # md5(seed|id) within each coarse cell — one window, no driver loop
+    w = Window.partitionBy("_c1").orderBy(
+        F.md5(F.concat(F.lit(f"{seed}|f|"), F.col(id_col).cast("string"))),
+        F.col(id_col),
+    )
+    init_rows = (
+        assigned.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k2)
+        .select("_c1", "_r", vec_col)
+        .collect()
+    )
+    fine: list[list[list[float]]] = [[] for _ in range(k1)]
+    for r in sorted(init_rows, key=lambda r: (r["_c1"], r["_r"])):
+        fine[r["_c1"]].append(list(map(float, r[vec_col])))
+
+    for _ in range(fine_iter):
+        fidx_udf, release = _fine_assign_pandas(spark, fine, vec_col)
+        sums = (
+            assigned.withColumn("_f", fidx_udf(F.col("_c1"), F.col(vec_col)))
+            .select(
+                "_c1",
+                "_f",
+                *[
+                    F.floor(
+                        F.element_at(vec_col, i + 1).cast("double") * F.lit(SCALE)
+                    )
+                    .cast("long")
+                    .alias(f"_d{i}")
+                    for i in range(dim)
+                ],
+            )
+            .groupBy("_c1", "_f")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[F.sum(f"_d{i}").alias(f"_s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        release()
+        new = {
+            (r["_c1"], r["_f"]): [
+                float(r[f"_s{i}"]) / SCALE / r["_n"] for i in range(dim)
+            ]
+            for r in sums
+        }
+        fine = [
+            [new.get((c, j), fine[c][j]) for j in range(len(fine[c]))]
+            for c in range(k1)
+        ]
+    assigned.unpersist()
+    return coarse, fine
+
+
+def _fine_assign_pandas(spark, fine, vec_col: str, transport: str = "broadcast"):
+    """(Arrow UDF, release): given (coarse_cell, vector) columns,
+    return the argmin fine index WITHIN that cell's fine block — the
+    second hop of the two-level assignment. The ragged fine codebook
+    rides one TorrentBroadcast (the existing transport tier); per-row
+    work is O(len(fine[cell]) * dim) regardless of k_eff. Same
+    floor-scaled int64 distances and lowest-index tie-break as the
+    flat kernel."""
+    import numpy as np
+    import pandas as pd
+
+    blocks0 = [np.array(b, dtype="float64") if b else None for b in fine]
+    if transport == "broadcast":
+        bc = spark.sparkContext.broadcast(blocks0)
+
+        def get_blocks():
+            return bc.value
+
+        def release():
+            bc.destroy()
+
+    else:  # closure tier: small codebooks ride the task closure
+        def get_blocks():
+            return blocks0
+
+        def release():
+            pass
+
+    @F.pandas_udf("int")
+    def fidx(c1, v):
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        blocks = get_blocks()
+        out = np.zeros(len(v), dtype="int32")
+        c1v = c1.to_numpy()
+        # rows sharing a coarse cell share one fine block: vectorize
+        # per distinct cell within the batch
+        for c in np.unique(c1v):
+            idx = np.nonzero(c1v == c)[0]
+            B = blocks[int(c)]
+            if B is None or len(B) == 1:
+                continue  # empty/singleton block: fine index 0
+            A = np.vstack(v.iloc[idx].to_numpy()).astype("float64")
+            d = _exact_sq_dists(A, B)
+            out[idx] = np.argmin(d, axis=1).astype("int32")
+        return pd.Series(out)
+
+    return fidx, release
+
+
+def two_level_assign(
+    embeddings: DataFrame,
+    coarse: list[list[float]],
+    fine: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out: str = "cell",
+    id_col: str = "vec_id",
+    transport: str = "auto",
+    distance: str = "exact",
+) -> DataFrame:
+    """Assign every vector a GLOBAL cell id in [0, k_eff): coarse
+    argmin (O(k1)) then fine argmin within the winning cell (O(k2)),
+    cell = base_offset[coarse] + fine_idx with offsets the cumsum of
+    per-cell fine block sizes. Adds `out` (long) plus `_c1` (int, the
+    coarse cell — callers that route physical partitioning by coarse
+    cell read it directly). `transport`/`distance` control the COARSE
+    hop exactly as in `assign_clusters`; the fine hop always rides a
+    broadcast of the ragged fine codebook."""
+    offsets = [0] * len(fine)
+    acc = 0
+    for c, b in enumerate(fine):
+        offsets[c] = acc
+        acc += max(1, len(b))
+    spark = embeddings.sparkSession
+    assigned = assign_clusters(
+        embeddings, coarse, vec_col=vec_col, out="_c1",
+        id_col=id_col, transport=transport, distance=distance,
+    )
+    fidx_udf, _release = _fine_assign_pandas(spark, fine, vec_col)
+    off_expr = F.element_at(
+        F.array(*[F.lit(o) for o in offsets]), F.col("_c1") + 1
+    ).cast("long")
+    # broadcast must outlive every consumer job of the lazy frame:
+    # release is the caller's/GC's business, as in assign_clusters
+    return assigned.withColumn(
+        out, off_expr + fidx_udf(F.col("_c1"), F.col(vec_col)).cast("long")
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     centroids: list[list[float]],

@@ -33,6 +33,10 @@ class RefreshReport:
     # coin count the increment actually touched
     reconcile: dict[str, dict] = field(default_factory=dict)
     affected_coins: int | None = None
+    # affected coins caught violating the append-only arrival contract
+    # (raw rows at/below their saved high-water mark that the standing
+    # table never saw); healed by whole-slice replace, recorded loudly
+    backdated_coins: int = 0
 
     @property
     def passed(self) -> bool:
@@ -282,6 +286,49 @@ def _with_balance(x: DataFrame) -> DataFrame:
     )
 
 
+def _backdated_coins(
+    raw: DataFrame, standing: DataFrame, hwm: DataFrame, scope_coins: DataFrame
+) -> DataFrame:
+    """Coins whose RAW stream holds daily keys at/below their saved
+    high-water mark that the STANDING table never landed — an
+    append-only-contract violation (a backdated arrival). The delta
+    merge's soundness argument (history at/below the mark is
+    bit-identical to the recompute) collapses for such a coin: the
+    full-history recompute folds the backdated row into every
+    cumulative column past the mark, but `after_hwm` would silently
+    drop the row's own date from the merge — an internally
+    inconsistent table that neither audits nor the landed-delta
+    reconcile can see.
+
+    Detection is a per-coin COUNT compare (map-side combinable, tiny
+    coin-grain shuffle — no row-level anti-join of two fact tables):
+    under the contract, standing real rows at/below the mark == raw
+    rows at/below the mark, exactly. Scoped to `scope_coins` (the
+    affected set) so cost tracks churn; a backdated-ONLY coin (no new
+    rows at all) is caught on whichever later run touches it. Blind
+    spot, by design: a backdated arrival that lands on an EXISTING
+    daily key mutates a value without changing counts — that is a
+    mutation, not an append, and sits outside the contract this guard
+    polices (value-level detection would cost a full table diff per
+    increment; tablediff covers it offline)."""
+    def below(df: DataFrame) -> DataFrame:
+        return (
+            df.select("coin_id", "date")
+            .join(F.broadcast(scope_coins), "coin_id")
+            .join(F.broadcast(hwm), "coin_id")
+            .filter(F.col("date") <= F.col("hwm"))
+            .groupBy("coin_id")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+
+    return (
+        below(raw).withColumnRenamed("_n", "_raw_n")
+        .join(below(standing).withColumnRenamed("_n", "_st_n"), "coin_id", "full_outer")
+        .filter(F.coalesce("_raw_n", F.lit(0)) != F.coalesce("_st_n", F.lit(0)))
+        .select("coin_id")
+    )
+
+
 # ------------------------------------------- incremental refresh driver
 
 
@@ -404,6 +451,54 @@ def refresh_warehouse_incremental(
     # the delta restriction never shuffles the slice.
     md_hwm = load_watermark_state(spark, md_state)
     x_hwm = load_watermark_state(spark, x_state)
+
+    # ---- APPEND-ONLY CONTRACT GUARD: an affected coin with raw rows
+    # at/below its saved mark that the standing table never landed
+    # (backdated arrival) invalidates the delta-merge soundness
+    # argument for that coin. Heal by WHOLE-SLICE REPLACE: strip the
+    # coin's marks so after_hwm passes its full recomputed slice (the
+    # pre-delta merge semantics) — never merge silently.
+    bad_frames = []
+    cmd_path = os.path.join(out_dir, "coin_market_data")
+    cwt_path = os.path.join(out_dir, "coin_wallet_transfers")
+    if md_hwm is not None and os.path.exists(cmd_path) and n_affected:
+        # standing REAL rows only: densify imputes every calendar day,
+        # so the raw-count twin is the days_imputed-null subset
+        bad_frames.append(
+            _backdated_coins(
+                md_all,
+                spark.read.parquet(cmd_path).filter(
+                    F.col("days_imputed").isNull()
+                ),
+                md_hwm,
+                affected,
+            )
+        )
+    if x_hwm is not None and os.path.exists(cwt_path) and n_affected:
+        bad_frames.append(
+            _backdated_coins(
+                x_all, spark.read.parquet(cwt_path), x_hwm, affected
+            )
+        )
+    if bad_frames:
+        bad = bad_frames[0]
+        for fr in bad_frames[1:]:
+            bad = bad.unionByName(fr)
+        bad = bad.distinct().localCheckpoint(eager=True)
+        report.backdated_coins = bad.count()
+        if report.backdated_coins:
+            import warnings
+
+            warnings.warn(
+                f"incremental refresh: {report.backdated_coins} coin(s) "
+                "violated the append-only arrival contract (raw rows "
+                "at/below their saved high-water mark absent from the "
+                "standing table); falling back to whole-slice replace "
+                "for those coins",
+                stacklevel=2,
+            )
+            md_hwm = md_hwm.join(F.broadcast(bad), "coin_id", "left_anti") if md_hwm is not None else None
+            x_hwm = x_hwm.join(F.broadcast(bad), "coin_id", "left_anti") if x_hwm is not None else None
 
     def after_hwm(df: DataFrame, hwm: DataFrame | None) -> DataFrame:
         """Rows strictly past their coin's saved mark — the merge

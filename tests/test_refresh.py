@@ -195,6 +195,68 @@ def test_incremental_refresh_noop_second_run(spark, tmp_path):
     assert _fact_digests(spark, inc_out) == before
 
 
+def test_incremental_refresh_backdated_arrival_guard(spark, tmp_path):
+    """A raw row arriving AT/BELOW a coin's saved high-water mark — an
+    append-only-contract violation — must never merge silently: the
+    delta recompute would fold it into cumulative columns past the
+    mark while `after_hwm` drops the row's own date from the merge
+    (an internally inconsistent slice no audit can see). The guard
+    must detect the coin, warn loudly, record it on the report, and
+    heal by whole-slice replace so the standing warehouse still equals
+    a full rebuild digest-for-digest."""
+    from pyspark.sql import functions as F
+
+    since = "1997-06-01"
+    li = spark.read.parquet(os.path.join(SRC, "lineitem.parquet")).filter(
+        F.to_date("l_shipdate") >= F.lit(since)
+    )
+    # a coin in scope with >= 4 distinct in-window ship dates: withhold
+    # one MID date (arrives late = backdated below the mark) and the
+    # LAST date (the new arrival that makes the coin 'affected')
+    x = (
+        li.filter(F.col("l_partkey") < N_COINS)
+        .groupBy("l_partkey")
+        .agg(F.countDistinct("l_shipdate").alias("nd"))
+        .filter("nd >= 4")
+        .orderBy("l_partkey")
+        .first()["l_partkey"]
+    )
+    ds = sorted(
+        r["d"]
+        for r in li.filter(F.col("l_partkey") == x)
+        .select(F.to_date("l_shipdate").alias("d"))
+        .distinct()
+        .collect()
+    )
+    mid, last = ds[1], ds[-1]
+    ship = F.to_date("l_shipdate")
+    held_back = (F.col("l_partkey") == x) & ship.isin([mid, last])
+
+    stage1 = _stage_source(spark, str(tmp_path), "s1", ~held_back)
+    inc_out = str(tmp_path / "wh")
+    state = str(tmp_path / "state")
+    rep1 = refresh_warehouse_incremental(
+        spark, stage1, inc_out, state, coin_limit=N_COINS, since=since
+    )
+    assert rep1.passed and rep1.backdated_coins == 0
+
+    # stage 2: the full corpus — `mid` is now BACKDATED (coin x's saved
+    # mark is ds[-2] > mid) and `last` is a legitimate new arrival
+    stage2 = _stage_source(spark, str(tmp_path), "s2", F.lit(True))
+    with pytest.warns(UserWarning, match="append-only"):
+        rep2 = refresh_warehouse_incremental(
+            spark, stage2, inc_out, state, coin_limit=N_COINS, since=since
+        )
+    assert rep2.backdated_coins >= 1
+    assert rep2.passed, "healed run must still audit + reconcile green"
+
+    full_out = str(tmp_path / "full")
+    refresh_warehouse(spark, stage2, full_out, coin_limit=N_COINS, since=since)
+    assert _fact_digests(spark, inc_out) == _fact_digests(spark, full_out), (
+        "whole-slice fallback diverged from the full rebuild"
+    )
+
+
 def test_validate_incremental_load_clean_and_dirty(spark):
     from etl_pipelines_spark.plans.reconcile import validate_incremental_load
 

@@ -50,7 +50,8 @@ def synth_embeddings(spark, n: int, dim: int):
     )
 
 
-def measure(spark, n: int, dim: int, n_iter: int) -> dict:
+def measure(spark, n: int, dim: int, n_iter: int, k_override: int | None = None,
+            skip_clamped: bool = False) -> dict:
     from etl_pipelines_spark.llm.similarity import (
         assign_clusters,
         kmeans_centroids,
@@ -61,10 +62,10 @@ def measure(spark, n: int, dim: int, n_iter: int) -> dict:
     emb.count()
 
     out = {"n": n, "dim": dim}
-    for label, k in (
-        ("adaptive", adaptive_km_k(n)),
-        ("clamped128", min(128, adaptive_km_k(n))),
-    ):
+    tiers = [("adaptive", k_override or adaptive_km_k(n))]
+    if not skip_clamped:
+        tiers.append(("clamped128", min(128, adaptive_km_k(n))))
+    for label, k in tiers:
         cents = kmeans_centroids(emb, k=k, n_iter=n_iter)
         t0 = time.time()
         cells = (
@@ -109,6 +110,55 @@ def measure(spark, n: int, dim: int, n_iter: int) -> dict:
     return out
 
 
+def measure_two_level(spark, n: int, dim: int, k1: int, k2: int) -> dict:
+    """The coarse+fine quantizer at k_eff = k1 * k2: occupancy and
+    assignment cost vs a flat codebook of the same per-row work
+    (k1 + k2 centroids). The flat-codebook comparison at k = k_eff
+    itself is deliberately absent — a 64k-wide argmin per row is the
+    ceiling the two-level structure exists to avoid paying."""
+    from pyspark.sql import functions as F
+
+    from etl_pipelines_spark.llm.similarity import (
+        two_level_assign,
+        two_level_centroids,
+    )
+
+    emb = synth_embeddings(spark, n, dim).persist()
+    emb.count()
+    t0 = time.time()
+    coarse, fine = two_level_centroids(emb, k1=k1, k2=k2, n_iter=1, fine_iter=1)
+    train_sec = round(time.time() - t0, 2)
+    k_eff = sum(max(1, len(b)) for b in fine)
+    t0 = time.time()
+    occ = (
+        two_level_assign(emb, coarse, fine)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("nonempty"),
+            F.max("c").alias("mx"),
+            F.sum(F.col("c") * F.col("c")).alias("pairs"),
+        )
+        .first()
+    )
+    assign_sec = round(time.time() - t0, 2)
+    emb.unpersist()
+    return {
+        "mode": "two_level",
+        "n": n,
+        "dim": dim,
+        "k1": k1,
+        "k2": k2,
+        "k_eff": k_eff,
+        "train_sec": train_sec,
+        "assign_sec": assign_sec,
+        "nonempty_cells": int(occ["nonempty"]),
+        "max_cell": int(occ["mx"]),
+        "mean_occupancy": round(n / max(1, int(occ["nonempty"])), 2),
+        "within_cell_pairs": int(occ["pairs"]),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=None)
@@ -118,12 +168,34 @@ def main() -> None:
         help="Lloyd's rounds for the bench codebook (1: enough to "
         "spread centroids; the transport cost is what's measured)",
     )
+    ap.add_argument(
+        "--k", type=int, default=None,
+        help="override the adaptive codebook size (e.g. pin 4096 for "
+        "the n >= 10^6 matmul-vs-exact measurement)",
+    )
+    ap.add_argument(
+        "--skip-clamped", action="store_true",
+        help="skip the k=128-clamp comparison tier (the quadratic-"
+        "blowup demo; pointless at n >= 10^6 where it is just slow)",
+    )
+    ap.add_argument(
+        "--two-level", action="store_true",
+        help="measure the coarse+fine quantizer (k1 x k2 = --k1 x --k2 "
+        "effective cells) instead of the flat codebook tiers",
+    )
+    ap.add_argument("--k1", type=int, default=256)
+    ap.add_argument("--k2", type=int, default=256)
     args = ap.parse_args()
     spark = get_spark("bench-codebook")
     spark.sparkContext.setLogLevel("ERROR")
     sizes = [args.n] if args.n else [300_000, 600_000]
     for n in sizes:
-        print(json.dumps(measure(spark, n, args.dim, args.iters)))
+        if args.two_level:
+            print(json.dumps(measure_two_level(spark, n, args.dim, args.k1, args.k2)))
+        else:
+            print(json.dumps(measure(spark, n, args.dim, args.iters,
+                                     k_override=args.k,
+                                     skip_clamped=args.skip_clamped)))
 
 
 if __name__ == "__main__":
