@@ -66,12 +66,24 @@ def upsert_partitions(
     touched-partition data. Crash safety is weaker than
     staged_table_swap (partition dirs commit independently); callers
     in the incremental-refresh path rely on at-least-once replay +
-    idempotent merge + post-write reconciliation instead."""
-    touched = updates.select(partition_col).distinct()
-    target = spark.read.format(fmt).load(path)
-    kept = target.join(F.broadcast(touched), partition_col, "left_semi").join(
-        updates.select(*keys).distinct(), keys, "left_anti"
+    idempotent merge + post-write reconciliation instead.
+
+    The touched-partition set is collected driver-side (it is by
+    definition the set being rewritten — churn-sized) and applied as a
+    LITERAL isin filter: a static filter on the partition column
+    prunes at plan time on any engine, where the previous broadcast
+    semi-join depended on dynamic partition pruning firing — when it
+    didn't, every increment paid a full-table scan to keep rows it was
+    never going to touch. Callers should hand in a materialized
+    `updates` (the refresh driver localCheckpoints it) so the collect
+    doesn't re-run the recompute plan."""
+    touched = [
+        r[0] for r in updates.select(partition_col).distinct().collect()
+    ]
+    target = spark.read.format(fmt).load(path).filter(
+        F.col(partition_col).isin(touched)
     )
+    kept = target.join(updates.select(*keys).distinct(), keys, "left_anti")
     merged = kept.unionByName(updates.select(*target.columns)).localCheckpoint(
         eager=True
     )

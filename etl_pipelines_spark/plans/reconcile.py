@@ -30,18 +30,30 @@ def validate_incremental_load(
     keys: list[str],
     compare_cols: list[str] | None = None,
     sample_violations: int = 5,
+    cache: bool = False,
 ) -> dict:
     """Report dict for a load-vs-rebuild comparison:
     {clean, digest_match, n_added, n_removed, n_changed, violations}
     — `clean` means both checksums agree AND the key diff is empty;
     `violations` carries up to `sample_violations` offending keys (a
-    bounded driver-side sample, the quality.py convention)."""
+    bounded driver-side sample, the quality.py convention).
+
+    `cache=True` persists both inputs for the validation's three
+    actions (key diff + two digests) — each side is otherwise
+    re-evaluated per action, which for a landed-table probe means
+    three scans of the same files. Only for CHURN-SIZED inputs: a
+    first-run validation compares whole tables and must stream."""
     # one canonical column list for BOTH digests: row_digest is
     # column-position-sensitive, so letting each side default to its
     # own column order would report a clean load as a digest mismatch
     if compare_cols is None:
         compare_cols = [c for c in loaded.columns if c not in keys]
     cols = keys + compare_cols
+    cached = []
+    if cache:
+        expected = expected.persist()
+        loaded = loaded.persist()
+        cached = [expected, loaded]
     diff = snapshot_diff(expected, loaded, keys, compare_cols).persist()
     counts = {r["status"]: r["n"] for r in
               diff.groupBy("status").count().withColumnRenamed("count", "n").collect()}
@@ -63,6 +75,8 @@ def validate_incremental_load(
         ]
     )
     diff.unpersist()
+    for fr in cached:
+        fr.unpersist()
     return {
         "clean": clean,
         "digest_match": digest_match,

@@ -37,6 +37,10 @@ class RefreshReport:
     # (raw rows at/below their saved high-water mark that the standing
     # table never saw); healed by whole-slice replace, recorded loudly
     backdated_coins: int = 0
+    # incremental runs: wall seconds per driver stage (dims / pull /
+    # guard / each table's merge+audit+reconcile / marks) — where the
+    # increment's time actually goes, for the O(churn) accounting
+    stage_sec: dict[str, float] = field(default_factory=dict)
 
     @property
     def passed(self) -> bool:
@@ -134,13 +138,18 @@ def _scope_fn(coin_limit, since, until):
     return scope
 
 
-def _dim_frames(spark: SparkSession, sf_dir: str):
+def _dim_frames(spark: SparkSession, sf_dir: str, li_obs: DataFrame | None = None):
     """The three dimension tables, in build order: chains with alias
     dedupe, coins intake with normalization + data-presence flags,
     facts via full-outer metadata coalesce (J7/P10). Key-grain
     dimension rebuilds — cheap at any scale, so both the full and the
     incremental refresh rebuild them whole (the reference's daily dim
-    rebuild discipline)."""
+    rebuild discipline).
+
+    `li_obs` injects the per-coin lineitem observations (coin_id,
+    first_seen, n_suppliers) — the incremental driver maintains them
+    O(churn) from the standing coin_facts table instead of re-running
+    the full-stream countDistinct aggregation every day."""
     from etl_pipelines_spark.functions.scalars import deterministic_id
     from etl_pipelines_spark.operators.dedupe import dedupe_keep_first
     from etl_pipelines_spark.sources.registry import load_table
@@ -160,7 +169,22 @@ def _dim_frames(spark: SparkSession, sf_dir: str):
     )
 
     part = load_table(spark, sf_dir, "part")
-    li_keys = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    # ONE lineitem aggregation serves both lineitem-derived dims: the
+    # coins presence flag (membership) AND the facts observations
+    # (first_seen, n_suppliers) — previously a distinct + a groupBy,
+    # two full scans and two shuffles of the fact stream per refresh
+    if li_obs is None:
+        li_obs = (
+            load_table(spark, sf_dir, "lineitem")
+            .groupBy(F.col("l_partkey").alias("coin_id"))
+            .agg(
+                F.min(F.to_date("l_shipdate")).alias("first_seen"),
+                F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+            )
+            # coin-grain after the agg: materialize once, both
+            # consumers (presence flag, facts) read the pinned copy
+            .localCheckpoint(eager=True)
+        )
     coins = (
         part.select(
             F.col("p_partkey").alias("coin_id"),
@@ -169,9 +193,13 @@ def _dim_frames(spark: SparkSession, sf_dir: str):
             deterministic_id("p_partkey", "p_brand").alias("coingecko_id"),
         )
         # J6 semi-join presence flag, the has_market_data rebuild
-        .join(li_keys.distinct(), F.col("coin_id") == F.col("l_partkey"), "left")
-        .withColumn("has_market_data", F.col("l_partkey").isNotNull())
-        .drop("l_partkey")
+        .join(
+            li_obs.select("coin_id", F.lit(True).alias("_seen")),
+            "coin_id",
+            "left",
+        )
+        .withColumn("has_market_data", F.coalesce("_seen", F.lit(False)))
+        .drop("_seen")
     )
 
     # facts: source A (part attributes) ⟗ source B (lineitem-derived
@@ -181,14 +209,7 @@ def _dim_frames(spark: SparkSession, sf_dir: str):
         F.col("p_type").alias("category"),
         F.col("p_retailprice").cast("double").alias("list_price"),
     )
-    src_b = (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy(F.col("l_partkey").alias("coin_id"))
-        .agg(
-            F.min(F.to_date("l_shipdate")).alias("first_seen"),
-            F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
-        )
-    )
+    src_b = li_obs
     facts = (
         src_a.alias("a")
         .join(src_b.alias("b"), "coin_id", "full_outer")
@@ -229,13 +250,33 @@ def _dense_market(md: DataFrame, end_date=None) -> DataFrame:
 
 
 def _horizon_tails(
-    standing: DataFrame, affected: DataFrame, horizon
+    standing: DataFrame, affected: DataFrame, horizon, prev_horizon=None
 ) -> DataFrame:
     """Last standing row per UNAFFECTED coin whose dense series stops
     short of the new global `horizon` — the coins a full rebuild would
     extend (ffill to global max) but the affected-slice recompute never
-    touches. Struct-max pulls the whole last row in one agg (no
-    max_by-per-column null hazards)."""
+    touches.
+
+    With `prev_horizon` (the standing table's own horizon, = the max
+    saved high-water mark) the read is a PARTITION PRUNE, not a
+    groupBy: a densified table fills every coin to the global max, so
+    each coin's last row lives in the single date=prev_horizon
+    partition — one partition scanned, zero shuffle, O(coins) rows out
+    regardless of table size. Without it (state lost), fall back to
+    the full struct-max aggregation (no max_by-per-column null
+    hazards)."""
+    if prev_horizon is not None:
+        return (
+            standing.filter(F.col("date") == F.lit(prev_horizon))
+            .join(F.broadcast(affected), "coin_id", "left_anti")
+            .select(
+                "coin_id",
+                F.col("date").alias("_maxd"),
+                F.col("price").alias("_price"),
+                F.col("days_imputed").alias("_days"),
+            )
+            .filter(F.col("_maxd") < F.lit(horizon))
+        )
     return (
         standing.join(F.broadcast(affected), "coin_id", "left_anti")
         .groupBy("coin_id")
@@ -286,49 +327,6 @@ def _with_balance(x: DataFrame) -> DataFrame:
     )
 
 
-def _backdated_coins(
-    raw: DataFrame, standing: DataFrame, hwm: DataFrame, scope_coins: DataFrame
-) -> DataFrame:
-    """Coins whose RAW stream holds daily keys at/below their saved
-    high-water mark that the STANDING table never landed — an
-    append-only-contract violation (a backdated arrival). The delta
-    merge's soundness argument (history at/below the mark is
-    bit-identical to the recompute) collapses for such a coin: the
-    full-history recompute folds the backdated row into every
-    cumulative column past the mark, but `after_hwm` would silently
-    drop the row's own date from the merge — an internally
-    inconsistent table that neither audits nor the landed-delta
-    reconcile can see.
-
-    Detection is a per-coin COUNT compare (map-side combinable, tiny
-    coin-grain shuffle — no row-level anti-join of two fact tables):
-    under the contract, standing real rows at/below the mark == raw
-    rows at/below the mark, exactly. Scoped to `scope_coins` (the
-    affected set) so cost tracks churn; a backdated-ONLY coin (no new
-    rows at all) is caught on whichever later run touches it. Blind
-    spot, by design: a backdated arrival that lands on an EXISTING
-    daily key mutates a value without changing counts — that is a
-    mutation, not an append, and sits outside the contract this guard
-    polices (value-level detection would cost a full table diff per
-    increment; tablediff covers it offline)."""
-    def below(df: DataFrame) -> DataFrame:
-        return (
-            df.select("coin_id", "date")
-            .join(F.broadcast(scope_coins), "coin_id")
-            .join(F.broadcast(hwm), "coin_id")
-            .filter(F.col("date") <= F.col("hwm"))
-            .groupBy("coin_id")
-            .agg(F.count(F.lit(1)).alias("_n"))
-        )
-
-    return (
-        below(raw).withColumnRenamed("_n", "_raw_n")
-        .join(below(standing).withColumnRenamed("_n", "_st_n"), "coin_id", "full_outer")
-        .filter(F.coalesce("_raw_n", F.lit(0)) != F.coalesce("_st_n", F.lit(0)))
-        .select("coin_id")
-    )
-
-
 # ------------------------------------------- incremental refresh driver
 
 
@@ -341,168 +339,313 @@ def refresh_warehouse_incremental(
     since: str | None = None,
     until: str | None = None,
     expectations_path: str | None = None,
+    audit_scope: str = "churn",
 ) -> RefreshReport:
     """The reference's STEADY-STATE mode as one driver: pull -> merge
     -> audit -> reconcile, per table in build order. Re-running
     `workflows/core_tables_all.yaml` lands only new data — high-water-
     mark pulls (retrieve_dune_transfer_data.py:127-147), date-array
     diffs (coingecko_market_data.py:138-158) — and this composes the
-    engine's pieces the same way:
+    engine's pieces the same way, with every per-run cost either
+    O(churn) or a single cheap pass over the raw arrival stream:
 
-    1. PULL   — `incremental_pull` filters each raw daily stream to
-       rows strictly newer than the per-coin high-water marks saved by
-       the previous run (everything, on the first run).
-    2. MERGE  — affected coins (any coin carrying new price or
-       transfer days) have their curated slices RECOMPUTED over their
-       full history (the cumulative-column requirement: running
-       balance and the profits cumsums at NEW dates need the whole
-       past), but only the DELTA rows — date strictly past the coin's
-       saved high-water mark — are merged, through `upsert_partitions`
-       (dynamic partition overwrite: only touched date partitions
-       rewrite, O(churn), never O(table)). The delta restriction is
-       sound because `incremental_pull` admits only rows NEWER than
-       each coin's mark: cumulative columns at or before the mark
-       depend only on data at or before the mark, so standing history
-       is bit-identical to the recompute and rewriting it would be
-       pure waste (profits uses the LEAST of a coin's price/transfer
-       marks — a new price at an old transfer day creates a profits
-       row between the two marks). coin_market_data additionally
-       honors the DENSIFY HORIZON: affected coins fill to the true
-       global max date (from the full raw stream, not the affected
-       subset), and unaffected coins whose standing series trail an
-       advanced horizon get pure ffill extension rows — without
-       either, uneven per-coin arrival (the reference's normal case:
-       per-chain pulls lag days apart) silently diverges from a full
-       rebuild.
-    3. AUDIT  — the same declarative expectations.yml suites as the
-       full rebuild, on the post-merge tables.
-    4. RECONCILE — `validate_incremental_load` proves each table's
-       landed affected-slice equals the recomputed slice (key diff +
-       order-independent table digest), so a write-path bug fails the
-       run instead of corrupting the warehouse silently.
+    1. ARRIVAL STATS — ONE raw-grain aggregation (per coin: max date,
+       total rows, rows at/below the saved mark) serves four jobs that
+       used to be separate scans: delta discovery (affected = any coin
+       whose row count moved), the append-only-contract guard, the
+       densify horizon (global max), and the new watermark state. No
+       daily aggregation runs over unaffected coins — the heavy
+       (coin, date) / (coin, wallet, date) aggregations are applied
+       AFTER the affected-coin filter, pushed below the groupBy
+       (filters on grouping keys commute with the aggregation).
+    2. GUARD  — the state carries per-coin ROW COUNTS alongside the
+       marks. A marked coin whose at/below-mark count GREW saw a
+       backdated arrival: the delta-merge soundness argument (history
+       at/below the mark is bit-identical to the recompute) collapses
+       for it, so it is healed by WHOLE-SLICE REPLACE (marks stripped,
+       the full recomputed slice merges — sound because the recompute
+       keys are a superset of standing keys under appends), warned
+       loudly, and counted in report.backdated_coins. A coin whose
+       count SHRANK (or vanished) lost history — a deletion no
+       key-replace merge can heal (stale curated keys would survive) —
+       and the run FAILS with the coin list. Counting at the raw-row
+       grain also catches a backdated row landing on an EXISTING
+       (coin, date) key, which the previous standing-table key
+       comparison was blind to; the remaining blind spot is an
+       in-place value mutation of an existing raw row (a mutation, not
+       an append — tablediff covers it offline).
+    3. MERGE  — affected coins recompute over their FULL history (the
+       cumulative-column requirement), but only DELTA rows — date at
+       or past the coin's FIRST NEW ARRIVAL (rows strictly between the
+       old mark and the first new arrival are ffill-determined by data
+       at/below the mark, hence bit-identical in standing) — merge,
+       through
+       `upsert_partitions` (touched date partitions only, statically
+       pruned). Profits uses the LEAST of a coin's price/transfer
+       marks. coin_market_data honors the DENSIFY HORIZON: affected
+       coins fill to the true global max date, and unaffected coins
+       trailing an advanced horizon get pure ffill extension rows.
+       The extension source (each unaffected coin's last standing row)
+       is read by PARTITION PRUNE: a densified table fills every coin
+       to the previous horizon, so the last row per coin lives in the
+       single date=prev_horizon partition — no full-table groupBy.
+    4. AUDIT  — `audit_scope="churn"` (default) runs each declared
+       expectation suite over the AFFECTED-COIN slice (those coins'
+       full history, so windowed checks — date gaps, monotone cumsums
+       — stay meaningful), not the whole standing table. Sound by
+       induction: untouched coins' rows passed the same suites when
+       they landed, the merge rewrites only touched partitions, and
+       the reconcile + horizon-reconcile prove the touched partitions
+       landed exactly the recomputed/extension rows (the extension is
+       seam-gap-free by construction: it starts at prev_horizon + 1).
+       Every declared check is per-key (coin / coin+wallet), so a
+       slice suite checks exactly the rows whose inputs changed.
+       `audit_scope="full"` re-audits whole tables — the rebuild
+       discipline, O(table) per run.
+    5. RECONCILE — `validate_incremental_load` proves each table's
+       landed delta equals the recomputed delta (key diff + order-
+       independent digest). Probe scans are partition-pruned by
+       date >= min(affected coins' first new arrivals) — every delta
+       row is at/past its own coin's first new arrival, so the bound
+       is a safe superset (skipped whenever any affected coin is
+       unmarked or healed).
 
-    Watermark state advances ONLY after the table it covers has been
-    written and reconciled — a failed run replays its pull
-    (at-least-once; the coin-grain merge makes the replay idempotent).
-    N incremental runs == one full rebuild, digest-for-digest — under
-    UNEVEN per-coin arrival, including a horizon advance carried only
-    by a coin subset — is pinned in test_refresh.py
-    (test_incremental_refresh_equals_rebuild_uneven_arrival).
+    Watermark state (coin_id, hwm, n_rows) advances ONLY after the
+    tables it covers are written and reconciled — a failed run replays
+    its pull (at-least-once; the coin-grain merge makes the replay
+    idempotent). N incremental runs == one full rebuild,
+    digest-for-digest — under UNEVEN per-coin arrival, including a
+    horizon advance carried only by a coin subset, and under a
+    backdated-arrival heal — is pinned in test_refresh.py.
 
     Dimensions (chains/coins/coin_facts) rebuild whole each run —
     key-grain tables, the reference's daily dim rebuild discipline.
     """
+    if audit_scope not in ("churn", "full"):
+        raise ValueError(f"unknown audit_scope: {audit_scope!r}")
     from etl_pipelines_spark.operators.merge import upsert_partitions
     from etl_pipelines_spark.plans.reconcile import validate_incremental_load
     from etl_pipelines_spark.queries.timeseries import (
-        daily_prices,
-        transfers,
+        daily_prices_from,
+        transfers_from,
         wallet_profits_kernel_from,
     )
+    from etl_pipelines_spark.sources.registry import load_table
     from etl_pipelines_spark.streaming.incremental import (
-        high_water_marks,
-        incremental_pull,
         load_watermark_state,
         save_watermark_state,
     )
 
+    import time as _time
+
     report = RefreshReport()
     rules = load_expectations(expectations_path)
     built: dict[str, DataFrame] = {}
-    scope = _scope_fn(coin_limit, since, until)
+    _t0 = _time.time()
 
-    def audit(name: str, back: DataFrame) -> None:
+    def tick(label: str) -> None:
+        nonlocal _t0
+        now = _time.time()
+        report.stage_sec[label] = round(now - _t0, 2)
+        _t0 = now
+
+    def audit(name: str, back: DataFrame, slice_df: DataFrame | None = None) -> None:
         report.tables[name] = back.count()
-        built[name] = back
-        report.expectations.extend(run_expectations(back, name, rules, built))
+        built[name] = back  # referential parents resolve to full tables
+        if slice_df is None:
+            report.expectations.extend(run_expectations(back, name, rules, built))
+            return
+        # churn-sized slice: materialize ONCE so the suite's checks
+        # (each its own Spark job) read the cache, not N table scans
+        slice_df = slice_df.persist()
+        slice_df.count()
+        report.expectations.extend(run_expectations(slice_df, name, rules, built))
+        slice_df.unpersist()
 
-    # dims: full rebuild (see docstring)
-    for name, df in _dim_frames(spark, sf_dir):
-        path = os.path.join(out_dir, name)
-        write_partitioned(df, path)
-        audit(name, spark.read.parquet(path))
+    # ---- ARRIVAL STATS: one raw-grain pass serves delta discovery,
+    # the contract guard, the densify horizon, and the new marks.
+    rd = F.to_date("l_shipdate")
+    li_sc = load_table(spark, sf_dir, "lineitem")
+    if coin_limit is not None:
+        li_sc = li_sc.filter(F.col("l_partkey") < coin_limit)
+    if since is not None:
+        li_sc = li_sc.filter(rd >= F.lit(since).cast("date"))
+    if until is not None:
+        li_sc = li_sc.filter(rd <= F.lit(until).cast("date"))
 
-    # ---- PULL: per-coin high-water-mark filters on both raw streams
-    md_all = scope(daily_prices(spark, sf_dir))
-    x_all = scope(transfers(spark, sf_dir))
     md_state = os.path.join(state_dir, "hwm_prices")
     x_state = os.path.join(state_dir, "hwm_transfers")
-    md_delta = incremental_pull(md_all, spark, md_state, ["coin_id"], "date")
-    x_delta = incremental_pull(x_all, spark, x_state, ["coin_id"], "date")
+    old_md = load_watermark_state(spark, md_state)
+    first_run = old_md is None
 
-    # affected = any coin with a new price day OR a new transfer day;
-    # profits depend on both inputs so the union drives all three facts
-    affected = (
-        md_delta.select("coin_id")
-        .unionByName(x_delta.select("coin_id"))
-        .distinct()
-        # coin-count-sized: pin it so the three slice recomputes and
-        # the reconcile probes don't re-run both delta pulls each
+    old = old_md
+    if old is not None and "n_rows" not in old.columns:
+        # legacy marks-only state: the delta still works off the marks,
+        # the count guard just cannot see backdated rows this one run
+        old = old.withColumn("n_rows", F.lit(None).cast("long"))
+
+    ev = li_sc.select(F.col("l_partkey").alias("coin_id"), rd.alias("_d"))
+    if old is not None:
+        ev = ev.join(F.broadcast(old.select("coin_id", "hwm", "n_rows")), "coin_id", "left")
+    else:
+        ev = ev.withColumn("hwm", F.lit(None).cast("date")).withColumn(
+            "n_rows", F.lit(None).cast("long")
+        )
+    stats = (
+        ev.groupBy("coin_id")
+        .agg(
+            F.max("_d").alias("_new_hwm"),
+            F.count(F.lit(1)).alias("_n_total"),
+            F.sum((F.col("_d") <= F.col("hwm")).cast("long")).alias("_n_below"),
+            F.min(F.when(F.col("_d") > F.col("hwm"), F.col("_d"))).alias("_first_new"),
+            F.first("hwm").alias("hwm"),
+            F.first("n_rows").alias("_n_saved"),
+        )
+        # coin-grain: every consumer below reads this, not the raw scan
         .localCheckpoint(eager=True)
     )
+    hrow = stats.agg(
+        F.max("_new_hwm").alias("_h"), F.max("hwm").alias("_p")
+    ).first()
+    horizon, prev_horizon = hrow["_h"], hrow["_p"]
+
+    marked = F.col("hwm").isNotNull()
+    has_new = (
+        F.when(~marked, F.lit(True))
+        .when(
+            F.col("_n_saved").isNotNull(),
+            F.col("_n_total") != F.col("_n_saved"),
+        )
+        .otherwise(F.col("_new_hwm") > F.col("hwm"))
+    )
+    affected = stats.filter(has_new).select("coin_id").localCheckpoint(eager=True)
     n_affected = affected.count()
     report.affected_coins = n_affected
+    tick("pull")
 
     def touch(df: DataFrame) -> DataFrame:
         return df.join(F.broadcast(affected), "coin_id")
 
-    # per-coin delta cutoffs = the PREVIOUS run's saved marks (None on
-    # the first run, where the delta is the corpus). Broadcast-joined:
-    # the delta restriction never shuffles the slice.
-    md_hwm = load_watermark_state(spark, md_state)
-    x_hwm = load_watermark_state(spark, x_state)
+    # ---- APPEND-ONLY CONTRACT GUARD (docstring step 2)
+    viol = stats.filter(
+        marked
+        & F.col("_n_saved").isNotNull()
+        & (F.coalesce("_n_below", F.lit(0)) != F.col("_n_saved"))
+    ).select(
+        "coin_id",
+        F.coalesce("_n_below", F.lit(0)).alias("_nb"),
+        F.col("_n_saved").alias("_ns"),
+    )
+    gone = [
+        r["coin_id"]
+        for r in viol.filter(F.col("_nb") < F.col("_ns")).limit(20).collect()
+    ]
+    if old is not None:
+        gone += [
+            r["coin_id"]
+            for r in old.join(stats, "coin_id", "left_anti").limit(20).collect()
+        ]
+    if gone:
+        raise ValueError(
+            "incremental refresh: raw rows at/below the saved high-water "
+            f"mark DISAPPEARED for coin(s) {sorted(gone)} — the arrival "
+            "stream lost or mutated history; a key-replace merge cannot "
+            "heal a deletion (stale curated keys would survive). Rebuild "
+            "with refresh_warehouse or restore the source."
+        )
+    bad = viol.select("coin_id").localCheckpoint(eager=True)
+    report.backdated_coins = bad.count()
+    if report.backdated_coins:
+        import warnings
 
-    # ---- APPEND-ONLY CONTRACT GUARD: an affected coin with raw rows
-    # at/below its saved mark that the standing table never landed
-    # (backdated arrival) invalidates the delta-merge soundness
-    # argument for that coin. Heal by WHOLE-SLICE REPLACE: strip the
-    # coin's marks so after_hwm passes its full recomputed slice (the
-    # pre-delta merge semantics) — never merge silently.
-    bad_frames = []
-    cmd_path = os.path.join(out_dir, "coin_market_data")
-    cwt_path = os.path.join(out_dir, "coin_wallet_transfers")
-    if md_hwm is not None and os.path.exists(cmd_path) and n_affected:
-        # standing REAL rows only: densify imputes every calendar day,
-        # so the raw-count twin is the days_imputed-null subset
-        bad_frames.append(
-            _backdated_coins(
-                md_all,
-                spark.read.parquet(cmd_path).filter(
-                    F.col("days_imputed").isNull()
-                ),
-                md_hwm,
-                affected,
-            )
+        warnings.warn(
+            f"incremental refresh: {report.backdated_coins} coin(s) "
+            "violated the append-only arrival contract (raw rows "
+            "appeared at/below their saved high-water mark); falling "
+            "back to whole-slice replace for those coins",
+            stacklevel=2,
         )
-    if x_hwm is not None and os.path.exists(cwt_path) and n_affected:
-        bad_frames.append(
-            _backdated_coins(
-                x_all, spark.read.parquet(cwt_path), x_hwm, affected
-            )
+
+    # ---- PER-COIN DELTA CUTOFFS. Sound bound: rows strictly between
+    # a coin's old mark and its FIRST NEW ARRIVAL are ffill-determined
+    # by data at/below the mark (a later real row changes nothing
+    # before itself: prices carry forward, imputation streaks continue,
+    # cumsums see no new events), so they are bit-identical in standing
+    # and rewriting them is pure waste. The first row that CAN differ
+    # sits AT the first new arrival — for every curated table,
+    # including profits (a new price at an old transfer day mints its
+    # profits row at that price's date, which IS a first-new arrival in
+    # the union stream; with physically separate price/transfer feeds
+    # this would be the LEAST of the two streams' first arrivals).
+    # Coins without a mark (first seen) and healed backdated coins
+    # carry no cutoff row: their whole recomputed slice merges.
+    cuts = None
+    if not first_run:
+        # LEAST with the standing horizon: an affected coin's standing
+        # series only reaches prev_horizon — if its first new arrival
+        # lands beyond that (a quiet coin rejoining after the horizon
+        # moved on), the ffill rows in (prev_horizon, first_new) exist
+        # NOWHERE yet and must be part of its delta, or the dense
+        # series gaps (caught by the churn-slice no_date_gaps audit)
+        cuts = stats.filter(
+            marked & F.col("_first_new").isNotNull()
+        ).select(
+            "coin_id",
+            F.least(
+                F.date_sub("_first_new", 1), F.lit(prev_horizon)
+            ).alias("hwm"),
         )
-    if bad_frames:
-        bad = bad_frames[0]
-        for fr in bad_frames[1:]:
-            bad = bad.unionByName(fr)
-        bad = bad.distinct().localCheckpoint(eager=True)
-        report.backdated_coins = bad.count()
         if report.backdated_coins:
-            import warnings
+            cuts = cuts.join(F.broadcast(bad), "coin_id", "left_anti")
+        # coin-grain: three delta filters and four probes read this
+        cuts = cuts.localCheckpoint(eager=True)
+    tick("guard")
 
-            warnings.warn(
-                f"incremental refresh: {report.backdated_coins} coin(s) "
-                "violated the append-only arrival contract (raw rows "
-                "at/below their saved high-water mark absent from the "
-                "standing table); falling back to whole-slice replace "
-                "for those coins",
-                stacklevel=2,
+    # ---- DIMS: key-grain rebuild each run (the reference's daily dim
+    # discipline), but the lineitem-derived observations (first_seen,
+    # n_suppliers, presence) maintain O(churn) on steady-state runs:
+    # unaffected coins' rows are unchanged (the guard just proved it),
+    # so their observations read back off the STANDING coin_facts
+    # table; only affected coins re-aggregate — from the UNSCOPED raw
+    # stream, because dims deliberately see the whole history (the
+    # sandbox scope applies to facts, not dims; incremental dim
+    # maintenance therefore assumes out-of-scope arrivals are
+    # quiescent, which is vacuous in the unscoped production shape).
+    # First run (or missing facts table) falls back to the full agg.
+    li_obs = None
+    facts_path = os.path.join(out_dir, "coin_facts")
+    if not first_run and os.path.exists(facts_path) and n_affected:
+        prev_facts = spark.read.parquet(facts_path)
+        aff_obs = (
+            load_table(spark, sf_dir, "lineitem")
+            .join(
+                F.broadcast(affected.select(F.col("coin_id").alias("l_partkey"))),
+                "l_partkey",
             )
-            md_hwm = md_hwm.join(F.broadcast(bad), "coin_id", "left_anti") if md_hwm is not None else None
-            x_hwm = x_hwm.join(F.broadcast(bad), "coin_id", "left_anti") if x_hwm is not None else None
+            .groupBy(F.col("l_partkey").alias("coin_id"))
+            .agg(
+                F.min(F.to_date("l_shipdate")).alias("first_seen"),
+                F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+            )
+        )
+        # first_seen null <=> coin absent from lineitem (shipdate is
+        # never null), so it is the membership flag of the standing row
+        unaff_obs = (
+            prev_facts.filter(F.col("first_seen").isNotNull())
+            .join(F.broadcast(affected), "coin_id", "left_anti")
+            .select("coin_id", "first_seen", "n_suppliers")
+        )
+        li_obs = unaff_obs.unionByName(aff_obs).localCheckpoint(eager=True)
+    for name, df in _dim_frames(spark, sf_dir, li_obs=li_obs):
+        path = os.path.join(out_dir, name)
+        write_partitioned(df, path)
+        audit(name, spark.read.parquet(path))
+    tick("dims")
 
     def after_hwm(df: DataFrame, hwm: DataFrame | None) -> DataFrame:
-        """Rows strictly past their coin's saved mark — the merge
-        delta. Coins without a mark (first seen this run) pass whole."""
+        """Rows strictly past their coin's cutoff (first new arrival
+        minus one day) — the merge delta. Coins without a cutoff row
+        (first seen this run, or healed backdated) pass whole."""
         if hwm is None:
             return df
         j = df.join(F.broadcast(hwm), "coin_id", "left")
@@ -510,24 +653,49 @@ def refresh_warehouse_incremental(
             F.col("hwm").isNull() | (F.col("date") > F.col("hwm"))
         ).drop("hwm")
 
+    def probe_cutoff(hwm: DataFrame | None):
+        """Static date lower bound for reconcile-probe scans: every
+        delta row is at/past its own coin's first new arrival, so
+        date > min(cutoffs) is a safe superset — and a literal the
+        date-partitioned scan prunes on. None (no pruning) when any
+        affected coin carries no cutoff row (first-seen or healed:
+        its whole slice is delta)."""
+        if hwm is None:
+            return None
+        r = (
+            affected.join(hwm, "coin_id", "left")
+            .agg(
+                F.min("hwm").alias("_m"),
+                F.sum(F.col("hwm").isNull().cast("int")).alias("_u"),
+            )
+            .first()
+        )
+        return r["_m"] if r["_u"] == 0 else None
+
+    def pruned(df: DataFrame, cut) -> DataFrame:
+        return df.filter(F.col("date") > F.lit(cut)) if cut is not None else df
+
+    churn_audit = audit_scope == "churn" and not first_run
+
     def merge_and_check(
-        name: str, delta_df: DataFrame, keys: list[str], probe: DataFrame
+        name: str,
+        delta_df: DataFrame,
+        keys: list[str],
+        probe,
+        audit_slice=None,
     ) -> DataFrame:
-        """Merge the delta rows (dynamic partition overwrite: only the
-        touched date partitions rewrite), audit the post-merge table,
-        and reconcile the landed delta against the recomputation.
+        """Merge the delta rows (touched date partitions only), audit
+        the post-merge table (slice-scoped under churn audits), and
+        reconcile the landed delta against the recomputation.
 
         On the MERGE path the delta is localCheckpointed first: the
-        merge reads it three times (touched partitions, replace keys,
-        the union) and the reconcile twice more (key diff, digest) —
-        five evaluations of a windowed-recompute plan was the dominant
-        cost of the whole increment before this (76 s -> seconds for
-        the market-data delta at sf0.1). Churn-sized, so executor
-        storage holds it. On the FIRST run the "delta" is the whole
-        corpus — checkpointing tens of millions of rows OOMs the heap
-        for zero benefit (a straight write evaluates the plan once),
-        so it writes directly and only the reconcile re-reads the
-        landed files."""
+        merge reads it four times (touched dates, replace keys, the
+        union) and the reconcile twice more — five evaluations of a
+        windowed-recompute plan was the dominant cost of the whole
+        increment before this. Churn-sized, so executor storage holds
+        it. On the FIRST run the "delta" is the whole corpus —
+        checkpointing tens of millions of rows OOMs the heap for zero
+        benefit — so it writes directly."""
         path = os.path.join(out_dir, name)
         if os.path.exists(path):
             delta_df = delta_df.localCheckpoint(eager=True)
@@ -535,9 +703,9 @@ def refresh_warehouse_incremental(
         else:  # first run: the delta IS the corpus — write, don't cache
             write_partitioned(delta_df, path)
         back = spark.read.parquet(path)
-        audit(name, back)
+        audit(name, back, slice_df=audit_slice(back) if audit_slice else None)
         report.reconcile[name] = validate_incremental_load(
-            delta_df, probe(back), keys
+            delta_df, probe(back), keys, cache=not first_run
         )
         return back
 
@@ -549,41 +717,46 @@ def refresh_warehouse_incremental(
                 audit(name, spark.read.parquet(path))
         return report
 
-    # ---- MERGE + AUDIT + RECONCILE, per table in build order.
-    # Slices recompute over the affected coins' FULL history (the
-    # cumulative-column requirement); md_aff is shared by the dense
-    # rebuild and the profits kernel exactly like the full refresh.
-    md_aff = touch(md_all).persist()
+    # ---- MERGE + AUDIT + RECONCILE, per table in build order. The
+    # affected-coin filter lands on the RAW scan, below the heavy
+    # daily aggregations (filters on grouping keys commute): the
+    # (coin, date) and (coin, wallet, date) aggs only ever see churn.
+    if first_run:
+        li_aff = li_sc
+    else:
+        li_aff = li_sc.join(
+            F.broadcast(affected.select(F.col("coin_id").alias("l_partkey"))),
+            "l_partkey",
+        )
+    # shared by the dense rebuild and the profits kernel; churn-sized
+    md_aff = daily_prices_from(li_aff).persist()
+    md_aff.count()
+    tick("cmd/md_aff")
+    x_aff = transfers_from(li_aff, load_table(spark, sf_dir, "orders"))
 
-    # coin_market_data is the one densified table, so it alone has a
-    # HORIZON obligation beyond the affected slice: every coin fills to
-    # the global max date. Two uneven-arrival hazards a coin-sliced
-    # merge misses: (a) md_aff's own max can trail the corpus max —
-    # densify to the TRUE horizon from md_all, never the subset max;
-    # (b) when the horizon advances, unaffected coins' standing series
-    # must extend (ffill) without recomputing their history. Both are
-    # pinned digest-for-digest against a full rebuild in
-    # test_refresh.py (uneven-arrival lifecycle).
-    horizon = md_all.agg(F.max("date").alias("_h")).first()["_h"]
+    # coin_market_data: the one densified table — see docstring step 3
     dense_aff = _dense_market(md_aff, end_date=horizon)
-    dense_delta = after_hwm(dense_aff, md_hwm)
+    dense_delta = after_hwm(dense_aff, cuts)
     cmd_path = os.path.join(out_dir, "coin_market_data")
-    if md_hwm is not None and os.path.exists(cmd_path):
-        # materialized once for the same reason merge_and_check
-        # checkpoints its delta (merge + reconcile read it five
-        # times); churn-sized only on the merge path — a first run's
+    if cuts is not None and os.path.exists(cmd_path):
+        # materialized once: merge + reconcile read it five times;
+        # churn-sized only on the merge path — a first run's
         # corpus-sized "delta" writes straight to parquet instead
         dense_delta = dense_delta.localCheckpoint(eager=True)
+        tick("cmd/dense_delta")
     tails = None
+    ext = None
     if os.path.exists(cmd_path):
-        # checkpoint BEFORE the rewrite: the extension plan must not
-        # lazily re-read files the merge is about to replace
-        tails = _horizon_tails(
-            spark.read.parquet(cmd_path), affected, horizon
-        ).localCheckpoint(eager=True)
-        ext = (
-            _horizon_extension(tails, horizon) if tails.count() else None
-        )
+        standing_cmd = spark.read.parquet(cmd_path)
+        if prev_horizon is None or prev_horizon < horizon:
+            # checkpoint BEFORE the rewrite: the extension plan must
+            # not lazily re-read files the merge is about to replace
+            tails = _horizon_tails(
+                standing_cmd, affected, horizon, prev_horizon
+            ).localCheckpoint(eager=True)
+            ext = (
+                _horizon_extension(tails, horizon) if tails.count() else None
+            )
         update = (
             dense_delta.unionByName(ext) if ext is not None else dense_delta
         )
@@ -591,53 +764,56 @@ def refresh_warehouse_incremental(
         # row that can differ from standing (real new days, recomputed
         # imputed days past the mark, horizon fills), and the standing
         # imputed rows it replaces sit at the same (coin, date) keys.
+        tick("cmd/tails")
         upsert_partitions(spark, cmd_path, update, ["coin_id", "date"])
+        tick("cmd/upsert")
     else:
-        ext = None
-        # first run: no marks, so the checkpointed delta IS the corpus
+        # first run: no marks, so the delta IS the corpus
         write_partitioned(dense_delta, cmd_path)
     cmd_back = spark.read.parquet(cmd_path)
-    audit("coin_market_data", cmd_back)
+    audit(
+        "coin_market_data",
+        cmd_back,
+        slice_df=touch(cmd_back) if churn_audit else None,
+    )
+    tick("cmd/audit")
     # dense_delta == dense_aff on the first run (no marks yet), so one
     # expression serves both paths; the probe mirrors the same cutoff
+    md_cut = probe_cutoff(cuts)
     report.reconcile["coin_market_data"] = validate_incremental_load(
         dense_delta,
-        after_hwm(touch(cmd_back), md_hwm),
+        after_hwm(touch(pruned(cmd_back, md_cut)), cuts),
         ["coin_id", "date"],
+        cache=not first_run,
     )
     if ext is not None:
+        base = pruned(cmd_back, prev_horizon)
         ext_loaded = (
-            cmd_back.join(
+            base.join(
                 F.broadcast(tails.select("coin_id", "_maxd")), "coin_id"
             )
             .filter(F.col("date") > F.col("_maxd"))
             .drop("_maxd")
         )
         report.reconcile["coin_market_data_horizon"] = (
-            validate_incremental_load(ext, ext_loaded, ["coin_id", "date"])
-        )
-    cwt_back = merge_and_check(
-        "coin_wallet_transfers",
-        after_hwm(_with_balance(touch(x_all)), x_hwm),
-        ["coin_id", "wallet_address", "date"],
-        probe=lambda back: after_hwm(touch(back), x_hwm),
-    )
-    # profits can gain/change rows anywhere past the LEAST of the two
-    # marks: a new price at an old transfer day mints a profits row
-    # between them, and every later row's cumsums shift with it
-    p_hwm = None
-    if md_hwm is not None and x_hwm is not None:
-        p_hwm = (
-            md_hwm.withColumnRenamed("hwm", "_mh")
-            .join(x_hwm.withColumnRenamed("hwm", "_xh"), "coin_id", "full_outer")
-            .select(
-                "coin_id",
-                F.least(
-                    F.coalesce("_mh", F.lit("0001-01-01").cast("date")),
-                    F.coalesce("_xh", F.lit("0001-01-01").cast("date")),
-                ).alias("hwm"),
+            validate_incremental_load(
+                ext, ext_loaded, ["coin_id", "date"], cache=True
             )
         )
+    tick("coin_market_data")
+    cwt_back = merge_and_check(
+        "coin_wallet_transfers",
+        after_hwm(_with_balance(x_aff), cuts),
+        ["coin_id", "wallet_address", "date"],
+        probe=lambda back: after_hwm(touch(pruned(back, md_cut)), cuts),
+        audit_slice=(lambda back: touch(back)) if churn_audit else None,
+    )
+    tick("coin_wallet_transfers")
+    # profits can gain/change rows anywhere from the first new arrival
+    # of EITHER input (price or transfer) — the same first-new cutoff,
+    # least-of-streams by construction (docstring note above)
+    # fed from the LANDED transfers table (curated lineage: profits
+    # derive from the table users see), filtered to affected coins
     profits = wallet_profits_kernel_from(
         touch(cwt_back).select(
             "coin_id", "wallet_address", "date", "net_transfers", "balance"
@@ -646,17 +822,24 @@ def refresh_warehouse_incremental(
     )
     merge_and_check(
         "coin_wallet_profits",
-        after_hwm(profits, p_hwm),
+        after_hwm(profits, cuts),
         ["coin_id", "wallet_address", "date"],
-        probe=lambda back: after_hwm(touch(back), p_hwm),
+        probe=lambda back: after_hwm(touch(pruned(back, md_cut)), cuts),
+        audit_slice=(lambda back: touch(back)) if churn_audit else None,
     )
     md_aff.unpersist()
+    tick("coin_wallet_profits")
 
-    # ---- advance watermarks LAST (state reflects only landed work)
-    save_watermark_state(
-        high_water_marks(md_all, ["coin_id"], "date"), md_state
+    # ---- advance watermarks LAST (state reflects only landed work).
+    # Both streams key on the same raw arrival grain in this corpus, so
+    # one stats frame feeds both state surfaces (the reference keeps
+    # separate price/transfer freshness; so does the API here).
+    new_state = stats.select(
+        "coin_id",
+        F.col("_new_hwm").alias("hwm"),
+        F.col("_n_total").alias("n_rows"),
     )
-    save_watermark_state(
-        high_water_marks(x_all, ["coin_id"], "date"), x_state
-    )
+    save_watermark_state(new_state, md_state)
+    save_watermark_state(new_state, x_state)
+    tick("marks")
     return report
