@@ -742,7 +742,11 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
     path = os.path.join(sf, "events.parquet")
     # the file stream source requires a directory; stage a symlink
     stage = tempfile.mkdtemp(prefix="q42_stream_")
-    os.symlink(path, os.path.join(stage, "events.parquet"))
+    # abspath: the link resolves from the STAGE dir, so a relative
+    # sf_dir (a legal harness input) would dangle -> a silently EMPTY
+    # file stream (zero rows, no error) — exactly what an sf1 parity
+    # run caught
+    os.symlink(os.path.abspath(path), os.path.join(stage, "events.parquet"))
     schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(schema).parquet(stage)
     ts_type = dict(stream.dtypes).get("ts")
@@ -1252,7 +1256,11 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
 
     path = os.path.join(sf, "events.parquet")
     stage = tempfile.mkdtemp(prefix="q68_stream_")
-    os.symlink(path, os.path.join(stage, "events.parquet"))
+    # abspath: the link resolves from the STAGE dir, so a relative
+    # sf_dir (a legal harness input) would dangle -> a silently EMPTY
+    # file stream (zero rows, no error) — exactly what an sf1 parity
+    # run caught
+    os.symlink(os.path.abspath(path), os.path.join(stage, "events.parquet"))
     schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(schema).parquet(stage)
     clicks = stream.filter(F.col("event_type") == "click")
