@@ -378,11 +378,15 @@ def refresh_warehouse_incremental(
        cumulative-column requirement), but only DELTA rows — date at
        or past the coin's FIRST NEW ARRIVAL (rows strictly between the
        old mark and the first new arrival are ffill-determined by data
-       at/below the mark, hence bit-identical in standing) — merge,
-       through
-       `upsert_partitions` (touched date partitions only, statically
-       pruned). Profits uses the LEAST of a coin's price/transfer
-       marks. coin_market_data honors the DENSIFY HORIZON: affected
+       at/below the mark, hence bit-identical in standing; the cutoff
+       is least(first_new - 1, prev_horizon) so a quiet coin rejoining
+       after the horizon advanced still fills its ffill gap) — merge,
+       through `upsert_partitions` (touched date partitions only,
+       statically pruned). Profits shares the same cutoff: its first
+       changed row sits at the first new arrival of EITHER input
+       stream (the least-of-streams by construction here, where both
+       feeds share the raw arrival grain). coin_market_data
+       additionally honors the DENSIFY HORIZON: affected
        coins fill to the true global max date, and unaffected coins
        trailing an advanced horizon get pure ffill extension rows.
        The extension source (each unaffected coin's last standing row)
