@@ -60,9 +60,17 @@ def kmv_distinct(
     built-in as approx_count_distinct, which is what production runs —
     this operator exists for cross-engine-deterministic verification.
     """
-    hashed = df.select(
-        *group_cols, kmv_hash(F.col(value_col).cast("string")).alias("_h")
-    ).distinct()
+    # distinct BEFORE the hash: md5 is deterministic per value, so
+    # hash-of-distinct == distinct-of-hash — but the reordering hashes
+    # only the distinct (key, value) stream. Under a Zipf head the
+    # dupes are most of the corpus (the skewed-sf1 gate measured the
+    # hash-then-distinct order at 3x the wall), and the shuffle that
+    # was already here now carries the narrow raw value, not a digest.
+    hashed = (
+        df.select(*group_cols, F.col(value_col).cast("string").alias("_v"))
+        .distinct()
+        .select(*group_cols, kmv_hash(F.col("_v")).alias("_h"))
+    )
     w = Window.partitionBy(*group_cols).orderBy("_h")
     topk = hashed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
     est = F.when(
@@ -132,15 +140,20 @@ HLL_RHO_SQL = _hll_rho_sql()
 
 
 def portable_hll_registers(
-    df: DataFrame, keys: list[str], value_col: str
+    df: DataFrame, keys: list[str], value_col: str, dedup_first: bool = False
 ) -> DataFrame:
     """Per-key register table (keys..., reg, rho): the stored rollup
-    row set, <= 256 rows per key. Duplicates need no pre-distinct —
-    max(rho) absorbs them map-side, so the shuffle carries at most
-    (keys x registers) rows."""
-    hashed = df.select(
-        *keys, F.md5(F.col(value_col).cast("string")).alias("_h")
-    )
+    row set, <= 256 rows per key. Duplicates need no pre-distinct for
+    CORRECTNESS — max(rho) absorbs them map-side, so the shuffle
+    carries at most (keys x registers) rows. `dedup_first` trades one
+    extra narrow shuffle (distinct on (keys, value)) for running the
+    md5 + hex-expansion expressions only over distinct values — a win
+    when dupes dominate (a Zipf head repeats the same (coin, wallet)
+    pairs for most of the corpus), a wash on near-unique streams."""
+    src = df.select(*keys, F.col(value_col).cast("string").alias("_v"))
+    if dedup_first:
+        src = src.distinct()
+    hashed = src.select(*keys, F.md5(F.col("_v")).alias("_h"))
     return (
         hashed.select(
             *keys,

@@ -313,12 +313,26 @@ def _q51_direct_grain(schema, members):
             quantile_sketch_build,
             quantile_sketch_estimate,
         )
-        from etl_pipelines_spark.queries.timeseries import transfers
+        from etl_pipelines_spark.queries.catalog import t
+        from etl_pipelines_spark.queries.timeseries import transfers_from
 
-        x = transfers(spark, sf_dir)
+        # UNCLUSTERED daily-net feed (shuffle_on=None): the suite's
+        # builds re-aggregate to their own grains and never reuse coin
+        # clustering, so the explicit coin exchange only funnels a
+        # Zipf-hot coin through one task (skewed-sf1: suite 16 -> ~10 s;
+        # uniform sf1 pays ~0.5 s for the composite-key shuffle).
+        # dedup_first on the register build: the hot coin repeats the
+        # same (coin, wallet) pairs for a third of the corpus — hash
+        # distinct pairs, not rows.
+        x = transfers_from(
+            t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "orders"),
+            shuffle_on=None,
+        )
         frames = {
             "hll": portable_hll_estimate(
-                portable_hll_registers(x, ["coin_id"], "wallet_address"),
+                portable_hll_registers(
+                    x, ["coin_id"], "wallet_address", dedup_first=True
+                ),
                 ["coin_id"],
             ),
             "qsk": quantile_sketch_estimate(

@@ -87,10 +87,19 @@ def transfers(spark: SparkSession, sf: str) -> DataFrame:
     return transfers_from(t(spark, sf, "lineitem"), t(spark, sf, "orders"))
 
 
-def transfers_from(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+def transfers_from(
+    lineitem: DataFrame, orders: DataFrame, shuffle_on=("l_partkey",)
+) -> DataFrame:
     """transfers over explicit lineitem/orders frames (lets tests and
-    skew fixtures feed remapped variants through the real plan)."""
-    base = transfers_base_from(lineitem, orders)
+    skew fixtures feed remapped variants through the real plan).
+
+    `shuffle_on=None` drops the explicit coin-keyed exchange and lets
+    the daily aggregation's OWN shuffle key on the full (coin, wallet,
+    date) composite: consumers that never reuse coin clustering
+    (the sketch builds — they re-aggregate to their own grains) would
+    otherwise funnel a Zipf-hot coin's third-of-the-corpus through ONE
+    task before their first aggregation (the q72 lesson)."""
+    base = transfers_base_from(lineitem, orders, shuffle_on=shuffle_on)
     return base.groupBy("coin_id", "wallet_address", "date").agg(
         F.sum("_sq").cast("double").alias("net_transfers")
     )
