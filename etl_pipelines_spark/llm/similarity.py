@@ -846,6 +846,20 @@ def two_level_centroids(
     return coarse, fine
 
 
+_LAST_FINE_BC = None
+
+
+def release_fine_codebook() -> None:
+    """Free the session's live fine-codebook broadcast (if any) —
+    call after the last frame built on a `two_level_assign` has been
+    materialized. Registration is single-slot: shipping a new fine
+    codebook frees the previous one automatically."""
+    global _LAST_FINE_BC
+    if _LAST_FINE_BC is not None:
+        _LAST_FINE_BC.destroy()
+        _LAST_FINE_BC = None
+
+
 def _fine_assign_pandas(spark, fine, vec_col: str, transport: str = "broadcast"):
     """(Arrow UDF, release): given (coarse_cell, vector) columns,
     return the argmin fine index WITHIN that cell's fine block — the
@@ -865,7 +879,21 @@ def _fine_assign_pandas(spark, fine, vec_col: str, transport: str = "broadcast")
             return bc.value
 
         def release():
+            global _LAST_FINE_BC
             bc.destroy()
+            if _LAST_FINE_BC is bc:
+                _LAST_FINE_BC = None
+
+        # single-slot registry (the dedup gram-cache pattern): at the
+        # 2 GB-codebook scale, repeated two_level_assign calls in one
+        # session must not accumulate TorrentBroadcasts until GC finds
+        # the handles — registering here frees the PREVIOUS codebook
+        # the moment a new one ships, bounding the session to one live
+        # fine codebook; release_fine_codebook() frees the last one.
+        global _LAST_FINE_BC
+        if _LAST_FINE_BC is not None:
+            _LAST_FINE_BC.destroy()
+        _LAST_FINE_BC = bc
 
     else:  # closure tier: small codebooks ride the task closure
         def get_blocks():
@@ -928,10 +956,118 @@ def two_level_assign(
     off_expr = F.element_at(
         F.array(*[F.lit(o) for o in offsets]), F.col("_c1") + 1
     ).cast("long")
-    # broadcast must outlive every consumer job of the lazy frame:
-    # release is the caller's/GC's business, as in assign_clusters
+    # broadcast must outlive every consumer job of the lazy frame; it
+    # sits in the single-slot registry, so the NEXT two-level call (or
+    # release_fine_codebook()) frees it — at most one live fine
+    # codebook per session, never an unbounded accumulation
     return assigned.withColumn(
         out, off_expr + fidx_udf(F.col("_c1"), F.col(vec_col)).cast("long")
+    )
+
+
+def two_level_topk(
+    embeddings: DataFrame,
+    coarse: list[list[float]],
+    fine: list[list[list[float]]],
+    k: int = 10,
+    n_queries: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe1: int = 4,
+    nprobe2: int = 4,
+    transport: str = "auto",
+    distance: str = "exact",
+) -> DataFrame:
+    """IVF ANN over the TWO-LEVEL quantizer — the composed end-to-end
+    path for 10^9-vector corpora where a flat codebook at the ~250
+    occupancy law would need k ~ 4M and O(k*dim) per-row assignment.
+
+    Corpus side: every vector gets a global cell in [0, k_eff) via
+    `two_level_assign` (O((k1+k2)*dim) per row). Query side: each
+    query probes its `nprobe1` nearest coarse cells, and within each,
+    its `nprobe2` nearest fine centroids — nprobe1*nprobe2 global
+    cells out of k_eff. Candidates join on the cell id (queries
+    broadcast; the corpus never shuffles), exact-cosine re-rank,
+    row_number <= k. At 100 TB the global cell is the table's
+    physical partition key, so a query reads nprobe1*nprobe2
+    partitions instead of the corpus. Returns
+    (query_id, neighbor_id, rank, cosine)."""
+    import numpy as np
+    import pandas as pd
+
+    offsets = [0] * len(fine)
+    acc = 0
+    for c, b in enumerate(fine):
+        offsets[c] = acc
+        acc += max(1, len(b))
+
+    bucketed = two_level_assign(
+        _spread(embeddings), coarse, fine, vec_col=vec_col, out="cell",
+        id_col=id_col, transport=transport, distance=distance,
+    )
+
+    # query-side probe set: nprobe1 coarse probes (the existing
+    # multi-probe kernel), then nprobe2 fine probes INSIDE each probed
+    # block via the broadcast ragged fine codebook
+    qside = nearest_clusters(
+        embeddings.filter(F.col(id_col) < n_queries).select(id_col, vec_col),
+        coarse, min(nprobe1, len(coarse)), vec_col,
+        transport=transport, distance=distance,
+    )
+    blocks0 = [np.array(b, dtype="float64") if b else None for b in fine]
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast(blocks0)
+    off_arr = list(offsets)
+    np2 = nprobe2
+
+    @F.pandas_udf("array<long>")
+    def qcells(probes, v):
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        blocks = bc.value
+        out = []
+        for pr, vec in zip(probes, v):
+            a = np.asarray(vec, dtype="float64")[None, :]
+            cells: list[int] = []
+            for c in pr:
+                B = blocks[int(c)]
+                if B is None or len(B) == 1:
+                    cells.append(off_arr[int(c)])
+                    continue
+                d = _exact_sq_dists(a, B)[0]
+                order = np.argsort(d, kind="stable")[: min(np2, len(B))]
+                cells.extend(off_arr[int(c)] + int(j) for j in order)
+            out.append(cells)
+        return pd.Series(out)
+
+    nrm = _norm_pandas()
+    q = qside.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        nrm(F.col(vec_col)).alias("_qn"),
+        F.explode(qcells(F.col("probes"), F.col(vec_col))).alias("_qcell"),
+    )
+    c = bucketed.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        nrm(F.col(vec_col)).alias("_cn"),
+        F.col("cell"),
+    )
+    dot = _dot_scaled_pandas()
+    scored = (
+        c.join(F.broadcast(q), F.col("cell") == F.col("_qcell"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine", dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn"))
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
     )
 
 

@@ -917,6 +917,69 @@ class TestTwoLevelQuantizer:
         assert occ["mx"] <= 200 * mean, occ
 
 
+    def test_two_level_topk_recall_vs_brute_force(self, spark):
+        """The composed end-to-end ANN path: coarse+fine assignment
+        feeding a multi-probe (nprobe1 x nprobe2 cells) exact-rerank
+        top-k. With generous probes over a small corpus the ANN result
+        must recover nearly all of the exact brute-force top-10 —
+        and the rows it does return must carry identical cosines."""
+        from pyspark.sql import functions as F
+
+        from etl_pipelines_spark.llm.similarity import (
+            brute_force_topk,
+            two_level_centroids,
+            two_level_topk,
+        )
+
+        n, dim = 4000, 6
+        comps = F.expr(
+            f"transform(sequence(0, {dim - 1}), d -> "
+            "cast(pmod(xxhash64(id, d), 100000) as double) / 50000.0 - 1.0)"
+        )
+        emb = (
+            spark.range(n)
+            .select(F.col("id").alias("vec_id"), comps.alias("embedding"))
+            .persist()
+        )
+        emb.count()
+        coarse, fine = two_level_centroids(emb, k1=8, k2=8, n_iter=2, fine_iter=1)
+        ann = two_level_topk(
+            emb, coarse, fine, k=10, n_queries=5, nprobe1=6, nprobe2=6
+        ).collect()
+        exact = brute_force_topk(
+            emb, emb.filter(F.col("vec_id") < 5), k=10
+        ).collect()
+        emb.unpersist()
+        exact_pairs = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+        ann_pairs = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in ann}
+        hits = set(ann_pairs) & set(exact_pairs)
+        recall = len(hits) / len(exact_pairs)
+        assert recall >= 0.9, f"recall@10 {recall}"
+        for p in hits:  # same exact-cosine kernel on both sides
+            assert abs(ann_pairs[p] - exact_pairs[p]) < 1e-12
+
+    def test_fine_codebook_broadcast_is_single_slot(self, spark):
+        """Repeated two_level_assign calls must not accumulate fine-
+        codebook TorrentBroadcasts: shipping a new codebook frees the
+        previous one, and release_fine_codebook() frees the last."""
+        from etl_pipelines_spark.llm import similarity as sim
+
+        rows = [(i, [float(i % 7), float(i % 3)]) for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        coarse, fine = sim.two_level_centroids(df, k1=2, k2=2, n_iter=1, fine_iter=1)
+        # training released its own round broadcasts; slot starts empty
+        assert sim._LAST_FINE_BC is None
+        a1 = sim.two_level_assign(df, coarse, fine)
+        a1.collect()
+        bc1 = sim._LAST_FINE_BC
+        assert bc1 is not None
+        a2 = sim.two_level_assign(df, coarse, fine)
+        a2.collect()
+        assert sim._LAST_FINE_BC is not bc1  # old broadcast was freed
+        sim.release_fine_codebook()
+        assert sim._LAST_FINE_BC is None
+
+
 class TestBloomFilter:
     """Portable Bloom filter: build/probe/merge contracts."""
 
