@@ -185,17 +185,25 @@ def run_expectations(
     table: str,
     config: dict[str, dict],
     refs: Mapping[str, DataFrame] | None = None,
-) -> list[Q.ExpectationResult]:
+    count_rows_of: DataFrame | None = None,
+) -> list[Q.ExpectationResult] | tuple[list[Q.ExpectationResult], int]:
     """Run `table`'s declared suite against `df` as ONE Spark action:
     the per-rule violation counts union into a single counts frame
     (quality.violation_counts), so a 6-table refresh pays 6 audit
     jobs instead of one per expectation — the per-action floor is the
     dominant audit cost on a green warehouse. Violation samples (the
-    triage payload) are fetched only for the rules that failed."""
+    triage payload) are fetched only for the rules that failed.
+
+    `count_rows_of` rides a table row count on the SAME action (a
+    "_rows" branch in the counts union — the frame counted may differ
+    from `df`, e.g. the full table while `df` is a churn slice);
+    the return becomes (results, n_rows)."""
     spec = config.get(table) or {}
     frames = _violation_frames(df, table, spec, refs or {})
+    if count_rows_of is not None:
+        frames.append(("_rows", count_rows_of))
     if not frames:
-        return []
+        return ([], 0) if count_rows_of is not None else []
     # names must be unique inside the counts union — suffix dupes
     seen: dict[str, int] = {}
     named: list[tuple[str, DataFrame]] = []
@@ -210,9 +218,12 @@ def run_expectations(
         r["rule"]: r["n_violations"]
         for r in Q.violation_counts(dict(named)).collect()
     }
+    n_rows = counts.pop("_rows", None)
     out = []
     for name, vdf in named:
+        if name == "_rows":
+            continue
         n = counts[name]
         sample = vdf.limit(5).collect() if n else []
         out.append(Q.ExpectationResult(name, n == 0, n, sample))
-    return out
+    return (out, int(n_rows)) if count_rows_of is not None else out

@@ -57,9 +57,21 @@ def validate_incremental_load(
     diff = snapshot_diff(expected, loaded, keys, compare_cols).persist()
     counts = {r["status"]: r["n"] for r in
               diff.groupBy("status").count().withColumnRenamed("count", "n").collect()}
-    de = table_digest(expected, cols).first()
-    dl = table_digest(loaded, cols).first()
-    digest_match = (de["n_rows"], de["digest"]) == (dl["n_rows"], dl["digest"])
+    # BOTH side digests in ONE action: each is a 1-row commutative agg,
+    # and the per-action scheduling floor (not the scan) dominates a
+    # churn-sized validation — two .first() calls here were two of the
+    # increment's ~40 fixed jobs per run
+    from pyspark.sql import functions as F
+
+    both = (
+        table_digest(expected, cols).select(F.lit("e").alias("_s"), "n_rows", "digest")
+        .unionByName(
+            table_digest(loaded, cols).select(F.lit("l").alias("_s"), "n_rows", "digest")
+        )
+        .collect()
+    )
+    sides = {r["_s"]: (r["n_rows"], r["digest"]) for r in both}
+    digest_match = sides["e"] == sides["l"]
     n_added = int(counts.get("added", 0))
     n_removed = int(counts.get("removed", 0))
     n_changed = int(counts.get("changed", 0))

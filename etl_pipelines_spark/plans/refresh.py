@@ -37,6 +37,12 @@ class RefreshReport:
     # (raw rows at/below their saved high-water mark that the standing
     # table never saw); healed by whole-slice replace, recorded loudly
     backdated_coins: int = 0
+    # append-only contract guard strength this run: "full" (per-coin
+    # row counts checked), "legacy" (pre-n_rows marks state — the
+    # count check is blind for exactly this one run; backdated rows
+    # merge via the old marks-only cutoff), or "n/a" (first run /
+    # full rebuild: nothing standing to guard)
+    guard_mode: str = "n/a"
     # incremental runs: wall seconds per driver stage (dims / pull /
     # guard / each table's merge+audit+reconcile / marks) — where the
     # increment's time actually goes, for the O(churn) accounting
@@ -84,9 +90,12 @@ def refresh_warehouse(
         path = os.path.join(out_dir, name)
         write_partitioned(df, path)
         back = spark.read.parquet(path)
-        report.tables[name] = back.count()
         built[name] = back
-        report.expectations.extend(run_expectations(back, name, rules, built))
+        # row count rides the fused expectations action (one job per
+        # table, not one per expectation plus a count)
+        res, n = run_expectations(back, name, rules, built, count_rows_of=back)
+        report.tables[name] = n
+        report.expectations.extend(res)
         return back
 
     # 0. dimensions (§3.1 steps 2-4 composed)
@@ -454,16 +463,23 @@ def refresh_warehouse_incremental(
         _t0 = now
 
     def audit(name: str, back: DataFrame, slice_df: DataFrame | None = None) -> None:
-        report.tables[name] = back.count()
         built[name] = back  # referential parents resolve to full tables
         if slice_df is None:
-            report.expectations.extend(run_expectations(back, name, rules, built))
+            # full-table row count rides the fused expectations action
+            res, n = run_expectations(back, name, rules, built, count_rows_of=back)
+            report.tables[name] = n
+            report.expectations.extend(res)
             return
         # churn-sized slice: materialize ONCE so the suite's checks
-        # (each its own Spark job) read the cache, not N table scans
+        # (branches of one fused counts job) read the cache, not N
+        # table scans; the FULL table's row count rides that same job
         slice_df = slice_df.persist()
         slice_df.count()
-        report.expectations.extend(run_expectations(slice_df, name, rules, built))
+        res, n = run_expectations(
+            slice_df, name, rules, built, count_rows_of=back
+        )
+        report.tables[name] = n
+        report.expectations.extend(res)
         slice_df.unpersist()
 
     # ---- ARRIVAL STATS: one raw-grain pass serves delta discovery,
@@ -485,8 +501,24 @@ def refresh_warehouse_incremental(
     old = old_md
     if old is not None and "n_rows" not in old.columns:
         # legacy marks-only state: the delta still works off the marks,
-        # the count guard just cannot see backdated rows this one run
+        # the count guard just cannot see backdated rows this one run —
+        # surfaced on the report (guard_mode) AND warned, so operators
+        # know exactly which run lacked the contract check instead of
+        # finding a code comment after the fact
+        import warnings
+
         old = old.withColumn("n_rows", F.lit(None).cast("long"))
+        report.guard_mode = "legacy"
+        warnings.warn(
+            "incremental refresh: watermark state predates per-coin row "
+            "counts (marks-only); the append-only contract guard is "
+            "DEGRADED for this one run — backdated arrivals at/below "
+            "the old marks merge unverified. State is rewritten with "
+            "counts at the end of this run; the next run guards fully.",
+            stacklevel=2,
+        )
+    elif old is not None:
+        report.guard_mode = "full"
 
     ev = li_sc.select(F.col("l_partkey").alias("coin_id"), rd.alias("_d"))
     if old is not None:
@@ -508,11 +540,6 @@ def refresh_warehouse_incremental(
         # coin-grain: every consumer below reads this, not the raw scan
         .localCheckpoint(eager=True)
     )
-    hrow = stats.agg(
-        F.max("_new_hwm").alias("_h"), F.max("hwm").alias("_p")
-    ).first()
-    horizon, prev_horizon = hrow["_h"], hrow["_p"]
-
     marked = F.col("hwm").isNotNull()
     has_new = (
         F.when(~marked, F.lit(True))
@@ -522,34 +549,73 @@ def refresh_warehouse_incremental(
         )
         .otherwise(F.col("_new_hwm") > F.col("hwm"))
     )
-    affected = stats.filter(has_new).select("coin_id").localCheckpoint(eager=True)
-    n_affected = affected.count()
+    counted = F.col("_n_saved").isNotNull()
+    viol_cond = marked & counted & (
+        F.coalesce("_n_below", F.lit(0)) != F.col("_n_saved")
+    )
+    # ONE driver round-trip over the coin-grain stats serves every
+    # scalar the run needs: horizons, the affected count, both guard
+    # counters, and the reconcile-probe cutoff inputs. Each of these
+    # was its own Spark job before — on a one-day increment the
+    # per-job scheduling floor, not the work, dominated the run.
+    srow = stats.agg(
+        F.max("_new_hwm").alias("_h"),
+        F.max("hwm").alias("_p"),
+        F.sum(has_new.cast("long")).alias("_n_aff"),
+        F.sum(viol_cond.cast("long")).alias("_n_viol"),
+        F.sum(
+            (
+                marked & counted
+                & (F.coalesce("_n_below", F.lit(0)) < F.col("_n_saved"))
+            ).cast("long")
+        ).alias("_n_shrunk"),
+        F.sum(marked.cast("long")).alias("_n_marked"),
+        # probe-cutoff inputs over CLEAN coins (viol coins heal by
+        # whole-slice replace and void the static cutoff; that rare
+        # path recomputes below)
+        F.min(
+            F.when(marked & F.col("_first_new").isNotNull(), F.date_sub("_first_new", 1))
+        ).alias("_min_cut"),
+        F.sum(
+            (has_new & ~(marked & F.col("_first_new").isNotNull())).cast("long")
+        ).alias("_n_uncut"),
+    ).first()
+    horizon, prev_horizon = srow["_h"], srow["_p"]
+    n_affected = int(srow["_n_aff"] or 0)
     report.affected_coins = n_affected
+    affected = stats.filter(has_new).select("coin_id").localCheckpoint(eager=True)
     tick("pull")
 
     def touch(df: DataFrame) -> DataFrame:
         return df.join(F.broadcast(affected), "coin_id")
 
-    # ---- APPEND-ONLY CONTRACT GUARD (docstring step 2)
-    viol = stats.filter(
-        marked
-        & F.col("_n_saved").isNotNull()
-        & (F.coalesce("_n_below", F.lit(0)) != F.col("_n_saved"))
-    ).select(
-        "coin_id",
-        F.coalesce("_n_below", F.lit(0)).alias("_nb"),
-        F.col("_n_saved").alias("_ns"),
-    )
-    gone = [
-        r["coin_id"]
-        for r in viol.filter(F.col("_nb") < F.col("_ns")).limit(20).collect()
-    ]
-    if old is not None:
-        gone += [
+    # ---- APPEND-ONLY CONTRACT GUARD (docstring step 2). The clean-run
+    # path (every steady-state day) pays ZERO extra jobs: the violation
+    # counters rode the consolidated stats aggregation above, and the
+    # detail collections below only run when a counter fires. A coin
+    # that vanished from the arrival stream entirely (all its rows
+    # deleted) is invisible to per-coin counters — it is caught by
+    # comparing the marked-coin count against the saved state's count.
+    n_gone = int(srow["_n_shrunk"] or 0)
+    if old is not None and n_gone == 0:
+        n_old = old.count()  # tiny coin-grain state frame
+        if int(srow["_n_marked"] or 0) < n_old:
+            n_gone = n_old - int(srow["_n_marked"] or 0)
+    if n_gone:
+        viol_detail = stats.filter(viol_cond).select(
+            "coin_id",
+            F.coalesce("_n_below", F.lit(0)).alias("_nb"),
+            F.col("_n_saved").alias("_ns"),
+        )
+        gone = [
             r["coin_id"]
-            for r in old.join(stats, "coin_id", "left_anti").limit(20).collect()
+            for r in viol_detail.filter(F.col("_nb") < F.col("_ns")).limit(20).collect()
         ]
-    if gone:
+        if old is not None:
+            gone += [
+                r["coin_id"]
+                for r in old.join(stats, "coin_id", "left_anti").limit(20).collect()
+            ]
         raise ValueError(
             "incremental refresh: raw rows at/below the saved high-water "
             f"mark DISAPPEARED for coin(s) {sorted(gone)} — the arrival "
@@ -557,11 +623,12 @@ def refresh_warehouse_incremental(
             "heal a deletion (stale curated keys would survive). Rebuild "
             "with refresh_warehouse or restore the source."
         )
-    bad = viol.select("coin_id").localCheckpoint(eager=True)
-    report.backdated_coins = bad.count()
+    report.backdated_coins = int(srow["_n_viol"] or 0)
+    bad = None
     if report.backdated_coins:
         import warnings
 
+        bad = stats.filter(viol_cond).select("coin_id").localCheckpoint(eager=True)
         warnings.warn(
             f"incremental refresh: {report.backdated_coins} coin(s) "
             "violated the append-only arrival contract (raw rows "
@@ -605,20 +672,39 @@ def refresh_warehouse_incremental(
         cuts = cuts.localCheckpoint(eager=True)
     tick("guard")
 
+    # reconcile-probe static cutoff, from the consolidated aggregation
+    # on the clean path (zero extra jobs); recomputed dynamically only
+    # on the rare healed-backdated run, where `cuts` excludes coins
+    _static_cut = None
+    if (
+        cuts is not None
+        and not report.backdated_coins
+        and int(srow["_n_uncut"] or 0) == 0
+        and srow["_min_cut"] is not None
+    ):
+        _static_cut = min(
+            d for d in (srow["_min_cut"], prev_horizon) if d is not None
+        )
+
     # ---- DIMS: key-grain rebuild each run (the reference's daily dim
     # discipline), but the lineitem-derived observations (first_seen,
     # n_suppliers, presence) maintain O(churn) on steady-state runs:
     # unaffected coins' rows are unchanged (the guard just proved it),
     # so their observations read back off the STANDING coin_facts
     # table; only affected coins re-aggregate — from the UNSCOPED raw
-    # stream, because dims deliberately see the whole history (the
-    # sandbox scope applies to facts, not dims; incremental dim
-    # maintenance therefore assumes out-of-scope arrivals are
-    # quiescent, which is vacuous in the unscoped production shape).
-    # First run (or missing facts table) falls back to the full agg.
+    # stream, because dims deliberately see the whole history. The
+    # guard, however, only watches the SCOPED stream: under a
+    # since/until/coin_limit sandbox scope an out-of-scope arrival for
+    # an "unaffected" coin would silently stale its first_seen/
+    # n_suppliers. So the O(churn) path is UNSCOPED-ONLY (the
+    # production shape, where guard stream == dim stream); any scoped
+    # run falls back to the full aggregation — one lineitem agg, the
+    # same cost the first run pays. First run (or missing facts
+    # table) falls back likewise.
     li_obs = None
+    scoped = since is not None or until is not None or coin_limit is not None
     facts_path = os.path.join(out_dir, "coin_facts")
-    if not first_run and os.path.exists(facts_path) and n_affected:
+    if not first_run and not scoped and os.path.exists(facts_path) and n_affected:
         prev_facts = spark.read.parquet(facts_path)
         aff_obs = (
             load_table(spark, sf_dir, "lineitem")
@@ -666,6 +752,9 @@ def refresh_warehouse_incremental(
         its whole slice is delta)."""
         if hwm is None:
             return None
+        if not report.backdated_coins:
+            # clean run: the scalar rode the stats aggregation
+            return _static_cut
         r = (
             affected.join(hwm, "coin_id", "left")
             .agg(

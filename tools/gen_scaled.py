@@ -57,7 +57,15 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "testdata_scaled", "sf1"))
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--tables", default=None,
+        help="comma-separated subset to emit (e.g. the warehouse-only "
+        "'region,nation,customer,supplier,part,orders,lineitem' for a "
+        "refresh-scale corpus — skips the expensive documents/"
+        "embeddings rewrites a refresh bench never reads)",
+    )
     args = ap.parse_args()
+    only = set(args.tables.split(",")) if args.tables else None
     os.makedirs(args.out, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
@@ -66,6 +74,8 @@ def main() -> None:
         return f"'{args.src}/{name}.parquet'"
 
     def copy(name: str, sql: str) -> None:
+        if only is not None and name not in only:
+            return
         con.execute(
             f"COPY ({sql}) TO '{args.out}/{name}.parquet' (FORMAT PARQUET)"
         )
@@ -160,6 +170,8 @@ def main() -> None:
     copy("documents", union_over_replicas(doc_select, args.factor))
 
     # embeddings: orthogonal per-replica transform in numpy
+    if only is not None and "embeddings" not in only:
+        return
     tbl = pq.read_table(os.path.join(args.src, "embeddings.parquet"))
     vec_ids = tbl.column("vec_id").to_numpy()
     labels = tbl.column("label").to_numpy()
