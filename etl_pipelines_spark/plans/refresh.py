@@ -693,23 +693,68 @@ def refresh_warehouse_incremental(
     # so their observations read back off the STANDING coin_facts
     # table; only affected coins re-aggregate — from the UNSCOPED raw
     # stream, because dims deliberately see the whole history. The
-    # guard, however, only watches the SCOPED stream: under a
+    # main guard, however, only watches the SCOPED stream: under a
     # since/until/coin_limit sandbox scope an out-of-scope arrival for
     # an "unaffected" coin would silently stale its first_seen/
-    # n_suppliers. So the O(churn) path is UNSCOPED-ONLY (the
-    # production shape, where guard stream == dim stream); any scoped
-    # run falls back to the full aggregation — one lineitem agg, the
-    # same cost the first run pays. First run (or missing facts
-    # table) falls back likewise.
+    # n_suppliers. The dim stream therefore keeps its OWN change
+    # detector: in unscoped runs the main guard covers it (guard
+    # stream == dim stream, dims_affected = affected); in scoped runs
+    # a per-coin UNSCOPED row count (a cheap map-side-combined agg,
+    # not the countDistinct the full rebuild pays) diffs against the
+    # saved dims_counts state — under the append-only contract any
+    # change to a coin's unscoped row set changes its count, so
+    # count-equal coins provably have unchanged observations. First
+    # scoped run after upgrade (no dims_counts state) falls back to
+    # the full aggregation once, then maintains O(churn).
     li_obs = None
     scoped = since is not None or until is not None or coin_limit is not None
     facts_path = os.path.join(out_dir, "coin_facts")
-    if not first_run and not scoped and os.path.exists(facts_path) and n_affected:
+    dims_state = os.path.join(state_dir, "dims_counts")
+    dims_affected = None
+    new_dim_counts = None
+    if scoped:
+        # computed on EVERY scoped run (including the first, so the
+        # baseline exists as soon as the dims it describes do): a
+        # map-side-combined per-coin count, far cheaper than the
+        # countDistinct the full dim aggregation pays
+        new_dim_counts = (
+            load_table(spark, sf_dir, "lineitem")
+            .groupBy(F.col("l_partkey").alias("coin_id"))
+            .agg(F.count(F.lit(1)).alias("n_rows_all"))
+            .localCheckpoint(eager=True)
+        )
+    if not first_run and os.path.exists(facts_path):
+        if not scoped:
+            dims_affected = affected if n_affected else False
+        else:
+            old_counts = load_watermark_state(spark, dims_state)
+            if old_counts is not None:
+                dims_affected = (
+                    new_dim_counts.join(
+                        old_counts.withColumnRenamed("n_rows_all", "_old"),
+                        "coin_id",
+                        "left",
+                    )
+                    .filter(
+                        F.col("_old").isNull()
+                        | (F.col("n_rows_all") != F.col("_old"))
+                    )
+                    .select("coin_id")
+                    .localCheckpoint(eager=True)
+                )
+    if dims_affected is False:
+        # unscoped steady-state run with zero arrivals: standing
+        # observations are proven current — reuse them wholesale
+        prev_facts = spark.read.parquet(facts_path)
+        li_obs = prev_facts.filter(F.col("first_seen").isNotNull()).select(
+            "coin_id", "first_seen", "n_suppliers"
+        )
+    elif dims_affected is not None:
         prev_facts = spark.read.parquet(facts_path)
         aff_obs = (
             load_table(spark, sf_dir, "lineitem")
             .join(
-                F.broadcast(affected.select(F.col("coin_id").alias("l_partkey"))),
+                F.broadcast(dims_affected.select(F.col("coin_id").alias("l_partkey"))),
                 "l_partkey",
             )
             .groupBy(F.col("l_partkey").alias("coin_id"))
@@ -722,7 +767,7 @@ def refresh_warehouse_incremental(
         # never null), so it is the membership flag of the standing row
         unaff_obs = (
             prev_facts.filter(F.col("first_seen").isNotNull())
-            .join(F.broadcast(affected), "coin_id", "left_anti")
+            .join(F.broadcast(dims_affected), "coin_id", "left_anti")
             .select("coin_id", "first_seen", "n_suppliers")
         )
         li_obs = unaff_obs.unionByName(aff_obs).localCheckpoint(eager=True)
@@ -808,6 +853,10 @@ def refresh_warehouse_incremental(
             path = os.path.join(out_dir, name)
             if os.path.exists(path):
                 audit(name, spark.read.parquet(path))
+        if new_dim_counts is not None:
+            # dims may still have churned on out-of-scope arrivals;
+            # they just landed above — advance their count baseline
+            save_watermark_state(new_dim_counts, dims_state)
         return report
 
     # ---- MERGE + AUDIT + RECONCILE, per table in build order. The
@@ -934,5 +983,9 @@ def refresh_warehouse_incremental(
     )
     save_watermark_state(new_state, md_state)
     save_watermark_state(new_state, x_state)
+    if new_dim_counts is not None:
+        # scoped runs: advance the unscoped per-coin count baseline the
+        # dim change detector diffs against (state after landed work)
+        save_watermark_state(new_dim_counts, dims_state)
     tick("marks")
     return report

@@ -177,6 +177,66 @@ def test_incremental_refresh_equals_rebuild_uneven_arrival(spark, tmp_path):
         ), f"increment {i} diverged from full rebuild"
 
 
+def test_scoped_dims_track_out_of_scope_arrivals(spark, tmp_path):
+    """Under a since/until scope the main guard only watches in-scope
+    facts, but dims read the whole history: an arrival OUTSIDE the
+    scope window for a coin with no in-scope changes must still
+    refresh that coin's first_seen/n_suppliers (the dim change
+    detector diffs unscoped per-coin row counts against saved state —
+    a staleness this test pins would otherwise be silent)."""
+    from pyspark.sql import functions as F
+
+    ship = F.to_date("l_shipdate")
+    since = "1997-06-01"
+    in_scope = F.col("l_partkey") < N_COINS
+
+    # pick a coin and withhold its EARLIEST (pre-scope) rows at stage 1
+    li = spark.read.parquet(os.path.join(SRC, "lineitem.parquet"))
+    coin = (
+        li.filter(in_scope & (ship < F.lit(since)))
+        .groupBy("l_partkey").count().orderBy(F.desc("count"))
+        .first()["l_partkey"]
+    )
+    early = (F.col("l_partkey") == coin) & (ship < F.lit(since))
+
+    inc_out = str(tmp_path / "wh")
+    state = str(tmp_path / "state")
+    s1 = _stage_source(spark, str(tmp_path), "s1", ~early)
+    refresh_warehouse_incremental(
+        spark, s1, inc_out, state, coin_limit=N_COINS, since=since
+    )
+    facts1 = {
+        r["coin_id"]: (r["first_seen"], r["n_suppliers"])
+        for r in spark.read.parquet(f"{inc_out}/coin_facts")
+        .select("coin_id", "first_seen", "n_suppliers").collect()
+    }
+
+    # stage 2: the withheld pre-scope rows arrive — no in-scope change
+    s2 = _stage_source(spark, str(tmp_path), "s2", F.lit(True))
+    rep = refresh_warehouse_incremental(
+        spark, s2, inc_out, state, coin_limit=N_COINS, since=since
+    )
+    assert rep.passed
+    facts2 = {
+        r["coin_id"]: (r["first_seen"], r["n_suppliers"])
+        for r in spark.read.parquet(f"{inc_out}/coin_facts")
+        .select("coin_id", "first_seen", "n_suppliers").collect()
+    }
+    # the touched coin's observations moved to the full-history truth
+    truth = (
+        li.filter(F.col("l_partkey") == coin)
+        .agg(
+            F.min(ship).alias("fs"),
+            F.countDistinct("l_suppkey").alias("ns"),
+        )
+        .first()
+    )
+    assert facts2[coin] == (truth["fs"], truth["ns"])
+    assert facts2[coin] != facts1[coin] or facts1[coin][0] == truth["fs"]
+    # every other coin's observations are unchanged
+    assert all(v == facts2[k] for k, v in facts1.items() if k != coin)
+
+
 def test_incremental_refresh_noop_second_run(spark, tmp_path):
     """Re-running with nothing new must touch zero coins, leave the
     tables byte-identical, and still audit green (the at-least-once
