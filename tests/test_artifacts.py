@@ -42,6 +42,13 @@ class TestArtifactIntegrity:
                 # list-of-measurements artifact (ANN scale points)
                 assert doc.get("points"), f"{name}: no measurement points"
                 continue
+            if name == "BENCH_refresh_scale.json":
+                # probe rows: one-day increment vs rebuild at sf5/sf10
+                assert doc.get("rows"), f"{name}: no probe rows"
+                assert any(
+                    (r.get("vs_rebuild") or 0) >= 3 for r in doc["rows"]
+                ), f"{name}: no row clears the 3x sparse-churn bar"
+                continue
             if re.match(r"BENCH_r\d+\.json$", name):
                 # driver-side capture; shape is the driver's, not ours —
                 # non-empty parseable JSON is the whole contract

@@ -67,6 +67,8 @@ def main() -> None:
         "guard_mode": rep.guard_mode,
         "stage_sec": rep.stage_sec,
     }
+    # interim print: a rebuild-phase crash must not lose the increment
+    print(json.dumps(row), flush=True)
     if args.rebuild:
         rb_out = tempfile.mkdtemp(prefix="probe_rb_")
         t0 = time.time()
