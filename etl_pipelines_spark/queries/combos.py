@@ -148,17 +148,21 @@ def _pair_suite_shared_scan(schema, members):
     return spark_fn
 
 
-def _shared_words_scan(schema, members, frames_fn):
-    """Generic shared-tokenization spark_fn: ONE lazily-shared
-    pre-split words expression (doc_id, lang, _w) feeds every member
-    that tokenizes, fused into a single union plan. Deliberately NOT
-    persisted: unlike the pair suite's shingle arrays (expensive to
-    rebuild, cache is load-bearing), a split() over the documents scan
-    is cheaper to re-derive per branch than to materialize — the
-    persist variant measured SLOWER at sf0.1 (extra fill job + cache
-    write for a tiny scan; see SCALE.md). What the sharing buys is one
-    repartition exchange reused across branches and members that read
-    columns (q59) skipping their own scan. `frames_fn(words)` returns
+def _shared_words_scan(schema, members, frames_fn, persist=False):
+    """Generic shared-tokenization spark_fn: ONE shared pre-split
+    words expression (doc_id, lang, _w) feeds every member that
+    tokenizes, fused into a single union plan. `persist` is a
+    per-suite call: the round-3 lesson (a split() over a tiny scan is
+    cheaper to re-derive per branch than to materialize) held at 3
+    sharing members and still does — q52's A/B at sf0.1 reads lazy
+    1.26-1.79 s vs persisted 2.0-2.21 s — but the q55 suite has since
+    grown to 4 sharing members (q55/q59/q62/q102) and its A/B
+    inverted: lazy 2.41 s vs persisted 1.84 s (-24%; every branch was
+    re-running the repartition + split). So q55 persists, q52 stays
+    lazy; both A/Bs interleaved twice in one session each. The cache
+    is corpus-words-sized (one array column), executor-storage-safe
+    at every gate corpus; bench.py clears cache between runs, the
+    driver gate runs each query once. `frames_fn(words)` returns
     {part_tag: DataFrame}; members absent from it fall back to their
     standalone plan. Each part calls the SAME member helpers with the
     same parameters, so the oracle (the members' UNION ALL) and the
@@ -171,6 +175,8 @@ def _shared_words_scan(schema, members, frames_fn):
         words = docs.repartition("doc_id").select(
             "doc_id", "lang", F.split("text", " ").alias("_w")
         )
+        if persist:
+            words = words.persist()
         frames = frames_fn(words)
         out = None
         for tag, qname, mapping in members:
@@ -308,13 +314,14 @@ def _q51_direct_grain(schema, members):
 
     def spark_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         from etl_pipelines_spark.operators.sketches import (
+            kmv_distinct,
             portable_hll_estimate,
             portable_hll_registers,
             quantile_sketch_build,
             quantile_sketch_estimate,
         )
         from etl_pipelines_spark.queries.catalog import t
-        from etl_pipelines_spark.queries.timeseries import transfers_from
+        from etl_pipelines_spark.queries.timeseries import _KMV_K, transfers_from
 
         # UNCLUSTERED daily-net feed (shuffle_on=None): the suite's
         # builds re-aggregate to their own grains and never reuse coin
@@ -329,6 +336,15 @@ def _q51_direct_grain(schema, members):
             shuffle_on=None,
         )
         frames = {
+            # kmv rides the SAME unclustered feed (round 8): its
+            # standalone plan rebuilt the coin-keyed transfers for no
+            # consumer benefit — kmv_distinct distincts raw values
+            # before hashing, so the result is partitioning-
+            # independent and the member oracle is unchanged.
+            # Interleaved A/B at sf0.1: shipped min 3.38 s vs shared
+            # 2.48 s (~-20%); an eagerly persisted x measured worse
+            # (cache write + barrier > the one extra rebuild).
+            "kmv": kmv_distinct(x, ["coin_id"], "wallet_address", k=_KMV_K),
             "hll": portable_hll_estimate(
                 portable_hll_registers(
                     x, ["coin_id"], "wallet_address", dedup_first=True
@@ -843,7 +859,9 @@ for _c in _COMBOS:
     elif _c.name == "q52_term_mining":
         _c.spark_fn = _shared_words_scan(_Q52_SCHEMA, _Q52_MEMBERS, _q52_frames)
     elif _c.name == "q55_doc_scoring":
-        _c.spark_fn = _shared_words_scan(_Q55_SCHEMA, _Q55_MEMBERS, _q55_frames)
+        _c.spark_fn = _shared_words_scan(
+            _Q55_SCHEMA, _Q55_MEMBERS, _q55_frames, persist=True
+        )
     elif _c.name == "q51_sketch_suite":
         _c.spark_fn = _q51_direct_grain(_Q51_SCHEMA, _Q51_MEMBERS)
 
