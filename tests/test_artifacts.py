@@ -58,6 +58,19 @@ class TestArtifactIntegrity:
             assert isinstance(doc.get("value"), (int, float)) and doc["value"] > 0, name
             assert isinstance(doc.get("queries"), dict) and doc["queries"], name
 
+    def test_ratio_artifacts_parse(self):
+        """Interleaved spark-vs-oracle ratio records (tools/bench_ratio.py):
+        both totals present, per-entry rows carry both sides."""
+        for name in _tracked("RATIO_"):
+            doc = _load(name)
+            assert doc.get("metric") == "catalog_vs_oracle_interleaved", name
+            assert doc.get("spark_total_sec") and doc.get("oracle_total_sec"), name
+            rows = doc.get("entries") or {}
+            assert rows, f"{name}: no per-entry rows"
+            for k, r in rows.items():
+                assert r.get("spark_sec") is not None, (name, k)
+                assert r.get("oracle_sec") is not None, (name, k)
+
     def test_correctness_artifacts_parse_green_shape(self):
         names = _tracked("CORRECTNESS_")
         assert names, "no CORRECTNESS_*.json tracked"
@@ -78,7 +91,7 @@ class TestArtifactIntegrity:
         """Every '<NAME>.json' the CHANGELOG claims as committed must
         exist at HEAD — a false provenance claim is worse than a gap."""
         text = open(os.path.join(REPO, "CHANGELOG.md")).read()
-        cited = set(re.findall(r"\b((?:BENCH|CORRECTNESS|ORACLE)_[\w.]+\.json)\b", text))
+        cited = set(re.findall(r"\b((?:BENCH|CORRECTNESS|ORACLE|RATIO)_[\w.]+\.json)\b", text))
         tracked = set(
             subprocess.run(
                 ["git", "ls-files", "*.json"],
