@@ -47,18 +47,47 @@ def kmv_hash_sql(str_expr: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def md5_distinct_stream(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """One row per DISTINCT (keys..., value) carrying the full 32-hex
+    md5 of the value as `_h` — the shared subtree both `kmv_distinct`
+    (first 12 hex -> 48-bit rank) and `portable_hll_registers`
+    (hex 1-2 -> register, hex 3-14 -> rho) consume. A suite that gates
+    both sketches over the same stream computes + persists this ONCE
+    instead of paying the distinct shuffle and the md5 pass per
+    member (the round-8 verdict's measured residual: ~1.9 s of md5
+    per member over a 6M-row stream, three members paying it)."""
+    return (
+        df.select(*group_cols, F.col(value_col).cast("string").alias("_v"))
+        .distinct()
+        .select(*group_cols, F.md5(F.col("_v")).alias("_h"))
+    )
+
+
 def kmv_distinct(
-    df: DataFrame, group_cols: list[str], value_col: str, k: int = 16
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 16,
+    salt_groups: int = 0,
+    md5_stream: DataFrame | None = None,
 ) -> DataFrame:
     """Per-group KMV distinct-count estimate: (group_cols..., n_min,
     kmv_estimate). n_min = |kept hashes| (= exact count when < k).
 
-    Two shuffles at this altitude (distinct on (key, hash), then the
-    per-key rank) — acceptable because the distinct output is already
-    the sketch-sized stream. The one-shuffle formulation is a custom
-    Aggregator keeping a k-array per partition; Spark ships that
-    built-in as approx_count_distinct, which is what production runs —
-    this operator exists for cross-engine-deterministic verification.
+    Two shuffles at this altitude (distinct on (key, value), then the
+    per-key bottom-k aggregation) — acceptable because the distinct
+    output is already the sketch-sized stream. The bottom-k keeps the
+    k smallest hashes via ONE hash aggregation
+    (sort_array(collect_list)[:k], the `_bottom_k` shape the q95
+    quantile sketch proved oracle-matchable) instead of a window's
+    full per-key sort over every distinct hash — the round-8 verdict's
+    last perf-weak entry (2.6x the oracle at skewed-sf1) was exactly
+    that ROW_NUMBER sort. Bottom-k selection is merge-closed, so
+    `salt_groups` > 0 cascades it: a first pass on (keys, hash(_h)%G)
+    bounds every aggregation buffer to group/G rows (the Zipf-hot-key
+    defence), then a second pass reduces G*k sketch rows per key.
     """
     # distinct BEFORE the hash: md5 is deterministic per value, so
     # hash-of-distinct == distinct-of-hash — but the reordering hashes
@@ -66,13 +95,36 @@ def kmv_distinct(
     # dupes are most of the corpus (the skewed-sf1 gate measured the
     # hash-then-distinct order at 3x the wall), and the shuffle that
     # was already here now carries the narrow raw value, not a digest.
-    hashed = (
-        df.select(*group_cols, F.col(value_col).cast("string").alias("_v"))
-        .distinct()
-        .select(*group_cols, kmv_hash(F.col("_v")).alias("_h"))
-    )
-    w = Window.partitionBy(*group_cols).orderBy("_h")
-    topk = hashed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    # `md5_stream` (a persisted md5_distinct_stream) substitutes for
+    # the whole distinct+md5 subtree: the 48-bit fold over its first
+    # 12 hex chars is EXACTLY kmv_hash, so results are unchanged.
+    if md5_stream is not None:
+        hashed = md5_stream.select(
+            *group_cols,
+            F.conv(F.substring("_h", 1, HASH_HEX_DIGITS), 16, 10)
+            .cast("long")
+            .alias("_h"),
+        )
+    else:
+        hashed = (
+            df.select(*group_cols, F.col(value_col).cast("string").alias("_v"))
+            .distinct()
+            .select(*group_cols, kmv_hash(F.col("_v")).alias("_h"))
+        )
+
+    def _bk(src: DataFrame, keys: list[str]) -> DataFrame:
+        return (
+            src.groupBy(*keys)
+            .agg(F.slice(F.array_sort(F.collect_list("_h")), 1, k).alias("_s"))
+            .select(*keys, F.explode("_s").alias("_h"))
+        )
+
+    if salt_groups > 0:
+        salted = hashed.withColumn(
+            "_salt", F.pmod(F.hash("_h"), F.lit(salt_groups))
+        )
+        hashed = _bk(salted, [*group_cols, "_salt"]).drop("_salt")
+    topk = _bk(hashed, group_cols)
     est = F.when(
         F.col("n_min") < k, F.col("n_min").cast("double")
     ).otherwise(
@@ -140,7 +192,11 @@ HLL_RHO_SQL = _hll_rho_sql()
 
 
 def portable_hll_registers(
-    df: DataFrame, keys: list[str], value_col: str, dedup_first: bool = False
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    dedup_first: bool = False,
+    md5_stream: DataFrame | None = None,
 ) -> DataFrame:
     """Per-key register table (keys..., reg, rho): the stored rollup
     row set, <= 256 rows per key. Duplicates need no pre-distinct for
@@ -149,11 +205,16 @@ def portable_hll_registers(
     extra narrow shuffle (distinct on (keys, value)) for running the
     md5 + hex-expansion expressions only over distinct values — a win
     when dupes dominate (a Zipf head repeats the same (coin, wallet)
-    pairs for most of the corpus), a wash on near-unique streams."""
-    src = df.select(*keys, F.col(value_col).cast("string").alias("_v"))
-    if dedup_first:
-        src = src.distinct()
-    hashed = src.select(*keys, F.md5(F.col("_v")).alias("_h"))
+    pairs for most of the corpus), a wash on near-unique streams.
+    `md5_stream` (a persisted md5_distinct_stream) substitutes for the
+    whole distinct+md5 subtree when a suite shares it with the KMV."""
+    if md5_stream is not None:
+        hashed = md5_stream.select(*keys, "_h")
+    else:
+        src = df.select(*keys, F.col(value_col).cast("string").alias("_v"))
+        if dedup_first:
+            src = src.distinct()
+        hashed = src.select(*keys, F.md5(F.col("_v")).alias("_h"))
     return (
         hashed.select(
             *keys,

@@ -315,6 +315,7 @@ def _q51_direct_grain(schema, members):
     def spark_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         from etl_pipelines_spark.operators.sketches import (
             kmv_distinct,
+            md5_distinct_stream,
             portable_hll_estimate,
             portable_hll_registers,
             quantile_sketch_build,
@@ -328,35 +329,49 @@ def _q51_direct_grain(schema, members):
         # clustering, so the explicit coin exchange only funnels a
         # Zipf-hot coin through one task (skewed-sf1: suite 16 -> ~10 s;
         # uniform sf1 pays ~0.5 s for the composite-key shuffle).
-        # dedup_first on the register build: the hot coin repeats the
-        # same (coin, wallet) pairs for a third of the corpus — hash
-        # distinct pairs, not rows.
         x = transfers_from(
             t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "orders"),
             shuffle_on=None,
         )
+        # ONE distinct (coin, wallet) + md5 pass feeds BOTH the KMV and
+        # the HLL registers (their hash idioms read different slices of
+        # the same 32-hex digest) — persisted because union branches
+        # don't share subtrees. Round 9: the suite previously paid the
+        # distinct shuffle + md5 twice; the kmv/hll member results are
+        # unchanged (hash-of-distinct == distinct-of-hash).
+        dh = md5_distinct_stream(x, ["coin_id"], "wallet_address").persist()
         frames = {
             # kmv rides the SAME unclustered feed (round 8): its
             # standalone plan rebuilt the coin-keyed transfers for no
             # consumer benefit — kmv_distinct distincts raw values
             # before hashing, so the result is partitioning-
             # independent and the member oracle is unchanged.
-            # Interleaved A/B at sf0.1: shipped min 3.38 s vs shared
-            # 2.48 s (~-20%); an eagerly persisted x measured worse
-            # (cache write + barrier > the one extra rebuild).
-            "kmv": kmv_distinct(x, ["coin_id"], "wallet_address", k=_KMV_K),
+            # salt_groups: the bottom-k merge closure splits the
+            # Zipf-hot coin's aggregation buffer across 16 tasks
+            # (skewed-sf1's hot coin owns ~1/3 of the distinct
+            # (coin, wallet) stream — unsalted, ONE task sorts it all)
+            "kmv": kmv_distinct(
+                x, ["coin_id"], "wallet_address", k=_KMV_K,
+                salt_groups=16, md5_stream=dh,
+            ),
             "hll": portable_hll_estimate(
                 portable_hll_registers(
-                    x, ["coin_id"], "wallet_address", dedup_first=True
+                    x, ["coin_id"], "wallet_address", md5_stream=dh
                 ),
                 ["coin_id"],
             ),
+            # salt_groups on the sample build: unlike the sketch-sized
+            # kmv/hll states, the bottom-k ingests EVERY raw row — the
+            # skewed-sf1 hot coin funnels ~1/3 of the corpus into one
+            # collect_list buffer unsalted (member profile: 9.8 s, the
+            # suite's dominant cost; the cascade bounds it to 1/16)
             "qsk": quantile_sketch_estimate(
                 quantile_sketch_build(
                     x,
                     ["coin_id"],
                     "net_transfers",
                     ["coin_id", "wallet_address", "date"],
+                    salt_groups=16,
                 ),
                 ["coin_id"],
                 qs=(0.25, 0.5, 0.9),
@@ -590,8 +605,11 @@ _COMBOS = [
     _combo(
         "q35_ann_suite",
         "k-NN retrieval, tagged: brute-force cosine top-k baseline"
-        " (q35) and IVF coarse-quantizer ANN (q38) — identical output"
-        " contract, so the suite doubles as a recall comparison.",
+        " (q35), IVF coarse-quantizer ANN (q38), and the two-level"
+        " coarse+fine quantizer ANN (q106, the 10^9-vector scale path"
+        " whose whole coarse+fine training the oracle replays) —"
+        " identical output contract, so the suite doubles as a recall"
+        " comparison.",
         [("query_id", "bigint"), ("neighbor_id", "bigint"),
          ("rank", "bigint"), ("cosine", "double")],
         [
@@ -599,6 +617,9 @@ _COMBOS = [
              {"query_id": "query_id", "neighbor_id": "neighbor_id",
               "rank": "rank", "cosine": "cosine"}),
             ("ivf", "q38_ivf_bucketed_ann",
+             {"query_id": "query_id", "neighbor_id": "neighbor_id",
+              "rank": "rank", "cosine": "cosine"}),
+            ("twolevel", "q106_two_level_ann",
              {"query_id": "query_id", "neighbor_id": "neighbor_id",
               "rank": "rank", "cosine": "cosine"}),
         ],

@@ -574,16 +574,19 @@ def adaptive_km_k(n: int) -> int:
     return max(KM_MIN_K, min(KM_MAX_K, -(-n // KM_CELL_TARGET)))
 
 
-def _kmeans_cte_body(n_iter: int, seed: int) -> str:
-    """Shared unrolled cross-engine k-means replay (the CTE prefix both
-    the IVF oracle q38 and the SemDeDup oracle q96 build on): k from
-    the corpus-adaptive occupancy law (`kk`, the SQL twin of
-    adaptive_km_k); cents0 = the k vectors with the smallest
-    md5('{seed}|'||id); each round is exact-BIGINT argmin assignment
-    (ties -> lowest cluster) then floor-scaled means with empty
-    clusters keeping their previous centroid. Ends with dist{n_iter+1}
-    (every vector's distance to the final centroids), `buckets` (the
-    final cell assignment), and `norms`."""
+def _kmeans_cte_body(n_iter: int, seed: int, k_sql: str | None = None) -> str:
+    """Shared unrolled cross-engine k-means replay (the CTE prefix the
+    IVF oracle q38, the SemDeDup oracle q96, and the two-level oracle
+    q106 build on): k from the corpus-adaptive occupancy law (`kk`,
+    the SQL twin of adaptive_km_k) unless `k_sql` overrides it (the
+    two-level coarse level trains at a FIXED small k1 — mirror
+    kmeans_centroids' clamp with LEAST(k1, count(*))); cents0 = the k
+    vectors with the smallest md5('{seed}|'||id); each round is
+    exact-BIGINT argmin assignment (ties -> lowest cluster) then
+    floor-scaled means with empty clusters keeping their previous
+    centroid. Ends with dist{n_iter+1} (every vector's distance to the
+    final centroids), `buckets` (the final cell assignment), and
+    `norms`."""
     S = "1000000000000.0"
     rounds = []
     for i in range(1, n_iter + 1):
@@ -612,10 +615,13 @@ def _kmeans_cte_body(n_iter: int, seed: int) -> str:
         WHERE p.cluster NOT IN (SELECT cluster FROM new{i})
     )""")
     f = n_iter + 1
+    k_expr = k_sql or (
+        f"GREATEST({KM_MIN_K}, LEAST({KM_MAX_K},"
+        f" CAST((count(*) + {KM_CELL_TARGET - 1}) // {KM_CELL_TARGET}"
+        f" AS INT)))"
+    )
     return f"""kk AS (
-        SELECT GREATEST({KM_MIN_K}, LEAST({KM_MAX_K},
-                   CAST((count(*) + {KM_CELL_TARGET - 1}) // {KM_CELL_TARGET}
-                        AS INT))) AS k
+        SELECT {k_expr} AS k
         FROM embeddings
     ),
     comps AS (
@@ -787,6 +793,212 @@ def q96(spark: SparkSession, sf: str) -> DataFrame:
         ),
     )
     return semantic_dedup(emb, cents, threshold=0.3)
+
+
+# --------------------------------------------------------------------- q106
+# Two-level (coarse k1 x fine k2) quantizer ANN — the production path
+# past ~10^7 vectors (llm/similarity.py two_level_topk: per-row
+# assignment O((k1+k2)*dim) instead of O(k_eff*dim); measured
+# recall@10 0.881 at 16.8 s vs flat 0.614 at 413 s with k_eff=65536,
+# BENCH_codebook.json). Gate parameters stay tiny so BOTH engines
+# replay the full coarse+fine training in seconds; the operator's
+# scale knobs (k1=k2=256, broadcast fine codebook) are exercised by
+# tools/bench_codebook.py.
+TL_K1 = 4
+TL_K2 = 4
+TL_FINE_ITER = 1
+TL_NPROBE1 = 2
+TL_NPROBE2 = 2
+
+
+def _two_level_oracle(
+    n_iter: int,
+    seed: int,
+    k1: int,
+    k2: int,
+    fine_iter: int,
+    n_queries: int,
+    topk: int,
+    nprobe1: int,
+    nprobe2: int,
+) -> str:
+    """Unrolled cross-engine replay of the WHOLE two-level lifecycle:
+    coarse k-means at fixed k1 (the shared CTE body with a k
+    override), per-cell fine init (k2 members with the smallest
+    md5('{seed}|f|'||id) per coarse cell, ranked), `fine_iter` fine
+    Lloyd rounds (exact-BIGINT argmin within the cell's block, ties ->
+    lowest fine index; floor-scaled means, empty fine clusters keep
+    their previous centroid), global cell ids via cumsum offsets of
+    max(1, block size), then the query path: nprobe1 coarse probes x
+    nprobe2 fine probes, candidates join on the global cell, exact
+    cosine re-rank. Every arithmetic step mirrors
+    llm/similarity.py two_level_centroids/two_level_topk."""
+    S = "1000000000000.0"
+    f = n_iter + 1
+    body = [
+        "\n    WITH ",
+        _kmeans_cte_body(n_iter, seed, k_sql=f"LEAST({k1}, count(*))"),
+        f""",
+    finit AS (
+        SELECT bucket AS c1, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY bucket
+                   ORDER BY MD5(CONCAT('{seed}|f|', CAST(vec_id AS VARCHAR))),
+                            vec_id) - 1 AS fidx
+        FROM buckets
+        QUALIFY fidx < {k2}
+    ),
+    fcents0 AS (
+        SELECT fi.c1, fi.fidx, c.idx, c.val AS comp
+        FROM finit fi JOIN comps c ON c.vec_id = fi.vec_id
+    )""",
+    ]
+    for i in range(1, fine_iter + 1):
+        body.append(f""",
+    fdist{i} AS (
+        SELECT b.vec_id, b.bucket AS c1, t.fidx,
+               SUM(CAST(FLOOR((c.val - t.comp) * (c.val - t.comp) * {S})
+                   AS BIGINT)) AS d
+        FROM buckets b
+        JOIN comps c ON c.vec_id = b.vec_id
+        JOIN fcents{i - 1} t ON t.c1 = b.bucket AND t.idx = c.idx
+        GROUP BY b.vec_id, b.bucket, t.fidx
+    ),
+    fassign{i} AS (
+        SELECT vec_id, c1, fidx FROM fdist{i}
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, fidx) = 1
+    ),
+    fnew{i} AS (
+        SELECT a.c1, a.fidx, c.idx,
+               CAST(SUM(CAST(FLOOR(c.val * {S}) AS BIGINT)) AS DOUBLE)
+                   / {S} / COUNT(*) AS comp
+        FROM fassign{i} a JOIN comps c ON c.vec_id = a.vec_id
+        GROUP BY a.c1, a.fidx, c.idx
+    ),
+    fcents{i} AS (
+        SELECT * FROM fnew{i}
+        UNION ALL
+        SELECT p.c1, p.fidx, p.idx, p.comp FROM fcents{i - 1} p
+        WHERE NOT EXISTS (SELECT 1 FROM fnew{i} n
+                          WHERE n.c1 = p.c1 AND n.fidx = p.fidx)
+    )""")
+    body.append(f""",
+    ffin AS (
+        SELECT b.vec_id, b.bucket AS c1, t.fidx,
+               SUM(CAST(FLOOR((c.val - t.comp) * (c.val - t.comp) * {S})
+                   AS BIGINT)) AS d
+        FROM buckets b
+        JOIN comps c ON c.vec_id = b.vec_id
+        JOIN fcents{fine_iter} t ON t.c1 = b.bucket AND t.idx = c.idx
+        GROUP BY b.vec_id, b.bucket, t.fidx
+    ),
+    cellof AS (
+        SELECT vec_id, c1, fidx FROM ffin
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, fidx) = 1
+    ),
+    blocksz AS (
+        SELECT g.c1,
+               GREATEST(1, (SELECT COUNT(*) FROM finit fi
+                            WHERE fi.c1 = g.c1)) AS sz
+        FROM (SELECT UNNEST(range(0, (SELECT k FROM kk))) AS c1) g
+    ),
+    offsets AS (
+        SELECT c1, COALESCE(SUM(sz) OVER (ORDER BY c1
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        FROM blocksz
+    ),
+    ccells AS (
+        SELECT x.vec_id, o.off + x.fidx AS cell
+        FROM cellof x JOIN offsets o ON o.c1 = x.c1
+    ),
+    qprobe1 AS (
+        SELECT vec_id, cluster FROM dist{f}
+        WHERE vec_id < {n_queries}
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster)
+            <= {nprobe1}
+    ),
+    qfdist AS (
+        SELECT q.vec_id, t.c1, t.fidx,
+               SUM(CAST(FLOOR((c.val - t.comp) * (c.val - t.comp) * {S})
+                   AS BIGINT)) AS d
+        FROM qprobe1 q
+        JOIN comps c ON c.vec_id = q.vec_id
+        JOIN fcents{fine_iter} t ON t.c1 = q.cluster AND t.idx = c.idx
+        GROUP BY q.vec_id, t.c1, t.fidx
+    ),
+    qcells AS (
+        SELECT x.vec_id AS query_id, o.off + x.fidx AS qcell
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, c1
+                       ORDER BY d, fidx) AS pr
+            FROM qfdist
+        ) x JOIN offsets o ON o.c1 = x.c1
+        WHERE x.pr <= {nprobe2}
+    ),
+    pairs AS (
+        SELECT q.query_id, cc.vec_id AS neighbor_id
+        FROM qcells q JOIN ccells cc ON cc.cell = q.qcell
+        WHERE cc.vec_id <> q.query_id
+    ),
+    dots AS (
+        SELECT p.query_id, p.neighbor_id,
+               CAST(SUM(CAST(FLOOR(q.val * c.val * {S}) AS BIGINT))
+                    AS DOUBLE) / {S} AS dot
+        FROM pairs p
+        JOIN comps q ON q.vec_id = p.query_id
+        JOIN comps c ON c.vec_id = p.neighbor_id AND c.idx = q.idx
+        GROUP BY p.query_id, p.neighbor_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id)
+                AS BIGINT) AS rank,
+           CAST(dot / (nq.nrm * nc.nrm) AS DOUBLE) AS cosine
+    FROM dots
+    JOIN norms nq ON nq.vec_id = query_id
+    JOIN norms nc ON nc.vec_id = neighbor_id
+    QUALIFY rank <= {topk}
+    """)
+    return "".join(body)
+
+
+@register(
+    "q106_two_level_ann",
+    _two_level_oracle(
+        KM_ITER, KM_SEED, TL_K1, TL_K2, TL_FINE_ITER,
+        n_queries=20, topk=5, nprobe1=TL_NPROBE1, nprobe2=TL_NPROBE2,
+    ),
+    description="Two-level (coarse+fine) quantizer ANN "
+    "(llm/similarity.py two_level_centroids/two_level_topk): the "
+    "10^9-vector path where a flat codebook's O(k_eff*dim) per-row "
+    "assignment no longer fits — per-row cost drops to "
+    "O((k1+k2)*dim) while the fine codebook broadcasts once. The "
+    "oracle replays BOTH training levels (fixed-k1 coarse k-means, "
+    "md5-ranked per-cell fine init, fine Lloyd rounds) and the "
+    "nprobe1 x nprobe2 probe path in SQL — the full lifecycle is "
+    "cross-engine bit-exact",
+    tags=("similarity",),
+)
+def q106(spark: SparkSession, sf: str) -> DataFrame:
+    from etl_pipelines_spark.llm.similarity import (
+        two_level_centroids,
+        two_level_topk,
+    )
+
+    emb = t(spark, sf, "embeddings")
+    coarse, fine = _TL_CODEBOOKS.get_or_build(
+        sf,
+        lambda: two_level_centroids(
+            emb, k1=TL_K1, k2=TL_K2, n_iter=KM_ITER,
+            fine_iter=TL_FINE_ITER, seed=KM_SEED,
+        ),
+    )
+    return two_level_topk(
+        emb, coarse, fine, k=5, n_queries=20,
+        nprobe1=TL_NPROBE1, nprobe2=TL_NPROBE2,
+    )
+
+
+_TL_CODEBOOKS = FingerprintCache("embeddings")
 
 
 # --------------------------------------------------------------------- q39
@@ -1617,6 +1829,22 @@ def q63(spark: SparkSession, sf: str) -> DataFrame:
     tags=("dedup", "text"),
 )
 def q64(spark: SparkSession, sf: str) -> DataFrame:
+    return _q64_matrix(spark, sf)
+
+
+# driver-finish dispatch bound: above this many distinct mask
+# patterns, the finish runs as the explode-over-patterns aggregation
+# instead of a driver loop (same tiering as the connected-components
+# <=50k-edge driver finish). n_sources <= 63 bounds distinct masks at
+# 2^63 in theory but n_sources^2-ish in practice; the driver loop is
+# O(patterns * n_sources^2), so 4096 keeps it well under a millisecond
+# budget while real corpora never leave the driver tier.
+_Q64_DRIVER_PATTERN_MAX = 4096
+
+
+def _q64_matrix(
+    spark: SparkSession, sf: str, driver_pattern_max: int = _Q64_DRIVER_PATTERN_MAX
+) -> DataFrame:
     docs = t(spark, sf, "documents")
     words = docs.repartition("doc_id").select(
         "source", F.split(F.col("text"), " ").alias("_w")
@@ -1651,16 +1879,21 @@ def q64(spark: SparkSession, sf: str) -> DataFrame:
             "bitmask contamination matrix supports <= 63 sources; chunk the "
             "source dimension or fall back to set expansion"
         )
-    patterns = _contamination_patterns(words, tris, srcs).collect()
+    pattern_df = _contamination_patterns(words, tris, srcs)
     # Driver-side finish over the RESULT-SIZED pattern table (distinct
     # masks <= n_sources^2 in practice, weighted by count — the same
     # legitimate post-aggregation class as the k-means centroids):
     # accumulate pair intersections and per-source sizes, then emit the
     # matrix. Integer counts + one final double division keep parity
-    # exact. At 100 TB only this finish assumes a small pattern count;
-    # if mask diversity explodes, swap the finish for the equivalent
-    # explode-over-patterns aggregation — the corpus-side plan (one
-    # 8-byte-per-shingle bit_or exchange) is unchanged.
+    # exact. The limit+1 probe bounds what the driver ever holds: if
+    # mask diversity exceeds the dispatch threshold, the finish falls
+    # back to the equivalent explode-over-patterns aggregation
+    # (`_contamination_matrix_distributed`) — the corpus-side plan
+    # (one 8-byte-per-shingle bit_or exchange) is unchanged; only the
+    # rare fallback pays the pattern aggregation twice.
+    patterns = pattern_df.limit(driver_pattern_max + 1).collect()
+    if len(patterns) > driver_pattern_max:
+        return _contamination_matrix_distributed(spark, pattern_df, srcs)
     n = len(srcs)
     inter = {}
     sizes = [0] * n
@@ -1695,6 +1928,71 @@ def q64(spark: SparkSession, sf: str) -> DataFrame:
         rows,
         "source_a string, source_b string, n_a bigint, n_b bigint, "
         "n_intersect bigint, jaccard double",
+    )
+
+
+def _contamination_matrix_distributed(
+    spark: SparkSession, pattern_df: DataFrame, srcs: list[str]
+) -> DataFrame:
+    """The q64 finish when distinct mask patterns exceed the driver
+    budget: the identical pair/size accumulation as the driver loop,
+    expressed as explode-over-patterns aggregations. Every pattern row
+    explodes into its set bits (<= n_sources per row, n_sources^2/2
+    pairs) and the matrix assembles with two result-sized aggregations
+    plus broadcast name/size lookups — nothing driver-side, so mask
+    diversity can be unbounded. NULL masks (a source outside the
+    cached domain) fail the same way the driver loop does, via an
+    assert_true in the bit expansion."""
+    n = len(srcs)
+    guard = F.assert_true(
+        F.col("_m").isNotNull(),
+        F.lit(
+            "contamination matrix: source outside the cached domain; "
+            "the table mutated mid-query"
+        ),
+    )
+    bits = F.expr(f"filter(sequence(0, {n - 1}), i -> (shiftright(_m, i) & 1) = 1)")
+    pat = pattern_df.select(
+        F.when(guard.isNull(), bits).alias("_bits"), F.col("_cnt")
+    )
+    sizes = (
+        pat.select(F.explode("_bits").alias("_i"), "_cnt")
+        .groupBy("_i")
+        .agg(F.sum("_cnt").cast("long").alias("_sz"))
+    )
+    pairs = (
+        pat.select(F.explode("_bits").alias("_a"), "_bits", "_cnt")
+        .select(
+            "_a",
+            F.explode(F.expr("filter(_bits, x -> x > _a)")).alias("_b"),
+            "_cnt",
+        )
+        .groupBy("_a", "_b")
+        .agg(F.sum("_cnt").cast("long").alias("n_intersect"))
+    )
+    names = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(srcs)], "idx int, source string"
+    )
+    size_a = sizes.select(F.col("_i").alias("_a"), F.col("_sz").alias("n_a"))
+    size_b = sizes.select(F.col("_i").alias("_b"), F.col("_sz").alias("n_b"))
+    name_a = names.select(F.col("idx").alias("_a"), F.col("source").alias("source_a"))
+    name_b = names.select(F.col("idx").alias("_b"), F.col("source").alias("source_b"))
+    return (
+        pairs.join(F.broadcast(size_a), "_a")
+        .join(F.broadcast(size_b), "_b")
+        .join(F.broadcast(name_a), "_a")
+        .join(F.broadcast(name_b), "_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_intersect",
+            (
+                F.col("n_intersect").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_intersect")).cast("double")
+            ).alias("jaccard"),
+        )
     )
 
 

@@ -1175,7 +1175,11 @@ _KMV_K = 16
     tags=("agg", "sketch"),
 )
 def q51(spark: SparkSession, sf: str) -> DataFrame:
-    return kmv_distinct(transfers(spark, sf), ["coin_id"], "wallet_address", k=_KMV_K)
+    # salt_groups=16: bound the hot coin's bottom-k buffer (merge-
+    # closed cascade; value-identical, see kmv_distinct)
+    return kmv_distinct(
+        transfers(spark, sf), ["coin_id"], "wallet_address", k=_KMV_K, salt_groups=16
+    )
 
 
 # --------------------------------------------------------------------- q61

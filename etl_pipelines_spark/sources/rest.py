@@ -34,6 +34,39 @@ from pyspark.sql.types import StructType
 RETRYABLE_STATUSES = (429, 500, 502, 503)
 
 
+def urllib_transport(
+    timeout: float = 30.0,
+    headers: dict[str, str] | None = None,
+) -> Callable[[str], tuple[int, object]]:
+    """Default REAL transport: stdlib urllib returning
+    (status, parsed-JSON payload) in the injected-transport contract.
+    HTTP error statuses come back AS statuses (never exceptions), so
+    `fetch_with_backoff` can retry 429/5xx exactly as it does against
+    the test transports. The returned callable closes over plain
+    values only, so it pickles onto executors for
+    `fetch_distributed`; each call builds its own connection (never a
+    captured socket). Injection remains the test seam — pass
+    fetch=None to any entry point to get this transport."""
+    hdrs = dict(headers or {})
+
+    def fetch(url: str) -> tuple[int, object]:
+        import json as _json
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(url, headers=hdrs)
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                status = resp.status
+                body = resp.read()
+        except urllib.error.HTTPError as e:
+            e.close()
+            return e.code, None
+        return status, _json.loads(body) if body else None
+
+    return fetch
+
+
 class RetriesExhausted(Exception):
     def __init__(self, url: str, attempts: int, last_status: int):
         super().__init__(f"{url}: {attempts} attempts, last status {last_status}")

@@ -60,16 +60,30 @@ class TestArtifactIntegrity:
 
     def test_ratio_artifacts_parse(self):
         """Interleaved spark-vs-oracle ratio records (tools/bench_ratio.py):
-        both totals present, per-entry rows carry both sides."""
-        for name in _tracked("RATIO_"):
+        both totals present, per-entry rows carry both sides. A filtered
+        run must self-describe as a subset (distinct metric name +
+        entry_filter) — a 7-entry record must not read as a catalog
+        ratio (round-8 advice)."""
+        names = _tracked("RATIO_")
+        assert names, "no RATIO_*.json tracked"
+        for name in names:
             doc = _load(name)
-            assert doc.get("metric") == "catalog_vs_oracle_interleaved", name
+            assert doc.get("metric") in (
+                "catalog_vs_oracle_interleaved",
+                "subset_vs_oracle_interleaved",
+            ), name
             assert doc.get("spark_total_sec") and doc.get("oracle_total_sec"), name
             rows = doc.get("entries") or {}
             assert rows, f"{name}: no per-entry rows"
             for k, r in rows.items():
                 assert r.get("spark_sec") is not None, (name, k)
                 assert r.get("oracle_sec") is not None, (name, k)
+            if doc["metric"] == "subset_vs_oracle_interleaved":
+                assert doc.get("entry_filter"), f"{name}: subset without filter"
+            if "n_catalog_entries" in doc and doc["metric"].startswith("catalog"):
+                assert doc["n_entries"] == doc["n_catalog_entries"], (
+                    f"{name}: claims catalog metric but covers a subset"
+                )
 
     def test_correctness_artifacts_parse_green_shape(self):
         names = _tracked("CORRECTNESS_")

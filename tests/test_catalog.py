@@ -65,6 +65,27 @@ class TestCatalogInvariants:
                 raise AssertionError(f"oracle for {name} is invalid: {e}") from e
 
 
+def test_q64_distributed_finish_matches_driver_finish(spark):
+    """Force the explode-over-patterns fallback (driver_pattern_max=1)
+    and pin it row-identical to the driver-loop finish — the dispatch
+    threshold must never change the answer, only where the result-sized
+    finish runs."""
+    from etl_pipelines_spark.queries.llmops import _q64_matrix
+
+    def rows(df):
+        return sorted(
+            (
+                r["source_a"], r["source_b"], r["n_a"], r["n_b"],
+                r["n_intersect"], r["jaccard"],
+            )
+            for r in df.collect()
+        )
+
+    driver = rows(_q64_matrix(spark, SF))
+    distributed = rows(_q64_matrix(spark, SF, driver_pattern_max=1))
+    assert driver and driver == distributed
+
+
 def test_coverage_doc_references_resolve():
     """Every qNN cited in COVERAGE.md exists in the internal registry,
     and every registry entry is cited somewhere in COVERAGE.md or

@@ -193,6 +193,26 @@ class TestKmvDistinct:
         ).filter("a <> b")
         assert got.count() == 0
 
+    def test_salted_cascade_matches_direct(self, spark):
+        """Bottom-k merge closure: the salted two-pass cascade (the
+        Zipf-hot-key defence) keeps exactly the same k smallest hashes
+        as the direct single aggregation, for every group."""
+        from etl_pipelines_spark.operators.sketches import kmv_distinct
+
+        df = spark.createDataFrame(
+            [(f"g{i % 3}", f"v{i % 400}") for i in range(2000)],
+            "grp string, val string",
+        )
+        direct = {
+            r["grp"]: (r["n_min"], r["kmv_estimate"])
+            for r in kmv_distinct(df, ["grp"], "val", k=16).collect()
+        }
+        salted = {
+            r["grp"]: (r["n_min"], r["kmv_estimate"])
+            for r in kmv_distinct(df, ["grp"], "val", k=16, salt_groups=8).collect()
+        }
+        assert direct == salted
+
 
 class TestDedupe:
     def test_keep_first_and_latest(self, spark):

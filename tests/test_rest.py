@@ -139,6 +139,104 @@ def test_fetch_distributed_matches_driver_path(spark):
     assert got.count() == 15  # 5 coins x 3 rows, coin 5 empty
 
 
+class _LocalApi:
+    """In-process httpd fixture: JSON pages + a flaky endpoint that
+    429s twice before succeeding — the smallest real server the
+    default transport can be proven against."""
+
+    def __enter__(self):
+        import http.server
+        import json
+        import threading
+
+        flaky_calls = {"n": 0}
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_GET(self):
+                if self.path.startswith("/page/"):
+                    page = int(self.path.rsplit("/", 1)[1])
+                    body = (
+                        [{"id": page * 10 + i} for i in range(2)]
+                        if page <= 2
+                        else []
+                    )
+                    code = 200
+                elif self.path == "/flaky":
+                    flaky_calls["n"] += 1
+                    if flaky_calls["n"] <= 2:
+                        self.send_response(429)
+                        self.end_headers()
+                        return
+                    body, code = {"ok": True, "tries": flaky_calls["n"]}, 200
+                else:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                payload = json.dumps(body).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+        self.server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.port = self.server.server_address[1]
+        self.thread = threading.Thread(target=self.server.serve_forever, daemon=True)
+        self.thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.server.shutdown()
+        self.server.server_close()
+
+
+def test_urllib_transport_against_local_httpd():
+    """The default REAL transport end-to-end: pagination walks JSON
+    pages off a live local server; 429s surface as statuses so the
+    shared backoff loop retries them."""
+    from etl_pipelines_spark.sources.rest import urllib_transport
+
+    with _LocalApi() as api:
+        base = f"http://127.0.0.1:{api.port}"
+        fetch = urllib_transport(timeout=5.0)
+        got = list(
+            paginated_records(fetch, lambda p: f"{base}/page/{p}")
+        )
+        assert [r["id"] for r in got] == [10, 11, 20, 21]
+        flaky = fetch_with_backoff(fetch, f"{base}/flaky", base_delay=0.0)
+        assert flaky == {"ok": True, "tries": 3}
+        with pytest.raises(RuntimeError, match="404"):
+            fetch_with_backoff(fetch, f"{base}/nope", base_delay=0.0)
+
+
+def test_urllib_transport_distributed_against_local_httpd(spark):
+    """fetch_distributed over the default transport: the callable
+    pickles into the Python workers and fetches from the local server
+    inside tasks — the full production wiring minus only the remote
+    host."""
+    from etl_pipelines_spark.sources.rest import urllib_transport
+
+    with _LocalApi() as api:
+        base = f"http://127.0.0.1:{api.port}"
+        urls = spark.createDataFrame(
+            [(p, f"{base}/page/{p}") for p in (1, 2, 3)],
+            "page long, url string",
+        )
+        got = fetch_distributed(
+            urls,
+            urllib_transport(timeout=5.0),
+            "id long",
+            passthrough_cols=["page"],
+            num_slots=2,
+            base_delay=0.0,
+        )
+        rows = sorted((r["page"], r["id"]) for r in got.collect())
+        assert rows == [(1, 10), (1, 11), (2, 20), (2, 21)]
+
+
 def test_fetch_distributed_fails_loud_on_exhausted_retries(spark):
     urls = spark.createDataFrame(
         [(1, "u/1"), (2, "u/2")], "coin_id long, url string"

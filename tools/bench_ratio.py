@@ -102,10 +102,15 @@ def main() -> None:
             if not (s_warm or o_warm):
                 break
         key = name.split("_")[0]
+        # ratio from the ROUNDED stored fields so every number in the
+        # record is recomputable from the record itself (round-8
+        # advice: unrounded-numerator ratios were irreproducible on
+        # millisecond oracles)
+        s_min, o_min = round(min(s_runs), 3), round(min(o_runs), 3)
         rows[key] = {
-            "spark_sec": round(min(s_runs), 3),
-            "oracle_sec": round(min(o_runs), 3),
-            "ratio": round(min(s_runs) / max(min(o_runs), 1e-9), 2),
+            "spark_sec": s_min,
+            "oracle_sec": o_min,
+            "ratio": round(s_min / max(o_min, 1e-9), 2),
             "spark_runs": [round(r, 2) for r in s_runs],
             "oracle_runs": [round(r, 2) for r in o_runs],
         }
@@ -117,12 +122,24 @@ def main() -> None:
 
     spark_total = round(sum(r["spark_sec"] for r in rows.values()), 3)
     oracle_total = round(sum(r["oracle_sec"] for r in rows.values()), 3)
+    n_total = sum(1 for n in sorted(DRIVER_QUERIES) if DRIVER_QUERIES[n].oracle)
+    # a filtered run is a DIFFERENT metric: a subset sum is not a
+    # catalog ratio (round-8 advice — RATIO_sf1skew.json's 7-entry
+    # filtered run was indistinguishable from a full-catalog record)
+    subset = bool(args.entries) and len(rows) < n_total
     record = {
-        "metric": "catalog_vs_oracle_interleaved",
+        "metric": (
+            "subset_vs_oracle_interleaved"
+            if subset
+            else "catalog_vs_oracle_interleaved"
+        ),
         "value": round(spark_total / max(oracle_total, 1e-9), 3),
         "unit": "ratio",
         "spark_total_sec": spark_total,
         "oracle_total_sec": oracle_total,
+        "entry_filter": sorted(args.entries) if args.entries else None,
+        "n_entries": len(rows),
+        "n_catalog_entries": n_total,
         "entries": rows,
         "corpus": os.path.basename(SF_DIR.rstrip("/")),
         "protocol": (
