@@ -49,9 +49,21 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
         elif df[c].dtype == object:
-            # date objects -> datetime for stable compare
+            # date objects -> datetime for stable compare. Probe the
+            # first values before the full map: the all-rows
+            # hasattr lambda was minutes per string column on the
+            # 17M-row sf1 suites, and a non-date first value already
+            # decides the (conjunctive) condition. Semantics are
+            # unchanged — the full map still confirms before any
+            # conversion.
             try:
-                if df[c].map(lambda v: hasattr(v, "year")).all() and len(df) > 0:
+                probe = df[c].iloc[:100]
+                looks_datey = (
+                    len(df) > 0
+                    and len(probe) > 0
+                    and probe.map(lambda v: hasattr(v, "year")).all()
+                )
+                if looks_datey and df[c].map(lambda v: hasattr(v, "year")).all():
                     df[c] = pd.to_datetime(df[c])
             except (TypeError, ValueError):
                 pass
