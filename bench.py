@@ -206,9 +206,14 @@ def main() -> None:
     # (for humans and the committed artifact), then a compact headline
     # line LAST so the tail capture always ends with one complete,
     # parseable JSON object carrying the min-map and the total.
-    short = {name.split("_")[0]: round(t_, 2) for name, t_ in timings.items()}
+    short = {name.split("_")[0]: round(t_, 3) for name, t_ in timings.items()}
     # prefix keys must stay unique or two entries silently collapse
     assert len(short) == len(timings), "duplicate qNN prefix in catalog names"
+    # 'value' is DERIVED from the recorded per-query fields, so every
+    # number in the artifact is recomputable from the artifact itself
+    # (round-8 advice: value from unrounded internals vs 2dp queries
+    # made the headline irreproducible from the committed record)
+    total = round(sum(short.values()), 3)
     corpus = os.path.basename(SF_DIR.rstrip("/"))
     full = {
         "metric": "catalog_total_wall_clock",
