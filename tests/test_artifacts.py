@@ -101,6 +101,60 @@ class TestArtifactIntegrity:
             doc = _load(name)
             assert isinstance(doc, dict) and doc, name
 
+    def test_catalog_artifacts_not_stale_vs_plan_code(self):
+        """Every re-recordable CATALOG-level artifact (scaled bench /
+        oracle / correctness / ratio records) must have been committed
+        no earlier than the last commit touching plan-shaping code —
+        the round-8 verdict found BENCH_sf1skew.json recorded before
+        plan-touching commits landed, and nothing detected it. Exempt:
+        probe artifacts for single operators (BENCH_codebook: ANN
+        scale points; BENCH_refresh_scale: increment-vs-rebuild
+        probes — pinned by their own operator tests), the driver's
+        historical per-round snapshots (BENCH_r* — immutable history),
+        and ORACLE_* (round-8 cross-session oracle timings, kept for
+        provenance but SUPERSEDED as oracle evidence by the
+        interleaved RATIO_* records, whose per-entry oracle minima are
+        same-session). CORRECTNESS_* artifacts are correctness gates,
+        not perf evidence — their freshness is managed by the per-
+        round driver gate + check_parity re-emission, not this
+        timestamp ratchet (a q33-scale oracle pass makes re-emission
+        a ~45-minute operation; the sf0.01 driver gate re-runs every
+        round regardless)."""
+        plan_paths = [
+            "etl_pipelines_spark/queries",
+            "etl_pipelines_spark/operators",
+            "etl_pipelines_spark/llm",
+            "etl_pipelines_spark/plans",
+            "etl_pipelines_spark/sources",
+            "etl_pipelines_spark/streaming",
+            "bench.py",
+        ]
+
+        def last_commit_ts(*paths: str) -> int:
+            out = subprocess.run(
+                ["git", "log", "-1", "--format=%ct", "--", *paths],
+                cwd=REPO, capture_output=True, text=True, check=True,
+            ).stdout.strip()
+            return int(out) if out else 0
+
+        plan_ts = last_commit_ts(*plan_paths)
+        exempt = re.compile(
+            r"^BENCH_r\d+\.json$"
+            r"|^BENCH_(codebook|refresh_scale)\.json$"
+        )
+        names = [
+            n
+            for p in ("BENCH_", "RATIO_")
+            for n in _tracked(p)
+            if not exempt.match(n)
+        ]
+        assert names, "no re-recordable catalog artifacts tracked"
+        stale = [n for n in names if last_commit_ts(n) < plan_ts]
+        assert not stale, (
+            f"artifacts recorded before the last plan-touching commit "
+            f"(re-record in a settled session): {stale}"
+        )
+
     def test_changelog_cites_only_existing_artifacts(self):
         """Every '<NAME>.json' the CHANGELOG claims as committed must
         exist at HEAD — a false provenance claim is worse than a gap."""

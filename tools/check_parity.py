@@ -136,9 +136,13 @@ def main() -> int:
     # verification collects FULL results driver-side by design; at the
     # sf1 scale corpus some entries return millions of rows, past the
     # 1g default result cap (a harness limit, not a query property)
+    # 8 shuffle partitions keep the sf0.01 gate fast (less scheduling
+    # than work); the sf1-scale corpora need real parallelism — set
+    # SPARK_GRAFT_PARITY_SHUFFLE=32 there or the pair suite's joins
+    # serialize onto a handful of cores
     spark = get_spark(
         "parity-check",
-        shuffle_partitions=8,
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_PARITY_SHUFFLE", "8")),
         extra_conf={"spark.driver.maxResultSize": "6g"},
     )
     failures = []
