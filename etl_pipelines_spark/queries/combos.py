@@ -55,6 +55,33 @@ def _align(
 # oracle timings) and the CATALOG generator
 COMBO_MEMBERS: dict[str, list[str]] = {}
 
+# single-slot registry for suite-level caches (the llm/similarity.py
+# fine-codebook pattern): bench reruns each suite many times per
+# session, and a bare .persist() per invocation leaks one cached
+# DataFrame per run until LRU eviction (round-9 advice). Re-building a
+# slot unpersists its predecessor, so at most one cache per suite feed
+# is live at a time; bench/driver clearCache between queries still
+# clears everything.
+_SUITE_CACHE: dict[str, DataFrame] = {}
+
+
+def _suite_persist(slot: str, df: DataFrame, eager: bool = False) -> DataFrame:
+    prev = _SUITE_CACHE.pop(slot, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # session gone / already evicted — nothing to free
+    df = df.persist()
+    if eager:
+        # materialize before the consumers are even planned: branches
+        # of one union job schedule their upstream stages independently
+        # and can race past a lazy cache (the persisted_shingle_arrays
+        # lesson; q52 at sf1: eager 3.1-3.4 s vs lazy-persist 4.5 s)
+        df.count()
+    _SUITE_CACHE[slot] = df
+    return df
+
 
 def _combo(
     name: str,
@@ -148,18 +175,20 @@ def _pair_suite_shared_scan(schema, members):
     return spark_fn
 
 
-def _shared_words_scan(schema, members, frames_fn, persist=False):
+def _shared_words_scan(schema, members, frames_fn, persist=False, eager=False):
     """Generic shared-tokenization spark_fn: ONE shared pre-split
     words expression (doc_id, lang, _w) feeds every member that
     tokenizes, fused into a single union plan. `persist` is a
     per-suite call: the round-3 lesson (a split() over a tiny scan is
     cheaper to re-derive per branch than to materialize) held at 3
-    sharing members and still does — q52's A/B at sf0.1 reads lazy
-    1.26-1.79 s vs persisted 2.0-2.21 s — but the q55 suite has since
-    grown to 4 sharing members (q55/q59/q62/q102) and its A/B
-    inverted: lazy 2.41 s vs persisted 1.84 s (-24%; every branch was
-    re-running the repartition + split). So q55 persists, q52 stays
-    lazy; both A/Bs interleaved twice in one session each. The cache
+    sharing members at sf0.1 — q52's A/B read lazy 1.26-1.79 s vs
+    persisted 2.0-2.21 s — but inverts once the corpus outgrows the
+    cache-write cost: q55 (4 sharing members) flipped at sf0.1 (lazy
+    2.41 s vs persisted 1.84 s), and q52 flipped at sf1
+    (tools/profile_q52.py, one session: lazy 3.64 s, lazy-persist
+    4.5 s, EAGER persist 3.14-3.38 s — a lazy cache lets the union's
+    branches race past it, the persisted_shingle_arrays lesson, so
+    `eager` materializes before the consumers are planned). The cache
     is corpus-words-sized (one array column), executor-storage-safe
     at every gate corpus; bench.py clears cache between runs, the
     driver gate runs each query once. `frames_fn(words)` returns
@@ -176,7 +205,9 @@ def _shared_words_scan(schema, members, frames_fn, persist=False):
             "doc_id", "lang", F.split("text", " ").alias("_w")
         )
         if persist:
-            words = words.persist()
+            words = _suite_persist(
+                f"words:{schema[0][0]}:{members[0][1]}", words, eager=eager
+            )
         frames = frames_fn(words)
         out = None
         for tag, qname, mapping in members:
@@ -329,30 +360,45 @@ def _q51_direct_grain(schema, members):
         # clustering, so the explicit coin exchange only funnels a
         # Zipf-hot coin through one task (skewed-sf1: suite 16 -> ~10 s;
         # uniform sf1 pays ~0.5 s for the composite-key shuffle).
-        x = transfers_from(
-            t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "orders"),
-            shuffle_on=None,
+        # LAZY-persisted since round 10: at sf1 the feed costs ~4.7 s
+        # to build (it was ~1.5 s when the round-9 A/B rejected the
+        # persist) and the dh + qsk branches each rebuilt it; one
+        # session's back-to-back matrix read x-persist 12.2 s vs
+        # x-lazy 13.7-17.3 s for the same members. Lazy, not eager:
+        # the cache fills during the first consumer instead of paying
+        # a separate barrier job (eager measured 14.1-16 s).
+        x = _suite_persist(
+            "q51_transfers",
+            transfers_from(
+                t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "orders"),
+                shuffle_on=None,
+            ),
         )
         # ONE distinct (coin, wallet) + md5 pass feeds BOTH the KMV and
         # the HLL registers (their hash idioms read different slices of
         # the same 32-hex digest) — persisted because union branches
-        # don't share subtrees. Round 9: the suite previously paid the
-        # distinct shuffle + md5 twice; the kmv/hll member results are
-        # unchanged (hash-of-distinct == distinct-of-hash).
-        dh = md5_distinct_stream(x, ["coin_id"], "wallet_address").persist()
+        # don't share subtrees (kmv reads it twice: threshold pass +
+        # filter pass; hll once). Round 9: the suite previously paid
+        # the distinct shuffle + md5 twice; the kmv/hll member results
+        # are unchanged (hash-of-distinct == distinct-of-hash).
+        dh = _suite_persist(
+            "q51_md5_stream",
+            md5_distinct_stream(x, ["coin_id"], "wallet_address"),
+        )
         frames = {
             # kmv rides the SAME unclustered feed (round 8): its
             # standalone plan rebuilt the coin-keyed transfers for no
             # consumer benefit — kmv_distinct distincts raw values
             # before hashing, so the result is partitioning-
             # independent and the member oracle is unchanged.
-            # salt_groups: the bottom-k merge closure splits the
-            # Zipf-hot coin's aggregation buffer across 16 tasks
-            # (skewed-sf1's hot coin owns ~1/3 of the distinct
-            # (coin, wallet) stream — unsalted, ONE task sorts it all)
+            # salt_groups=32 (2k): the exact threshold pre-filter
+            # bounds the Zipf-hot coin's bottom-k buffer to expected
+            # O(G) survivors (skewed-sf1's hot coin owns ~1/3 of the
+            # distinct (coin, wallet) stream — unsalted, ONE task
+            # buffers + sorts it all)
             "kmv": kmv_distinct(
                 x, ["coin_id"], "wallet_address", k=_KMV_K,
-                salt_groups=16, md5_stream=dh,
+                salt_groups=32, md5_stream=dh,
             ),
             "hll": portable_hll_estimate(
                 portable_hll_registers(
@@ -364,7 +410,14 @@ def _q51_direct_grain(schema, members):
             # kmv/hll states, the bottom-k ingests EVERY raw row — the
             # skewed-sf1 hot coin funnels ~1/3 of the corpus into one
             # collect_list buffer unsalted (member profile: 9.8 s, the
-            # suite's dominant cost; the cascade bounds it to 1/16)
+            # suite's dominant cost). CASCADE mode, not prefilter:
+            # measured back-to-back at sf1 (round 10), cascade 12.2 s
+            # vs prefilter 17.7-19 s for the whole suite even over the
+            # persisted feed — the prefilter's threshold join +
+            # second pass cost more here than the cascade's one
+            # group/16-buffer shuffle. The group/G buffer bound is the
+            # documented trade-off — see quantile_sketch_build's
+            # docstring for when prefilter is the right mode
             "qsk": quantile_sketch_estimate(
                 quantile_sketch_build(
                     x,
@@ -878,7 +931,14 @@ for _c in _COMBOS:
     if _c.name == "q33_pair_suite":
         _c.spark_fn = _pair_suite_shared_scan(_PAIR_SCHEMA, _PAIR_MEMBERS)
     elif _c.name == "q52_term_mining":
-        _c.spark_fn = _shared_words_scan(_Q52_SCHEMA, _Q52_MEMBERS, _q52_frames)
+        # persist+eager since round 10: the three members consume the
+        # split ~8x (tf/dl/query/bigram/unigram branches); the round-3
+        # lazy-wins A/B inverted at sf1 (profile_q52.py: lazy 3.64 s,
+        # lazy-persist 4.5 s, eager 3.14-3.38 s — see
+        # _shared_words_scan's docstring)
+        _c.spark_fn = _shared_words_scan(
+            _Q52_SCHEMA, _Q52_MEMBERS, _q52_frames, persist=True, eager=True
+        )
     elif _c.name == "q55_doc_scoring":
         _c.spark_fn = _shared_words_scan(
             _Q55_SCHEMA, _Q55_MEMBERS, _q55_frames, persist=True

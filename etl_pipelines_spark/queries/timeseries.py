@@ -1175,10 +1175,10 @@ _KMV_K = 16
     tags=("agg", "sketch"),
 )
 def q51(spark: SparkSession, sf: str) -> DataFrame:
-    # salt_groups=16: bound the hot coin's bottom-k buffer (merge-
-    # closed cascade; value-identical, see kmv_distinct)
+    # salt_groups=32 (2k): bound the hot coin's bottom-k buffer via the
+    # exact threshold pre-filter (value-identical, see kmv_distinct)
     return kmv_distinct(
-        transfers(spark, sf), ["coin_id"], "wallet_address", k=_KMV_K, salt_groups=16
+        transfers(spark, sf), ["coin_id"], "wallet_address", k=_KMV_K, salt_groups=32
     )
 
 

@@ -40,10 +40,12 @@ def urllib_transport(
 ) -> Callable[[str], tuple[int, object]]:
     """Default REAL transport: stdlib urllib returning
     (status, parsed-JSON payload) in the injected-transport contract.
-    HTTP error statuses come back AS statuses (never exceptions), so
-    `fetch_with_backoff` can retry 429/5xx exactly as it does against
-    the test transports. The returned callable closes over plain
-    values only, so it pickles onto executors for
+    HTTP error statuses come back AS statuses (never exceptions), and
+    transient NETWORK-level faults (DNS failure, connection reset,
+    socket timeout) come back as a retryable pseudo-503, so
+    `fetch_with_backoff` can retry both classes exactly as it does
+    against the test transports. The returned callable closes over
+    plain values only, so it pickles onto executors for
     `fetch_distributed`; each call builds its own connection (never a
     captured socket). Injection remains the test seam — pass
     fetch=None to any entry point to get this transport."""
@@ -62,6 +64,11 @@ def urllib_transport(
         except urllib.error.HTTPError as e:
             e.close()
             return e.code, None
+        except (urllib.error.URLError, TimeoutError, OSError):
+            # transient network fault (no HTTP status to report):
+            # surface as retryable 503 so the backoff loop owns the
+            # retry instead of the task dying on the first blip
+            return 503, None
         return status, _json.loads(body) if body else None
 
     return fetch
@@ -74,7 +81,7 @@ class RetriesExhausted(Exception):
 
 
 def fetch_with_backoff(
-    fetch: Callable[[str], tuple[int, object]],
+    fetch: Callable[[str], tuple[int, object]] | None,
     url: str,
     max_retries: int = 5,
     base_delay: float = 1.0,
@@ -84,7 +91,10 @@ def fetch_with_backoff(
     """Call `fetch(url)` until success, backing off exponentially
     (base_delay * 2^attempt, capped) on retryable statuses. Non-
     retryable errors raise immediately; exhausted retries raise
-    RetriesExhausted."""
+    RetriesExhausted. fetch=None selects the default urllib
+    transport."""
+    if fetch is None:
+        fetch = urllib_transport()
     last_status = -1
     for attempt in range(max_retries + 1):
         status, payload = fetch(url)
@@ -99,13 +109,16 @@ def fetch_with_backoff(
 
 
 def paginated_records(
-    fetch: Callable[[str], tuple[int, object]],
+    fetch: Callable[[str], tuple[int, object]] | None,
     url_for_page: Callable[[int], str],
     max_pages: int = 1000,
     **backoff_kw,
 ) -> Iterable[dict]:
     """Pull pages until an empty page (the reference's markets-pages
-    loop, coingecko_all_coins_market_summary.py:137-167)."""
+    loop, coingecko_all_coins_market_summary.py:137-167). fetch=None
+    selects the default urllib transport."""
+    if fetch is None:
+        fetch = urllib_transport()
     for page in range(1, max_pages + 1):
         batch = fetch_with_backoff(fetch, url_for_page(page), **backoff_kw)
         if not batch:
@@ -123,7 +136,7 @@ def land_records(
 
 def fetch_distributed(
     urls: DataFrame,
-    fetch: Callable[[str], tuple[int, object]],
+    fetch: Callable[[str], tuple[int, object]] | None,
     schema: StructType | str,
     url_col: str = "url",
     passthrough_cols: list[str] | None = None,
@@ -145,10 +158,14 @@ def fetch_distributed(
     fail the task loudly — a silent partial land is how ingestion
     gaps start. `num_slots` bounds TOTAL in-flight fetch concurrency
     (repartition to that many tasks) independent of cluster size;
-    leave None to inherit the frame's partitioning.
+    leave None to inherit the frame's partitioning. fetch=None selects
+    the default urllib transport (built on the driver, pickled out).
     """
     import pandas as pd
     from pyspark.sql.types import _parse_datatype_string
+
+    if fetch is None:
+        fetch = urllib_transport()
 
     if isinstance(schema, str):
         schema = _parse_datatype_string(schema)

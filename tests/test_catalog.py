@@ -12,7 +12,13 @@ SF = "/root/testdata/sf0.001"
 
 class TestCatalogInvariants:
     def test_driver_catalog_fits_gate_cap(self):
-        assert len(DRIVER_QUERIES) <= 50
+        """EXACTLY 50: the driver's correctness gate records the first
+        50 registry entries, so a 51st would be silently dropped — and
+        the catalog deliberately stays packed to the cap, so a count
+        below 50 means an entry fell out unnoticed. New operators ride
+        an existing combo (the q106 pattern; see CATALOG.md 'Packing
+        discipline')."""
+        assert len(DRIVER_QUERIES) == 50
 
     def test_bench_short_keys_unique(self):
         shorts = [n.split("_")[0] for n in DRIVER_QUERIES]

@@ -194,24 +194,30 @@ class TestKmvDistinct:
         assert got.count() == 0
 
     def test_salted_cascade_matches_direct(self, spark):
-        """Bottom-k merge closure: the salted two-pass cascade (the
-        Zipf-hot-key defence) keeps exactly the same k smallest hashes
-        as the direct single aggregation, for every group."""
+        """The threshold pre-filter (the Zipf-hot-key defence) keeps
+        exactly the same k smallest hashes as the direct single
+        aggregation, for every group — including a forced G > 16 on a
+        skewed input (one key owning most rows) and the degenerate
+        G < k case where the threshold can never fire (round-9 verdict
+        'salted==direct at a forced G>16' done-criterion)."""
         from etl_pipelines_spark.operators.sketches import kmv_distinct
 
-        df = spark.createDataFrame(
-            [(f"g{i % 3}", f"v{i % 400}") for i in range(2000)],
-            "grp string, val string",
-        )
+        rows = [(f"g{i % 3}", f"v{i % 400}") for i in range(2000)]
+        # skew: one hot key with 5000 distinct values on top
+        rows += [("hot", f"h{i}") for i in range(5000)]
+        df = spark.createDataFrame(rows, "grp string, val string")
         direct = {
             r["grp"]: (r["n_min"], r["kmv_estimate"])
             for r in kmv_distinct(df, ["grp"], "val", k=16).collect()
         }
-        salted = {
-            r["grp"]: (r["n_min"], r["kmv_estimate"])
-            for r in kmv_distinct(df, ["grp"], "val", k=16, salt_groups=8).collect()
-        }
-        assert direct == salted
+        for g in (8, 32, 128):
+            salted = {
+                r["grp"]: (r["n_min"], r["kmv_estimate"])
+                for r in kmv_distinct(
+                    df, ["grp"], "val", k=16, salt_groups=g
+                ).collect()
+            }
+            assert direct == salted, f"salt_groups={g}"
 
 
 class TestDedupe:
@@ -1127,13 +1133,18 @@ class TestQuantileSketch:
         ).select(*direct.columns)
         assert direct.exceptAll(merged).count() == 0
         assert merged.exceptAll(direct).count() == 0
-        # the salt cascade (scale path for pathological keys) keeps
-        # the same multiset — the same closure, applied twice
-        salted = quantile_sketch_build(
-            df, ["k"], "v", ["rid"], k=16, salt_groups=4
-        ).select(*direct.columns)
-        assert direct.exceptAll(salted).count() == 0
-        assert salted.exceptAll(direct).count() == 0
+        # both salt modes (scale paths for pathological keys) keep the
+        # same multiset: the one-pass cascade at any G, and the
+        # threshold pre-filter at a firing G (>= k, here 2k) and at a
+        # degenerate G < k where the threshold stays NULL
+        for g, mode in (
+            (4, "cascade"), (32, "cascade"), (4, "prefilter"), (32, "prefilter"),
+        ):
+            salted = quantile_sketch_build(
+                df, ["k"], "v", ["rid"], k=16, salt_groups=g, salt_mode=mode
+            ).select(*direct.columns)
+            assert direct.exceptAll(salted).count() == 0, f"{mode} G={g}"
+            assert salted.exceptAll(direct).count() == 0, f"{mode} G={g}"
 
     def test_exact_below_k(self, spark):
         """A key with <= k rows keeps every row, so the estimate IS the
