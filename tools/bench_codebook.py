@@ -162,12 +162,16 @@ def measure_two_level(spark, n: int, dim: int, k1: int, k2: int) -> dict:
 def measure_ann(spark, n: int, dim: int, k1: int, k2: int,
                 n_queries: int = 100, topk: int = 10,
                 nprobe1: int = 8, nprobe2: int = 8,
-                flat_k: int = 4096, flat_nprobe: int = 8) -> dict:
+                flat_k: int = 4096, flat_nprobe: int = 8,
+                corpus: str | None = None) -> dict:
     """The composed end-to-end ANN proof: two-level build -> multi-
     probe two_level_topk at k_eff >= 64k, recall@topk vs exact brute
     force over the SAME queries, with a flat-codebook ivf_topk
     baseline at the adaptive k for comparison. Everything measured in
-    one session on one synthetic corpus."""
+    one session on one corpus — synthetic by default, or a real
+    embeddings.parquet via `corpus` (the gate-corpus scale point: the
+    same two-level path q106 gates at sf0.01, measured on the actual
+    sf1 table instead of a synthetic)."""
     from pyspark.sql import functions as F
 
     from etl_pipelines_spark.llm.similarity import (
@@ -179,8 +183,17 @@ def measure_ann(spark, n: int, dim: int, k1: int, k2: int,
         two_level_topk,
     )
 
-    emb = synth_embeddings(spark, n, dim).persist()
-    emb.count()
+    if corpus is not None:
+        emb = (
+            spark.read.parquet(corpus)
+            .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+            .persist()
+        )
+        n = emb.count()
+        dim = len(emb.first()["embedding"])
+    else:
+        emb = synth_embeddings(spark, n, dim).persist()
+        emb.count()
     queries = emb.filter(F.col("vec_id") < n_queries)
 
     t0 = time.time()
@@ -216,6 +229,7 @@ def measure_ann(spark, n: int, dim: int, k1: int, k2: int,
     emb.unpersist()
     return {
         "mode": "ann_end_to_end",
+        **({"corpus": corpus} if corpus else {}),
         "n": n, "dim": dim, "n_queries": n_queries, "topk": topk,
         "brute_force_sec": brute_sec,
         "two_level": {
@@ -264,6 +278,22 @@ def main() -> None:
         "topk, recall@10 vs brute force, vs a flat ivf_topk baseline",
     )
     ap.add_argument(
+        "--ann-corpus", metavar="PARQUET", default=None,
+        help="run --ann on a REAL embeddings.parquet instead of the "
+        "synthetic corpus (the gate-corpus scale point, e.g. "
+        "testdata_scaled/sf1/embeddings.parquet)",
+    )
+    ap.add_argument("--nprobe1", type=int, default=8)
+    ap.add_argument("--nprobe2", type=int, default=8)
+    ap.add_argument("--flat-k", type=int, default=4096)
+    ap.add_argument("--flat-nprobe", type=int, default=8)
+    ap.add_argument(
+        "--record-append", metavar="PATH", default=None,
+        help="with --ann-corpus: measure the real-corpus ANN point and "
+        "append/replace it (keyed by corpus path) in an existing "
+        "record file",
+    )
+    ap.add_argument(
         "--record", metavar="PATH", default=None,
         help="one command for the committed artifact: run the standard "
         "suite (flat n=10^6 k=4096 exact-vs-matmul, two-level 64k-cell "
@@ -297,12 +327,31 @@ def main() -> None:
             json.dump(doc, fh, indent=1)
             fh.write("\n")
         return
+    if args.record_append and args.ann_corpus:
+        point = measure_ann(
+            spark, 0, 0, args.k1, args.k2,
+            nprobe1=args.nprobe1, nprobe2=args.nprobe2,
+            flat_k=args.flat_k, flat_nprobe=args.flat_nprobe,
+            corpus=args.ann_corpus,
+        )
+        print(json.dumps(point))
+        with open(args.record_append) as fh:
+            doc = json.load(fh)
+        doc["points"] = [
+            p for p in doc["points"]
+            if p.get("corpus") != point.get("corpus")
+        ] + [point]
+        with open(args.record_append, "w") as fh:
+            json.dump(doc, fh, indent=1)
+            fh.write("\n")
+        return
     sizes = [args.n] if args.n else [300_000, 600_000]
     for n in sizes:
         if args.two_level:
             print(json.dumps(measure_two_level(spark, n, args.dim, args.k1, args.k2)))
         elif args.ann:
-            print(json.dumps(measure_ann(spark, n, args.dim, args.k1, args.k2)))
+            print(json.dumps(measure_ann(spark, n, args.dim, args.k1, args.k2,
+                                         corpus=args.ann_corpus)))
         else:
             print(json.dumps(measure(spark, n, args.dim, args.iters,
                                      k_override=args.k,
