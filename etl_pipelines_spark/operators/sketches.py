@@ -102,9 +102,17 @@ def _bottomk_prefilter(
     G >= ~2k for a tight T. Cost: `src` is consumed twice (the
     min-pass and the filter pass) — cache it when it is not already
     a cheap scan; both passes are pushdown-friendly column plans.
-    """
+
+    The salt is derived from `ord_expr` itself (hash of the rank
+    value, already uniform for the md5-derived ranks every caller
+    feeds), so the helper carries no implicit column contract; the
+    exactness argument holds for ANY deterministic partitioning of a
+    key's rows into G groups, so the salt source never affects the
+    output. The threshold rejoin is NULL-SAFE on every key (a plain
+    equi-join would silently drop NULL-keyed groups — diverging from
+    salt_groups=0, which keeps them)."""
     salted = src.withColumn("_o", ord_expr).withColumn(
-        "_salt", F.pmod(F.hash("_h"), F.lit(salt_groups))
+        "_salt", F.pmod(F.hash("_o"), F.lit(salt_groups))
     )
     mins = salted.groupBy(*keys, "_salt").agg(F.min("_o").alias("_m"))
     thr = mins.groupBy(*keys).agg(
@@ -113,11 +121,18 @@ def _bottomk_prefilter(
             F.element_at(F.array_sort(F.collect_list("_m")), k),
         ).alias("_t")
     )
+    thr = thr.select(
+        *[F.col(c).alias(f"_tk_{c}") for c in keys], "_t"
+    )
+    filtered = src.withColumn("_o", ord_expr)
+    cond = None
+    for c in keys:
+        eq = F.col(c).eqNullSafe(F.col(f"_tk_{c}"))
+        cond = eq if cond is None else cond & eq
     return (
-        src.withColumn("_o", ord_expr)
-        .join(thr, keys)
+        filtered.join(thr, cond)
         .filter(F.col("_t").isNull() | (F.col("_o") <= F.col("_t")))
-        .drop("_t", "_o")
+        .drop("_t", "_o", *[f"_tk_{c}" for c in keys])
     )
 
 
@@ -146,6 +161,14 @@ def kmv_distinct(
     derives a per-key k-th-hash upper bound, and only the expected
     O(G) surviving hashes per key reach the collect — value-identical
     output (pinned salted==direct in test_operators at G>16).
+
+    NOTE: with salt_groups > 0 the hashed stream is consumed twice
+    (the prefilter's min pass + the filter pass). When `md5_stream`
+    is a persisted frame (the suite path) both passes hit the cache;
+    with md5_stream=None the distinct+md5 subtree appears twice in
+    the plan and Spark's exchange reuse (AQE ReusedExchange over the
+    identical distinct shuffle) is what keeps it from executing
+    twice — persist the stream yourself if you cannot rely on that.
     """
     # distinct BEFORE the hash: md5 is deterministic per value, so
     # hash-of-distinct == distinct-of-hash — but the reordering hashes

@@ -1179,18 +1179,32 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
     return _tfidf_top_terms(t(spark, sf, "documents"))
 
 
-def _tfidf_top_terms(docs: DataFrame, words: DataFrame | None = None) -> DataFrame:
+def _tfidf_top_terms(
+    docs: DataFrame,
+    words: DataFrame | None = None,
+    tf: DataFrame | None = None,
+    n_docs: DataFrame | None = None,
+) -> DataFrame:
     """q52 body, shareable: pass a pre-split `words` frame (doc_id, _w)
-    to reuse one tokenization across combo members."""
+    to reuse one tokenization across combo members, or go further and
+    pass the aggregated `tf` frame (doc_id, token, tf) + a 1-row
+    `n_docs` frame — the (doc, term) aggregate is the part q52 and
+    q81 both pay, so a suite persists it ONCE (round-10 verdict: the
+    tf and df branches each re-read the words frame)."""
     from pyspark.sql import Window
 
-    if words is None:
-        toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-        n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    if tf is None:
+        if words is None:
+            toks = docs.select(
+                "doc_id", F.explode(F.split("text", " ")).alias("token")
+            )
+            n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        else:
+            toks = words.select("doc_id", F.explode("_w").alias("token"))
+            n_docs = words.agg(F.count(F.lit(1)).alias("n_docs"))
+        tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     else:
-        toks = words.select("doc_id", F.explode("_w").alias("token"))
-        n_docs = words.agg(F.count(F.lit(1)).alias("n_docs"))
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+        assert n_docs is not None, "precomputed tf requires an n_docs frame"
     # df as a window count over the tf frame itself: a groupBy-then-
     # broadcast dfreq would RE-EXECUTE the tf subtree for the broadcast
     # side (Spark shares no subtrees across a join's two inputs) —
@@ -1286,29 +1300,36 @@ def q81(spark: SparkSession, sf: str) -> DataFrame:
     return _bm25_retrieval(t(spark, sf, "documents"))
 
 
-def _bm25_retrieval(docs: DataFrame, words: DataFrame | None = None) -> DataFrame:
-    """q81 body, shareable via a pre-split `words` frame (doc_id, _w)."""
+def _bm25_retrieval(
+    docs: DataFrame,
+    words: DataFrame | None = None,
+    tf: DataFrame | None = None,
+) -> DataFrame:
+    """q81 body, shareable via a pre-split `words` frame (doc_id, _w)
+    or, cheaper still, a precomputed `tf` frame (doc_id, token, tf):
+    every downstream table — dl (sum of tf per doc), stats, dfreq,
+    and the query-term set (doc 0's distinct tokens ARE its tf rows)
+    — derives from tf without touching the token stream again."""
     from pyspark.sql import Window
 
-    if words is None:
-        toks = docs.repartition("doc_id").select(
-            "doc_id", F.explode(F.split("text", " ")).alias("token")
-        )
+    if tf is None:
+        if words is None:
+            toks = docs.repartition("doc_id").select(
+                "doc_id", F.explode(F.split("text", " ")).alias("token")
+            )
+        else:
+            toks = words.select("doc_id", F.explode("_w").alias("token"))
+        tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+        dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+        q_src = toks.filter(F.col("doc_id") == 0).select("token").distinct()
     else:
-        toks = words.select("doc_id", F.explode("_w").alias("token"))
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        q_src = tf.filter(F.col("doc_id") == 0).select("token")
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens")
     )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    q = (
-        toks.filter(F.col("doc_id") == 0)
-        .select("token")
-        .distinct()
-        .orderBy("token")
-        .limit(5)
-    )
+    q = q_src.orderBy("token").limit(5)
     avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
     idf = (
         (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))

@@ -53,6 +53,7 @@ def urllib_transport(
 
     def fetch(url: str) -> tuple[int, object]:
         import json as _json
+        import ssl as _ssl
         import urllib.error
         import urllib.request
 
@@ -64,20 +65,47 @@ def urllib_transport(
         except urllib.error.HTTPError as e:
             e.close()
             return e.code, None
-        except (urllib.error.URLError, TimeoutError, OSError):
+        except (urllib.error.URLError, TimeoutError, OSError) as e:
+            # URLError wraps the real fault in .reason; unwrap so the
+            # classification and the carried text name the cause
+            reason = getattr(e, "reason", e) or e
+            detail = {"_transport_error": f"{type(reason).__name__}: {reason}"}
+            if isinstance(reason, _ssl.SSLCertVerificationError):
+                # hopeless, not transient: retrying a bad certificate
+                # for the full backoff schedule cannot succeed — map
+                # to non-retryable 495 (nginx's SSL-cert-error code)
+                # so fetch_with_backoff fails fast with the cause
+                return 495, detail
             # transient network fault (no HTTP status to report):
-            # surface as retryable 503 so the backoff loop owns the
-            # retry instead of the task dying on the first blip
-            return 503, None
+            # surface as retryable 503 carrying the cause so
+            # RetriesExhausted can name it instead of a bare "503"
+            return 503, detail
         return status, _json.loads(body) if body else None
 
     return fetch
 
 
+def _transport_detail(payload: object) -> str | None:
+    """Cause text a transport attached to an error response (the
+    urllib transport's `_transport_error` channel), if any."""
+    if isinstance(payload, dict):
+        detail = payload.get("_transport_error")
+        if isinstance(detail, str):
+            return detail
+    return None
+
+
 class RetriesExhausted(Exception):
-    def __init__(self, url: str, attempts: int, last_status: int):
-        super().__init__(f"{url}: {attempts} attempts, last status {last_status}")
+    def __init__(
+        self, url: str, attempts: int, last_status: int,
+        detail: str | None = None,
+    ):
+        msg = f"{url}: {attempts} attempts, last status {last_status}"
+        if detail:
+            msg += f" ({detail})"
+        super().__init__(msg)
         self.last_status = last_status
+        self.detail = detail
 
 
 def fetch_with_backoff(
@@ -96,16 +124,22 @@ def fetch_with_backoff(
     if fetch is None:
         fetch = urllib_transport()
     last_status = -1
+    last_detail: str | None = None
     for attempt in range(max_retries + 1):
         status, payload = fetch(url)
         if status == 200:
             return payload
         if status not in RETRYABLE_STATUSES:
-            raise RuntimeError(f"{url}: non-retryable status {status}")
+            detail = _transport_detail(payload)
+            raise RuntimeError(
+                f"{url}: non-retryable status {status}"
+                + (f" ({detail})" if detail else "")
+            )
         last_status = status
+        last_detail = _transport_detail(payload) or last_detail
         if attempt < max_retries:
             sleep(min(base_delay * (2**attempt), max_delay))
-    raise RetriesExhausted(url, max_retries + 1, last_status)
+    raise RetriesExhausted(url, max_retries + 1, last_status, last_detail)
 
 
 def paginated_records(

@@ -219,6 +219,43 @@ class TestKmvDistinct:
             }
             assert direct == salted, f"salt_groups={g}"
 
+    def test_prefilter_preserves_null_group_keys(self, spark):
+        """NULL-keyed groups survive the salted path: the threshold
+        rejoin is null-safe, so salt_groups > 0 matches salt_groups=0
+        on a frame whose group key contains NULLs (the round-10
+        advice found a plain equi-join silently dropping them)."""
+        from etl_pipelines_spark.operators.sketches import (
+            kmv_distinct,
+            quantile_sketch_build,
+        )
+
+        rows = [("g1", f"v{i}") for i in range(500)]
+        rows += [(None, f"n{i}") for i in range(500)]
+        df = spark.createDataFrame(rows, "grp string, val string")
+        direct = {
+            r["grp"]: (r["n_min"], r["kmv_estimate"])
+            for r in kmv_distinct(df, ["grp"], "val", k=16).collect()
+        }
+        salted = {
+            r["grp"]: (r["n_min"], r["kmv_estimate"])
+            for r in kmv_distinct(
+                df, ["grp"], "val", k=16, salt_groups=32
+            ).collect()
+        }
+        assert None in direct and direct == salted
+
+        qdf = spark.createDataFrame(
+            [(None if i % 2 else "k", float(i), str(i)) for i in range(400)],
+            "k string, v double, rid string",
+        )
+        qd = quantile_sketch_build(qdf, ["k"], "v", ["rid"], k=16)
+        qs = quantile_sketch_build(
+            qdf, ["k"], "v", ["rid"], k=16, salt_groups=32,
+            salt_mode="prefilter",
+        )
+        assert qd.exceptAll(qs).count() == 0
+        assert qs.exceptAll(qd).count() == 0
+
 
 class TestDedupe:
     def test_keep_first_and_latest(self, spark):

@@ -237,6 +237,58 @@ def test_urllib_transport_distributed_against_local_httpd(spark):
         assert rows == [(1, 10), (1, 11), (2, 20), (2, 21)]
 
 
+def test_urllib_transport_ssl_cert_failure_is_non_retryable(monkeypatch):
+    """A certificate verification failure is hopeless, not transient:
+    the transport maps it to non-retryable 495 carrying the cause, so
+    fetch_with_backoff fails on the FIRST attempt naming the SSL
+    error instead of burning the whole backoff schedule and
+    misreporting a 503 (round-10 advice)."""
+    import ssl
+    import urllib.error
+    import urllib.request
+
+    from etl_pipelines_spark.sources.rest import urllib_transport
+
+    calls = {"n": 0}
+
+    def bad_open(req, timeout=None):
+        calls["n"] += 1
+        raise urllib.error.URLError(
+            ssl.SSLCertVerificationError(1, "certificate verify failed")
+        )
+
+    monkeypatch.setattr(urllib.request, "urlopen", bad_open)
+    fetch = urllib_transport()
+    status, payload = fetch("https://example.invalid/x")
+    assert status == 495
+    assert "certificate verify failed" in payload["_transport_error"]
+    with pytest.raises(RuntimeError, match="495.*certificate verify failed"):
+        fetch_with_backoff(fetch, "https://example.invalid/x", base_delay=0.0)
+    assert calls["n"] == 2  # direct probe + ONE backoff-loop attempt
+
+
+def test_urllib_transport_network_fault_detail_reaches_exhaustion(monkeypatch):
+    """Transient network faults stay retryable 503s, but the cause
+    text now rides along so RetriesExhausted names the real failure
+    (DNS here) instead of a bare pseudo-status."""
+    import urllib.error
+    import urllib.request
+
+    from etl_pipelines_spark.sources.rest import RetriesExhausted, urllib_transport
+
+    def dns_fail(req, timeout=None):
+        raise urllib.error.URLError(OSError("Name or service not known"))
+
+    monkeypatch.setattr(urllib.request, "urlopen", dns_fail)
+    fetch = urllib_transport()
+    with pytest.raises(RetriesExhausted) as ei:
+        fetch_with_backoff(
+            fetch, "http://nope.invalid/", max_retries=2, base_delay=0.0
+        )
+    assert ei.value.last_status == 503
+    assert "Name or service not known" in str(ei.value)
+
+
 def test_fetch_distributed_fails_loud_on_exhausted_retries(spark):
     urls = spark.createDataFrame(
         [(1, "u/1"), (2, "u/2")], "coin_id long, url string"

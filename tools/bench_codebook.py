@@ -301,6 +301,10 @@ def main() -> None:
         "to PATH",
     )
     args = ap.parse_args()
+    if args.record_append and not args.ann_corpus:
+        ap.error("--record-append requires --ann-corpus (it appends a "
+                 "real-corpus ANN point; without a corpus there is "
+                 "nothing to append)")
     spark = get_spark("bench-codebook")
     spark.sparkContext.setLogLevel("ERROR")
     if args.record:
@@ -345,7 +349,13 @@ def main() -> None:
             json.dump(doc, fh, indent=1)
             fh.write("\n")
         return
-    sizes = [args.n] if args.n else [300_000, 600_000]
+    # a real corpus fixes n (measure_ann overrides it from the corpus
+    # row count), so the default two-size sweep would run the
+    # identical measurement twice — collapse to one iteration
+    if args.ann_corpus:
+        sizes = [0]
+    else:
+        sizes = [args.n] if args.n else [300_000, 600_000]
     for n in sizes:
         if args.two_level:
             print(json.dumps(measure_two_level(spark, n, args.dim, args.k1, args.k2)))
