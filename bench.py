@@ -89,6 +89,44 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
         run_arrays[name.split("_")[0]] = [round(r, 2) for r in runs]
 
+    # opt-in member-level timing for combo entries (the round-10 q20
+    # driver-vs-interleaved divergence: a suite number alone cannot
+    # say WHICH member moved). SPARK_GRAFT_MEMBER_TIMINGS names entry
+    # prefixes (comma-separated, or "all"); each named combo's members
+    # run standalone under the same adaptive-min protocol and land in
+    # the JSON under "members". Off by default: it roughly doubles the
+    # named entries' cost and the driver's contract is the plain line.
+    member_timings: dict[str, dict[str, float]] = {}
+    member_env = os.environ.get("SPARK_GRAFT_MEMBER_TIMINGS", "")
+    if member_env:
+        from etl_pipelines_spark.queries import QUERIES as ALL_QUERIES
+        from etl_pipelines_spark.queries.combos import COMBO_MEMBERS
+
+        prefixes = [p.strip() for p in member_env.split(",") if p.strip()]
+        for name in sorted(QUERIES):
+            if name not in COMBO_MEMBERS:
+                continue
+            if "all" not in prefixes and not any(
+                name.startswith(p) for p in prefixes
+            ):
+                continue
+            per: dict[str, float] = {}
+            for member in COMBO_MEMBERS[name]:
+                m_runs: list[float] = []
+                while len(m_runs) < MAX_RUNS:
+                    t0 = time.time()
+                    ALL_QUERIES[member].spark_fn(spark, SF_DIR).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                    t_run = time.time() - t0
+                    spark.catalog.clearCache()
+                    still_warming = m_runs and t_run < 0.8 * min(m_runs)
+                    m_runs.append(t_run)
+                    if len(m_runs) >= MIN_RUNS and not still_warming:
+                        break
+                per[member] = round(min(m_runs), 3)
+            member_timings[name.split("_")[0]] = per
+
     total = round(sum(timings.values()), 3)
 
     # whole-workload row: the §3.1 warehouse refresh end-to-end (all
@@ -221,6 +259,7 @@ def main() -> None:
         "unit": "sec",
         "queries": short,
         "runs_sec": run_arrays,
+        **({"members": member_timings} if member_timings else {}),
         "refresh": refresh_row,
         "sf": sf_label(SF_DIR),
         "corpus": corpus,

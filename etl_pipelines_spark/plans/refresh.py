@@ -82,37 +82,69 @@ def refresh_warehouse(
         wallet_profits_kernel_from,
     )
 
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
     report = RefreshReport()
     rules = load_expectations(expectations_path)
     built: dict[str, DataFrame] = {}
+    # land() mutates shared report/built state from branch threads
+    report_lock = threading.Lock()
 
     def land(name: str, df: DataFrame) -> DataFrame:
         path = os.path.join(out_dir, name)
         write_partitioned(df, path)
         back = spark.read.parquet(path)
-        built[name] = back
+        with report_lock:
+            built[name] = back
         # row count rides the fused expectations action (one job per
         # table, not one per expectation plus a count)
         res, n = run_expectations(back, name, rules, built, count_rows_of=back)
-        report.tables[name] = n
-        report.expectations.extend(res)
+        with report_lock:
+            report.tables[name] = n
+            report.expectations.extend(res)
         return back
 
-    # 0. dimensions (§3.1 steps 2-4 composed)
-    for name, df in _dim_frames(spark, sf_dir):
-        land(name, df)
-
-    # 1. market data: densify + ffill (D1/D2) over daily prices
     scope = _scope_fn(coin_limit, since, until)
 
-    # shared by the dense rebuild AND the profits kernel: keys-sized
-    # after the daily aggregation, so one cached copy serves both
-    md = scope(daily_prices(spark, sf_dir)).persist()
-    land("coin_market_data", _dense_market(md))
+    # Independent table FAMILIES run as concurrent branches — the
+    # reference's metadata workflow schedules its CoinGecko and
+    # GeckoTerminal branches in parallel
+    # (workflows/core_coin_facts_metadata.yaml:10-72); here the three
+    # independent curated families submit their Spark jobs from three
+    # driver threads so small dimension writes overlap the big fact
+    # shuffles instead of serializing behind them (job submission is
+    # thread-safe; tasks interleave across the executor's free slots).
+    # Only coin_facts -> coins is order-sensitive (the referential
+    # expectation), and both live INSIDE the dims branch, so
+    # cross-branch landing order is free.
 
-    # 2. wallet transfers: daily net + running balance (W1/W2)
-    x = scope(transfers(spark, sf_dir))
-    cwt = land("coin_wallet_transfers", _with_balance(x))
+    def dims_branch():
+        # §3.1 steps 2-4 composed, sequential within the branch
+        for name, df in _dim_frames(spark, sf_dir):
+            land(name, df)
+
+    def market_branch():
+        # market data: densify + ffill (D1/D2) over daily prices.
+        # shared by the dense rebuild AND the profits kernel:
+        # keys-sized after the daily aggregation, so one cached copy
+        # serves both
+        md = scope(daily_prices(spark, sf_dir)).persist()
+        land("coin_market_data", _dense_market(md))
+        return md
+
+    def transfers_branch():
+        # wallet transfers: daily net + running balance (W1/W2)
+        x = scope(transfers(spark, sf_dir))
+        return land("coin_wallet_transfers", _with_balance(x))
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        dims_f = pool.submit(dims_branch)
+        md_f = pool.submit(market_branch)
+        cwt_f = pool.submit(transfers_branch)
+        md = md_f.result()
+        cwt = cwt_f.result()
+        dims_f.result()
 
     # 3. wallet profits: the flagship kernel (§3.2 in one job), fed
     # from the LANDED transfers table (the curated lineage: profits

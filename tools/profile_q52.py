@@ -1,6 +1,12 @@
 #!/usr/bin/env python
-"""One-off A/B for the q52 term-mining suite's shared words frame:
-lazy vs lazy-persist vs eager-persist, one session, noop sink.
+"""One-off A/B for the q52 term-mining suite's sharing shape at a
+given corpus, one session, noop sink:
+
+- words-shared (the round-10 shape): eager-persisted words frame,
+  each member re-explodes + re-aggregates it.
+- tf-shared (round 11): ONE (doc, token, tf) aggregate built off the
+  words frame, eager-persisted, feeding tfidf AND bm25; colloc keeps
+  the words frame.
 
     SPARK_GRAFT_SF_DIR=testdata_scaled/sf1 python tools/profile_q52.py
 """
@@ -17,7 +23,7 @@ os.environ.setdefault("SPARK_DRIVER_MEMORY", "12g")
 from etl_pipelines_spark.session import get_spark  # noqa: E402
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-RUNS = 2
+RUNS = 3
 
 spark = get_spark("profile_q52")
 spark.sparkContext.setLogLevel("ERROR")
@@ -34,16 +40,24 @@ from etl_pipelines_spark.sources.registry import load_table  # noqa: E402
 spark.range(1000).selectExpr("sum(id)").collect()
 
 
-def build(mode):
+def words_frame():
     docs = load_table(spark, SF, "documents")
-    words = docs.repartition("doc_id").select(
+    return docs.repartition("doc_id").select(
         "doc_id", "lang", F.split("text", " ").alias("_w")
     )
-    if mode in ("persist", "eager"):
-        words = words.persist()
-        if mode == "eager":
-            words.count()
-    parts = [
+
+
+def union3(parts):
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def build_words_shared():
+    words = words_frame().persist()
+    words.count()
+    return union3([
         _tfidf_top_terms(None, words=words).select(
             F.lit("tfidf").alias("part"), "doc_id"
         ),
@@ -53,18 +67,73 @@ def build(mode):
         _bm25_retrieval(None, words=words).select(
             F.lit("bm25").alias("part"), "doc_id"
         ),
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    ])
 
 
-for mode in ("lazy", "persist", "eager", "lazy", "eager"):
+def build_tf_shared(words_eager=True):
+    words = words_frame().persist()
+    if words_eager:
+        words.count()
+    tf = (
+        words.select("doc_id", F.explode("_w").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    tf.count()
+    n_docs = words.agg(F.count(F.lit(1)).alias("n_docs"))
+    return union3([
+        _tfidf_top_terms(None, tf=tf, n_docs=n_docs).select(
+            F.lit("tfidf").alias("part"), "doc_id"
+        ),
+        _bigram_collocations(None, words=words).select(
+            F.lit("colloc").alias("part"), F.lit(None).cast("bigint").alias("doc_id")
+        ),
+        _bm25_retrieval(None, tf=tf).select(
+            F.lit("bm25").alias("part"), "doc_id"
+        ),
+    ])
+
+
+def build_tf_only():
+    """No words cache at all: colloc re-derives from the scan; tf
+    eager-persisted off the raw scan."""
+    docs = load_table(spark, SF, "documents")
+    words = docs.repartition("doc_id").select(
+        "doc_id", "lang", F.split("text", " ").alias("_w")
+    )
+    tf = (
+        words.select("doc_id", F.explode("_w").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    tf.count()
+    n_docs = words.agg(F.count(F.lit(1)).alias("n_docs"))
+    return union3([
+        _tfidf_top_terms(None, tf=tf, n_docs=n_docs).select(
+            F.lit("tfidf").alias("part"), "doc_id"
+        ),
+        _bigram_collocations(None, words=words).select(
+            F.lit("colloc").alias("part"), F.lit(None).cast("bigint").alias("doc_id")
+        ),
+        _bm25_retrieval(None, tf=tf).select(
+            F.lit("bm25").alias("part"), "doc_id"
+        ),
+    ])
+
+
+VARIANTS = [
+    ("tf-only (no words cache)", build_tf_only),
+    ("words-shared (r10 shape)", build_words_shared),
+    ("tf-shared, words eager", build_tf_shared),
+]
+
+for label, build in VARIANTS * 2:
     best = float("inf")
     for _ in range(RUNS):
         spark.catalog.clearCache()
         t0 = time.time()
-        build(mode).write.format("noop").mode("overwrite").save()
+        build().write.format("noop").mode("overwrite").save()
         best = min(best, time.time() - t0)
-    print(f"q52 suite words={mode:8s} {best:7.2f}s", flush=True)
+    print(f"q52 suite {label:28s} {best:7.2f}s", flush=True)
