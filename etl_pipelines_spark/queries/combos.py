@@ -61,25 +61,61 @@ COMBO_MEMBERS: dict[str, list[str]] = {}
 # DataFrame per run until LRU eviction (round-9 advice). Re-building a
 # slot unpersists its predecessor, so at most one cache per suite feed
 # is live at a time; bench/driver clearCache between queries still
-# clears everything.
+# clears everything. Guarded by a lock since round 11: suite members
+# are constructed from concurrent threads (see _parallel_frames).
 _SUITE_CACHE: dict[str, DataFrame] = {}
+_SUITE_CACHE_LOCK = None  # created lazily to keep import side-effect free
+
+
+def _cache_lock():
+    global _SUITE_CACHE_LOCK
+    if _SUITE_CACHE_LOCK is None:
+        import threading
+
+        _SUITE_CACHE_LOCK = threading.Lock()
+    return _SUITE_CACHE_LOCK
+
+
+def _parallel_frames(builders: list) -> list[DataFrame]:
+    """Construct member frames from concurrent driver threads.
+
+    Several member builders eagerly materialize a persisted feed
+    (persist + count) before returning their lazy frame — a fixed-floor
+    Spark job each. Called sequentially those barrier jobs serialize
+    (measured: the q33 pair suite spent 7-8.6 s of its 15 s inside
+    spark_fn before the union job even started); from a thread pool
+    they overlap and the scheduler back-fills idle cores (guide §2.6,
+    overlap independent jobs). Plan construction itself is py4j socket
+    I/O, which also overlaps. Results return IN INPUT ORDER so the
+    union shape (and therefore the combo oracle alignment) is
+    deterministic. A builder exception propagates unchanged."""
+    if len(builders) <= 1:
+        return [b() for b in builders]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(builders)) as pool:
+        futs = [pool.submit(b) for b in builders]
+        return [f.result() for f in futs]
 
 
 def _suite_persist(slot: str, df: DataFrame, eager: bool = False) -> DataFrame:
-    prev = _SUITE_CACHE.pop(slot, None)
-    if prev is not None:
-        try:
-            prev.unpersist()
-        except Exception:
-            pass  # session gone / already evicted — nothing to free
-    df = df.persist()
+    with _cache_lock():
+        prev = _SUITE_CACHE.pop(slot, None)
+        if prev is not None:
+            try:
+                prev.unpersist()
+            except Exception:
+                pass  # session gone / already evicted — nothing to free
+        df = df.persist()
+        _SUITE_CACHE[slot] = df
     if eager:
         # materialize before the consumers are even planned: branches
         # of one union job schedule their upstream stages independently
         # and can race past a lazy cache (the persisted_shingle_arrays
-        # lesson; q52 at sf1: eager 3.1-3.4 s vs lazy-persist 4.5 s)
+        # lesson; q52 at sf1: eager 3.1-3.4 s vs lazy-persist 4.5 s).
+        # The count runs OUTSIDE the registry lock: it is a whole Spark
+        # job, and concurrent suite threads must not serialize on it.
         df.count()
-    _SUITE_CACHE[slot] = df
     return df
 
 
@@ -102,9 +138,18 @@ def _combo(
     specs = [(tag, QUERIES[qname], mapping) for tag, qname, mapping in members]
 
     def spark_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # members construct concurrently: any eager feed-priming jobs
+        # inside a member (persist+count) overlap instead of
+        # serializing; the union itself stays in declared member order
+        frames = _parallel_frames(
+            [
+                (lambda s=spec: s.spark_fn(spark, sf_dir))
+                for _, spec, _ in specs
+            ]
+        )
         out = None
-        for tag, spec, mapping in specs:
-            part = _align(spec.spark_fn(spark, sf_dir), tag, schema, mapping)
+        for (tag, spec, mapping), df in zip(specs, frames):
+            part = _align(df, tag, schema, mapping)
             out = part if out is None else out.unionByName(part)
         return out
 
@@ -148,27 +193,51 @@ def _pair_suite_shared_scan(schema, members):
         from etl_pipelines_spark.sources.registry import load_table
 
         docs = load_table(spark, sf_dir, "documents")
-        # one shingle scan feeds minhash, both verifies, and prefixes
-        arrs, sh = persisted_shingle_arrays(docs)
-        sigs = minhash_signatures(docs, shingles=sh)
-        toks = sh.withColumnRenamed("shingle", "token")
-        frames = {
-            "minhash": sigs,
-            "lsh": array_jaccard_verify(lsh_candidate_pairs(sigs), arrays=arrs),
-            "prefix": (
-                array_jaccard_verify(
-                    prefix_filter_pairs(docs, 0.5, tokens=toks), arrays=arrs
-                )
-                .filter(F.col("jaccard") >= 0.5)
-                .select("doc_a", "doc_b", "jaccard")
-            ),
-        }
+
+        def trigram_group():
+            # one shingle scan feeds minhash, both verifies, and
+            # prefixes; the arrs barrier and the banding barrier inside
+            # lsh_candidate_pairs stay ordered WITHIN this thread
+            arrs, sh = persisted_shingle_arrays(docs)
+            sigs = minhash_signatures(docs, shingles=sh)
+            toks = sh.withColumnRenamed("shingle", "token")
+            return {
+                "minhash": sigs,
+                "lsh": array_jaccard_verify(
+                    lsh_candidate_pairs(sigs), arrays=arrs
+                ),
+                "prefix": (
+                    array_jaccard_verify(
+                        prefix_filter_pairs(docs, 0.5, tokens=toks),
+                        arrays=arrs,
+                    )
+                    .filter(F.col("jaccard") >= 0.5)
+                    .select("doc_a", "doc_b", "jaccard")
+                ),
+            }
+
+        # the trigram trio shares one builder thread; every other
+        # member (q36 simhash, q37 hyperplane, q60 chunks, q92 names,
+        # q104 spans — each with its own eager feed) gets its own, so
+        # their persist+count barrier jobs overlap (guide §2.6)
+        shared_tags = {"minhash", "lsh", "prefix"}
+        others = [
+            (tag, qname)
+            for tag, qname, _ in members
+            if tag not in shared_tags
+        ]
+        built = _parallel_frames(
+            [trigram_group]
+            + [
+                (lambda q=qname: QUERIES[q].spark_fn(spark, sf_dir))
+                for _, qname in others
+            ]
+        )
+        frames = dict(built[0])
+        frames.update({tag: df for (tag, _), df in zip(others, built[1:])})
         out = None
         for tag, qname, mapping in members:
-            df = frames.get(tag)
-            if df is None:
-                df = QUERIES[qname].spark_fn(spark, sf_dir)
-            part = _align(df, tag, schema, mapping)
+            part = _align(frames[tag], tag, schema, mapping)
             out = part if out is None else out.unionByName(part)
         return out
 
@@ -201,20 +270,41 @@ def _shared_words_scan(schema, members, frames_fn, persist=False, eager=False):
         from etl_pipelines_spark.sources.registry import load_table
 
         docs = load_table(spark, sf_dir, "documents")
-        words = docs.repartition("doc_id").select(
-            "doc_id", "lang", F.split("text", " ").alias("_w")
-        )
-        if persist:
-            words = _suite_persist(
-                f"words:{schema[0][0]}:{members[0][1]}", words, eager=eager
+
+        def words_group():
+            words = docs.repartition("doc_id").select(
+                "doc_id", "lang", F.split("text", " ").alias("_w")
             )
-        frames = frames_fn(words)
+            if persist:
+                words = _suite_persist(
+                    f"words:{schema[0][0]}:{members[0][1]}", words, eager=eager
+                )
+            return frames_fn(words)
+
+        # members the frames_fn does not serve keep their standalone
+        # plans (q105's span feed primes its own eager cache) and
+        # construct concurrently with the words barrier (guide §2.6)
+        served = getattr(frames_fn, "serves", None)
+        rest = [
+            (tag, qname)
+            for tag, qname, _ in members
+            if served is not None and tag not in served
+        ]
+        built = _parallel_frames(
+            [words_group]
+            + [
+                (lambda q=qname: QUERIES[q].spark_fn(spark, sf_dir))
+                for _, qname in rest
+            ]
+        )
+        frames = dict(built[0])
+        frames.update({tag: df for (tag, _), df in zip(rest, built[1:])})
+        for tag, qname, _ in members:
+            if tag not in frames:
+                frames[tag] = QUERIES[qname].spark_fn(spark, sf_dir)
         out = None
         for tag, qname, mapping in members:
-            df = frames.get(tag)
-            if df is None:
-                df = QUERIES[qname].spark_fn(spark, sf_dir)
-            part = _align(df, tag, schema, mapping)
+            part = _align(frames[tag], tag, schema, mapping)
             out = part if out is None else out.unionByName(part)
         return out
 
@@ -310,6 +400,9 @@ def _q52_frames(words: DataFrame) -> dict[str, DataFrame]:
     }
 
 
+_q52_frames.serves = frozenset({"tfidf", "colloc", "bm25"})
+
+
 _Q51_SCHEMA = [
     ("a", "bigint"), ("c", "bigint"), ("d", "bigint"),
     ("s", "string"), ("x", "double"),
@@ -382,26 +475,31 @@ def _q51_direct_grain(schema, members):
         # + dh eager 15.3 s < lazy-lazy (the round-10 shape) 18.5 s <
         # x eager + qsk prefilter64 15.8 s — the barrier costs one
         # serialized feed build, the race costs ~2.
-        x = _suite_persist(
-            "q51_transfers",
-            transfers_from(
-                t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "orders"),
-                shuffle_on=None,
-            ),
-            eager=True,
-        )
-        # ONE distinct (coin, wallet) + md5 pass feeds BOTH the KMV and
-        # the HLL registers (their hash idioms read different slices of
-        # the same 32-hex digest) — persisted because union branches
-        # don't share subtrees (kmv reads it twice: threshold pass +
-        # filter pass; hll once). Round 9: the suite previously paid
-        # the distinct shuffle + md5 twice; the kmv/hll member results
-        # are unchanged (hash-of-distinct == distinct-of-hash).
-        dh = _suite_persist(
-            "q51_md5_stream",
-            md5_distinct_stream(x, ["coin_id"], "wallet_address"),
-        )
-        frames = {
+        def transfers_group():
+            x = _suite_persist(
+                "q51_transfers",
+                transfers_from(
+                    t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "orders"),
+                    shuffle_on=None,
+                ),
+                eager=True,
+            )
+            # ONE distinct (coin, wallet) + md5 pass feeds BOTH the KMV
+            # and the HLL registers (their hash idioms read different
+            # slices of the same 32-hex digest) — persisted because
+            # union branches don't share subtrees (kmv reads it twice:
+            # threshold pass + filter pass; hll once). Round 9: the
+            # suite previously paid the distinct shuffle + md5 twice;
+            # the kmv/hll member results are unchanged
+            # (hash-of-distinct == distinct-of-hash).
+            dh = _suite_persist(
+                "q51_md5_stream",
+                md5_distinct_stream(x, ["coin_id"], "wallet_address"),
+            )
+            return x, dh
+
+        def frames_from(x, dh):
+            return {
             # kmv rides the SAME unclustered feed (round 8): its
             # standalone plan rebuilt the coin-keyed transfers for no
             # consumer benefit — kmv_distinct distincts raw values
@@ -445,13 +543,27 @@ def _q51_direct_grain(schema, members):
                 ["coin_id"],
                 qs=(0.25, 0.5, 0.9),
             ),
-        }
+            }
+
+        # bloom (customers) and cmin (events) read other tables and
+        # share nothing with the transfers feed: their builders run
+        # concurrently with the x/dh barrier jobs (guide §2.6)
+        served = {"kmv", "hll", "qsk"}
+        rest = [
+            (tag, qname) for tag, qname, _ in members if tag not in served
+        ]
+        built = _parallel_frames(
+            [transfers_group]
+            + [
+                (lambda q=qname: QUERIES[q].spark_fn(spark, sf_dir))
+                for _, qname in rest
+            ]
+        )
+        frames = frames_from(*built[0])
+        frames.update({tag: df for (tag, _), df in zip(rest, built[1:])})
         out = None
         for tag, qname, mapping in members:
-            df = frames.get(tag)
-            if df is None:
-                df = QUERIES[qname].spark_fn(spark, sf_dir)
-            part = _align(df, tag, schema, mapping)
+            part = _align(frames[tag], tag, schema, mapping)
             out = part if out is None else out.unionByName(part)
         return out
 
@@ -473,6 +585,9 @@ def _q55_frames(words: DataFrame) -> dict[str, DataFrame]:
         "unigram": _unigram_likelihood(None, words=words),
         "dsir": _dsir_selection(None, words=words),
     }
+
+
+_q55_frames.serves = frozenset({"repetition", "split", "unigram", "dsir"})
 
 
 # ------------------------------------------------------------------ combos
