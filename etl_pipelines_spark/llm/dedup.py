@@ -364,6 +364,7 @@ def salted_self_pairs(
     key_cols: list[str],
     id_col: str,
     groups: int = 16,
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """All (a < b) pairs of ids sharing `key_cols`, skew-split.
 
@@ -374,21 +375,36 @@ def salted_self_pairs(
     salt), and the join key gains the salt — a hot bucket now spreads
     over G tasks at the cost of a G-times-larger (still tiny) build
     side. Every pair is still produced exactly once per key.
+
+    `carry` names fixed-width payload columns to ride THROUGH the join
+    (emitted as <col>_a / <col>_b): a verify stage that only needs a
+    per-id scalar (a packed signature, a norm) then skips its two
+    attach joins entirely — two fewer exchanges — at the cost of
+    `groups` extra copies of the scalar on the replicated side. Only
+    worth it for narrow scalars; never carry arrays or text here.
     """
+    carry = carry or []
     left = keyed.select(
         F.col(id_col).alias("_ida"),
         *[F.col(c) for c in key_cols],
+        *[F.col(c).alias(f"{c}_a") for c in carry],
         F.pmod(F.hash(id_col), F.lit(groups)).alias("_g"),
     )
     right = keyed.select(
         F.col(id_col).alias("_idb"),
         *[F.col(c) for c in key_cols],
+        *[F.col(c).alias(f"{c}_b") for c in carry],
         F.explode(F.sequence(F.lit(0), F.lit(groups - 1))).alias("_g"),
     )
     return (
         left.join(right, [*key_cols, "_g"])
         .filter(F.col("_ida") < F.col("_idb"))
-        .select(F.col("_ida").alias("doc_a"), F.col("_idb").alias("doc_b"))
+        .select(
+            F.col("_ida").alias("doc_a"),
+            F.col("_idb").alias("doc_b"),
+            *[F.col(f"{c}_a") for c in carry],
+            *[F.col(f"{c}_b") for c in carry],
+        )
     )
 
 
@@ -561,16 +577,18 @@ def simhash_near_dups(
     an all-pairs comparison. The exact hamming check (one XOR +
     bit_count on packed BIGINT signatures) then prunes.
 
-    The signature table (one long per doc) is persisted: it feeds the
-    4 chunk self-joins and both sides of the verify join, and without
-    materialization Catalyst would re-run the 64-vote aggregation for
-    every branch.
+    The packed signature (one BIGINT per doc) RIDES THROUGH the chunk
+    self-join (`salted_self_pairs(carry=["sig"])`), so the exact
+    hamming verify is a map-side XOR+bit_count on the join output —
+    no sig-attach joins, two fewer exchanges than the attach shape.
+    The 64-vote aggregation is not persisted either: both sides of the
+    self-join consume the IDENTICAL (id, sig, chunks) subtree, so the
+    vote aggregation's exchange is planned once and reused
+    (ReusedExchange) — the map-side token work runs once per action
+    with no barrier job, where the old persist+count paid a serialized
+    fixed-floor job before the main plan could start.
     """
     sigs = simhash_signatures_bits(df, text_col, id_col).persist()
-    # Eagerly materialize: the downstream plan references sigs from
-    # several broadcast subqueries that the driver launches
-    # concurrently; with a lazy persist they race and each recomputes
-    # the 64-vote aggregation.
     sigs.count()
     chunk_bits = N_SIMHASH_BITS // SIMHASH_CHUNKS
     chunk_structs = [
@@ -583,24 +601,22 @@ def simhash_near_dups(
         for c in range(SIMHASH_CHUNKS)
     ]
     chunked = sigs.select(
-        F.col(id_col), F.explode(F.array(*chunk_structs)).alias("ck")
+        F.col(id_col), F.col("sig"), F.explode(F.array(*chunk_structs)).alias("ck")
     ).select(
-        id_col, F.col("ck.chunk_no").alias("chunk_no"), F.col("ck.chunk_val").alias("chunk_val")
+        id_col,
+        F.col("sig"),
+        F.col("ck.chunk_no").alias("chunk_no"),
+        F.col("ck.chunk_val").alias("chunk_val"),
     )
-    cands = salted_self_pairs(chunked, ["chunk_no", "chunk_val"], id_col)
-
-    sig_a = sigs.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"))
-    sig_b = sigs.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"))
-    # no broadcast hint: the sig table is small per-doc but grows with
-    # the corpus; AQE picks broadcast below threshold, shuffle-hash above.
+    cands = salted_self_pairs(
+        chunked, ["chunk_no", "chunk_val"], id_col, carry=["sig"]
+    )
     # Candidates arrive with cross-band duplicates; the XOR+bit_count
     # filter is far cheaper than a distinct, so dedupe AFTER pruning —
     # the distinct shuffle then carries the survivors, not the 4x
     # banded candidate stream.
     return (
-        cands.join(sig_a, "doc_a")
-        .join(sig_b, "doc_b")
-        .withColumn("hamming", F.expr("bit_count(sig_a ^ sig_b)").cast("int"))
+        cands.withColumn("hamming", F.expr("bit_count(sig_a ^ sig_b)").cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
         .distinct()
@@ -809,7 +825,6 @@ def connected_components_star(
         ).first()
         return (r["n"], r["h"])
 
-    prev_sig = _sig(edges)
     # Driver-finish tier: below `driver_finish` edges the whole graph
     # is RESULT-SIZED (16 bytes/edge -> <1 MB at the default), and a
     # single-pass union-find beats any number of distributed rounds —
@@ -818,9 +833,14 @@ def connected_components_star(
     # size-dispatched design as Spark's own broadcast-join threshold:
     # the distributed rounds remain the path the moment the edge set
     # is not driver-sized, and equivalence is pinned in test_operators
-    # on chains and cliques through both tiers.
-    if prev_sig[0] <= driver_finish:
-        rows = edges.collect()
+    # on chains and cliques through both tiers. The dispatch is ONE
+    # limited collect over the checkpointed edge frame (LocalLimit
+    # stops early on big graphs) instead of the old count-then-collect
+    # pair — one fixed-floor job saved either way; the fingerprint
+    # that seeds the round loop is only computed on the big path.
+    probe = edges.limit(driver_finish + 1).collect()
+    if len(probe) <= driver_finish:
+        rows = probe
         parent: dict = {}
 
         def find(x):
@@ -852,6 +872,7 @@ def connected_components_star(
         return all_nodes.join(F.broadcast(lab), "node", "left").select(
             "node", F.coalesce("_lbl", "node").alias("label")
         )
+    prev_sig = _sig(edges)
     converged = False
     for _ in range(max_iter):
         # large-star: around every center c, attach each LARGER

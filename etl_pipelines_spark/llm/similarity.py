@@ -219,23 +219,28 @@ def cosine_near_dups(
     ).persist()
     proj.count()  # every band self-join and the verify joins read this
 
-    frames = []
+    # ONE salted self-join over all bands at once (band id inside the
+    # join key, the lsh_candidate_pairs shape) instead of a join per
+    # band + union: same candidate set — pairs sharing any band's
+    # bucket — through half the join machinery. Each vector explodes
+    # to `bands` (band, bucket) rows first; bucket strings are
+    # band-prefixed so cross-band collisions are impossible.
+    bucket_structs = []
     offset = 0
     for b, planes in enumerate(plane_bands):
         bits = [
             F.when(F.element_at("_d", offset + j + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
             for j in range(len(planes))
         ]
-        keyed = proj.select(
-            F.col(id_col), F.concat(F.lit(f"{b}|"), *bits).alias("bucket")
-        )
-        frames.append(salted_self_pairs(keyed, ["bucket"], id_col))
+        bucket_structs.append(F.concat(F.lit(f"{b}|"), *bits))
         offset += len(planes)
-    cands = frames[0]
-    for fr in frames[1:]:
-        cands = cands.unionByName(fr)
-    cands = cands.distinct().select(
-        F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
+    keyed = proj.select(
+        F.col(id_col), F.explode(F.array(*bucket_structs)).alias("bucket")
+    )
+    cands = (
+        salted_self_pairs(keyed, ["bucket"], id_col)
+        .distinct()
+        .select(F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b"))
     )
 
     nrm = F.sqrt(F.element_at("_d", len(flat_planes) + 1).cast("double") / F.lit(SCALE))

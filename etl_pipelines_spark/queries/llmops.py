@@ -28,6 +28,18 @@ from etl_pipelines_spark.llm.text import with_predicted_lang, with_token_stats
 from etl_pipelines_spark.queries.catalog import register, t
 from etl_pipelines_spark.sources.registry import FingerprintCache
 
+
+def _parquet_rows(sf: str, table: str) -> int:
+    """Exact row count from parquet footer metadata — the corpus-size
+    input to the adaptive-parameter laws (plane bits, k-means k). A
+    `df.count()` job costs a full scheduler round-trip just to sum the
+    same footer counts; the driver reads them directly in ~1 ms."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(os.path.join(sf, f"{table}.parquet")).metadata.num_rows
+
 SHINGLE_SQL = """
         SELECT DISTINCT doc_id,
                UNNEST(list_transform(
@@ -528,7 +540,7 @@ def _adaptive_buckets_sql() -> str:
 )
 def q37(spark: SparkSession, sf: str) -> DataFrame:
     emb = t(spark, sf, "embeddings")
-    bands = adaptive_plane_bands(emb.count())
+    bands = adaptive_plane_bands(_parquet_rows(sf, "embeddings"))
     return cosine_near_dups(emb, bands, threshold=0.4)
 
 
@@ -724,7 +736,8 @@ def q38(spark: SparkSession, sf: str) -> DataFrame:
     cents = _CODEBOOKS.get_or_build(
         sf,
         lambda: kmeans_centroids(
-            emb, k=adaptive_km_k(emb.count()), n_iter=KM_ITER, seed=KM_SEED
+            emb, k=adaptive_km_k(_parquet_rows(sf, "embeddings")),
+            n_iter=KM_ITER, seed=KM_SEED,
         ),
     )
     return ivf_topk(emb, cents, k=5, n_queries=20, nprobe=KM_NPROBE)
@@ -789,7 +802,8 @@ def q96(spark: SparkSession, sf: str) -> DataFrame:
     cents = _CODEBOOKS.get_or_build(
         sf,
         lambda: kmeans_centroids(
-            emb, k=adaptive_km_k(emb.count()), n_iter=KM_ITER, seed=KM_SEED
+            emb, k=adaptive_km_k(_parquet_rows(sf, "embeddings")),
+            n_iter=KM_ITER, seed=KM_SEED,
         ),
     )
     return semantic_dedup(emb, cents, threshold=0.3)

@@ -710,14 +710,22 @@ import contextlib
 
 
 @contextlib.contextmanager
-def _stream_state_partitions(spark: SparkSession, n: str = "8"):
+def _stream_state_partitions(spark: SparkSession, n: str | None = None):
     """Scope spark.sql.shuffle.partitions around a streaming query
     start. Stateful streaming pins its state-store count to this conf
     at FIRST start (it rides the checkpoint thereafter), and every
     store pays per-micro-batch maintenance — at this corpus size 32
-    stores are pure overhead (measured 7s -> 2.8s on q68). On a real
-    cluster size it to key cardinality x executors BEFORE the first
-    run; it cannot be changed later without a new checkpoint."""
+    stores are pure overhead (measured 7s -> 2.8s on q68 at 8; the
+    round-11 interleaved A/B read mins q68 9.1/5.1/3.1 s and q42
+    2.1/1.9/1.5 s at 8/4/2 stores, so the local default drops to 4 —
+    2 saves little more and starves the join of parallelism the
+    moment state grows). Parameterized via
+    SPARK_GRAFT_STREAM_STATE_PARTITIONS: on a real cluster size it to
+    key cardinality x executors BEFORE the first run; it cannot be
+    changed later without a new checkpoint."""
+    import os
+
+    n = n or os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "4")
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n)
     try:
