@@ -31,22 +31,46 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return dedupe_keep_first(df, ["_digest"], [F.col(id_col).asc()]).drop("_digest")
 
 
-def doc_tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, token) distinct pairs. Deduped map-side via
-    array_distinct BEFORE exploding — distinctness is per-doc, so a
-    cluster-wide distinct() shuffle would be pure waste.
-
-    Repartition by doc first: a document corpus often arrives in few
-    fat files, and the hash/explode work downstream is per-doc CPU —
-    without the spread it single-threads on the scan partitioning.
-    The shuffle moves raw text once, before it fans out to tokens."""
+def doc_words(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id_col, _w: array<string>) — the one split pass every
+    word-grain operator derives from. Repartition by doc first: a
+    document corpus often arrives in few fat files, and the
+    hash/explode work downstream is per-doc CPU — without the spread
+    it single-threads on the scan partitioning. The shuffle moves raw
+    text once, before it fans out to tokens/shingles/grams. A suite
+    serving several tokenizing members persists THIS frame once and
+    passes it down via the `words=` hooks below — one text scan and
+    one split instead of one per member."""
     return df.repartition(id_col).select(
-        id_col,
-        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token"),
+        id_col, F.split(F.col(text_col), " ").alias("_w")
     )
 
 
-def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def doc_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, token) distinct pairs. Deduped map-side via
+    array_distinct BEFORE exploding — distinctness is per-doc, so a
+    cluster-wide distinct() shuffle would be pure waste. Pass `words`
+    (a doc_words frame, usually persisted) to share the split pass."""
+    w = words if words is not None else doc_words(df, text_col, id_col)
+    return w.select(
+        id_col,
+        F.explode(F.array_distinct(F.col("_w"))).alias("token"),
+    )
+
+
+def doc_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, shingle) distinct word-trigram shingles.
 
     Trigrams (not unigrams) keep Jaccard discriminative on small
@@ -56,8 +80,8 @@ def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     # Materialize the word array ONCE per row before the lambda: an
     # expression inside transform() re-evaluates per element, so
     # inlining split() there costs O(words^2) splitting per doc.
-    words = df.repartition(id_col).select(
-        id_col, F.split(F.col(text_col), " ").alias("_w")
+    words = (
+        words if words is not None else doc_words(df, text_col, id_col)
     )
     # get() x3 instead of slice(): slice allocates a 3-element array
     # per shingle before concat_ws; three positional reads don't
@@ -93,6 +117,7 @@ def duplicate_spans(
     min_len: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Exact substring-duplication detection (the suffix-array family:
     Lee et al. 2022, "Deduplicating Training Data Makes Language Models
@@ -131,7 +156,9 @@ def duplicate_spans(
     frees the last one explicitly once its spans are materialized."""
     global _LAST_GRAM_CACHE
     release_gram_cache()
-    arrays = gram_position_arrays(df, min_len, text_col, id_col).persist()
+    arrays = gram_position_arrays(
+        df, min_len, text_col, id_col, words=words
+    ).persist()
     _LAST_GRAM_CACHE = arrays
     arrays.count()  # eager: both consumers schedule stages independently
     grams = _gram_stream(arrays, id_col)
@@ -150,6 +177,7 @@ def gram_position_arrays(
     min_len: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """(id_col, _gs: array<struct<start int, h string>>) — every
     `min_len`-gram of each doc as (1-based start, md5 digest), folded
@@ -166,9 +194,7 @@ def gram_position_arrays(
         # empty slices) rather than meaningful spans — fail loudly,
         # the kmeans_centroids input-validation convention
         raise ValueError(f"duplicate_spans: min_len must be >= 2, got {min_len}")
-    words = df.repartition(id_col).select(
-        id_col, F.split(F.col(text_col), " ").alias("_w")
-    )
+    words = words if words is not None else doc_words(df, text_col, id_col)
     # sequence(a, b) DESCENDS when b < a — guard the short-doc case
     return words.select(
         id_col,
@@ -221,6 +247,7 @@ def duplication_rate(
     min_len: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document duplication rate — the fraction of a doc's words
     sitting inside `duplicate_spans` islands. THE filter signal
@@ -230,11 +257,16 @@ def duplication_rate(
     are disjoint by construction, so covered words sum without overlap
     correction; docs with no duplicated span report 0.0. Returns
     (id_col, n_words, dup_words, dup_fraction)."""
-    words = df.select(
-        id_col, F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_words")
+    nw = (
+        words.select(id_col, F.size("_w").cast("long").alias("n_words"))
+        if words is not None
+        else df.select(
+            id_col,
+            F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_words"),
+        )
     )
     covered = (
-        duplicate_spans(df, min_len, text_col, id_col)
+        duplicate_spans(df, min_len, text_col, id_col, words=words)
         .groupBy(id_col)
         .agg(
             F.sum(F.col("span_end") - F.col("span_start") + 1)
@@ -243,7 +275,7 @@ def duplication_rate(
         )
     )
     dup = F.coalesce(F.col("dup_words"), F.lit(0)).cast("long")
-    return words.join(covered, id_col, "left").select(
+    return nw.join(covered, id_col, "left").select(
         id_col,
         "n_words",
         dup.alias("dup_words"),
@@ -505,7 +537,9 @@ def _simhash_bit_sql(i: int, h: str = "_h") -> str:
     )
 
 
-def _simhash_votes(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _simhash_votes(
+    df: DataFrame, text_col: str, id_col: str, words: DataFrame | None = None
+) -> DataFrame:
     """Per-doc bit votes: v_i = sum over distinct tokens of
     (2*bit_i(md5(token)) - 1). One shuffle on doc_id; the 64 votes are
     plain sum aggregates, fully map-side-combinable, so the shuffle
@@ -518,7 +552,9 @@ def _simhash_votes(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     bit i = (digit value of hex char i//4) >> (i%4) & 1, and hex char
     j of word k is that word's (3-j)th nibble.
     """
-    toks = doc_tokens(df, text_col, id_col).withColumn("_h", F.md5("token"))
+    toks = doc_tokens(df, text_col, id_col, words=words).withColumn(
+        "_h", F.md5("token")
+    )
     for k in range(N_SIMHASH_BITS // 16):
         toks = toks.withColumn(
             f"_w{k}",
@@ -550,12 +586,15 @@ def simhash_signatures(
 
 
 def simhash_signatures_bits(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc SimHash packed into one BIGINT `sig` (bit i = vote_i>=0).
     Bit order matches position i+1 of the string form, so chunk c of the
     string equals (sig >> 16c) & 0xFFFF."""
-    votes = _simhash_votes(df, text_col, id_col)
+    votes = _simhash_votes(df, text_col, id_col, words=words)
     packed = " | ".join(
         f"shiftleft(CAST(CASE WHEN v_{i} >= 0 THEN 1 ELSE 0 END AS BIGINT), {i})"
         for i in range(N_SIMHASH_BITS)
@@ -568,6 +607,7 @@ def simhash_near_dups(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs with SimHash hamming <= max_hamming.
 
@@ -588,7 +628,7 @@ def simhash_near_dups(
     with no barrier job, where the old persist+count paid a serialized
     fixed-floor job before the main plan could start.
     """
-    sigs = simhash_signatures_bits(df, text_col, id_col).persist()
+    sigs = simhash_signatures_bits(df, text_col, id_col, words=words).persist()
     sigs.count()
     chunk_bits = N_SIMHASH_BITS // SIMHASH_CHUNKS
     chunk_structs = [
@@ -631,16 +671,16 @@ def doc_chunks(
     text_col: str = "text",
     id_col: str = "doc_id",
     chunk_tokens: int = CHUNK_TOKENS,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, ord, chunk, digest): the document cut into
     non-overlapping `chunk_tokens`-token windows in order (the "line"
     unit for corpus-level boilerplate removal when the corpus has no
     newlines; a sentence splitter would slot in identically). digest =
     md5(chunk) so downstream joins/shuffles move a fixed 32-char key,
-    never the chunk text."""
-    words = df.repartition(id_col).select(
-        id_col, F.split(F.col(text_col), " ").alias("_w")
-    )
+    never the chunk text. Pass `words` (a doc_words frame) to share
+    the split pass with other consumers."""
+    words = words if words is not None else doc_words(df, text_col, id_col)
     k = int(chunk_tokens)
     chunks = F.expr(
         f"transform(sequence(0, CAST(ceil(size(_w) / {k}.0) AS INT) - 1),"
@@ -1158,7 +1198,8 @@ def lsh_dedup_incremental(
 
 
 def persisted_shingle_arrays(
-    df, text_col: str = "text", id_col: str = "doc_id"
+    df, text_col: str = "text", id_col: str = "doc_id",
+    words: DataFrame | None = None,
 ):
     """(arrs, shingle_stream): the shared-scan idiom every multi-branch
     shingle consumer uses — persist the COMPACT per-doc array frame,
@@ -1167,13 +1208,16 @@ def persisted_shingle_arrays(
     "Eager cache materialization"), and re-derive the exploded stream
     as a cheap Generate over cached arrays. Caller owns the cache
     lifecycle (bench/driver clearCache between queries)."""
-    arrs = doc_shingle_arrays(df, text_col, id_col).persist()
+    arrs = doc_shingle_arrays(df, text_col, id_col, words=words).persist()
     arrs.count()
     return arrs, arrs.select(id_col, F.explode("_toks").alias("shingle"))
 
 
 def doc_shingle_arrays(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, _toks: array<string>, _n) — each doc's distinct shingle
     set folded to ONE row. The groupBy is partition-local (doc_shingles
@@ -1183,7 +1227,7 @@ def doc_shingle_arrays(
     instead of a re-run of split+trigram+concat over raw text. Persist
     THIS frame when several pipeline stages (df-ranking, banding,
     verify) need the shingles."""
-    return doc_shingles(df, text_col, id_col).groupBy(id_col).agg(
+    return doc_shingles(df, text_col, id_col, words=words).groupBy(id_col).agg(
         F.collect_list("shingle").alias("_toks"),
         F.count(F.lit(1)).alias("_n"),
     )

@@ -185,20 +185,33 @@ def _pair_suite_shared_scan(schema, members):
     def spark_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         from etl_pipelines_spark.llm.dedup import (
             array_jaccard_verify,
+            doc_words,
+            duplicate_spans,
             lsh_candidate_pairs,
             minhash_signatures,
             persisted_shingle_arrays,
             prefix_filter_pairs,
+            simhash_near_dups,
         )
+        from etl_pipelines_spark.queries.llmops import _decontamination
         from etl_pipelines_spark.sources.registry import load_table
 
         docs = load_table(spark, sf_dir, "documents")
+        # ONE split pass feeds every word-grain member: the trigram
+        # trio (via the shingle arrays), simhash tokens, the 5-token
+        # decontamination chunks, and the 8-gram span digests each
+        # re-derive their stream from this cached array frame instead
+        # of re-scanning + re-splitting the text (4 fewer text scans
+        # per run). Materialized eagerly BEFORE the member threads
+        # start: concurrent builders racing past a lazy cache would
+        # each recompute the split.
+        words = _suite_persist("pair_words", doc_words(docs), eager=True)
 
         def trigram_group():
             # one shingle scan feeds minhash, both verifies, and
             # prefixes; the arrs barrier and the banding barrier inside
             # lsh_candidate_pairs stay ordered WITHIN this thread
-            arrs, sh = persisted_shingle_arrays(docs)
+            arrs, sh = persisted_shingle_arrays(docs, words=words)
             sigs = minhash_signatures(docs, shingles=sh)
             toks = sh.withColumnRenamed("shingle", "token")
             return {
@@ -216,25 +229,35 @@ def _pair_suite_shared_scan(schema, members):
                 ),
             }
 
-        # the trigram trio shares one builder thread; every other
-        # member (q36 simhash, q37 hyperplane, q60 chunks, q92 names,
-        # q104 spans — each with its own eager feed) gets its own, so
-        # their persist+count barrier jobs overlap (guide §2.6)
-        shared_tags = {"minhash", "lsh", "prefix"}
+        # each word-grain member calls the SAME library operator as its
+        # standalone plan, words-fed; q37 (embeddings) and q92 (names)
+        # keep their member plans. One builder thread per member so the
+        # remaining eager barriers (banding, simhash sigs, span grams)
+        # overlap (guide §2.6).
+        builders = {
+            "simhash": lambda: simhash_near_dups(docs, words=words),
+            "decon": lambda: _decontamination(docs, words=words),
+            "spans": lambda: duplicate_spans(docs, min_len=8, words=words),
+        }
+        shared_tags = {"minhash", "lsh", "prefix"} | set(builders)
         others = [
             (tag, qname)
             for tag, qname, _ in members
             if tag not in shared_tags
         ]
-        built = _parallel_frames(
-            [trigram_group]
+        ordered = (
+            [("_trigram", trigram_group)]
+            + list(builders.items())
             + [
-                (lambda q=qname: QUERIES[q].spark_fn(spark, sf_dir))
-                for _, qname in others
+                (tag, (lambda q=qname: QUERIES[q].spark_fn(spark, sf_dir)))
+                for tag, qname in others
             ]
         )
+        built = _parallel_frames([fn for _, fn in ordered])
         frames = dict(built[0])
-        frames.update({tag: df for (tag, _), df in zip(others, built[1:])})
+        frames.update(
+            {tag: df for (tag, _), df in zip(ordered[1:], built[1:])}
+        )
         out = None
         for tag, qname, mapping in members:
             part = _align(frames[tag], tag, schema, mapping)

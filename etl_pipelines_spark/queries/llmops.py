@@ -1681,9 +1681,13 @@ def _split_assignment(frame: DataFrame) -> DataFrame:
     tags=("dedup", "text"),
 )
 def q60(spark: SparkSession, sf: str) -> DataFrame:
+    return _decontamination(t(spark, sf, "documents"))
+
+
+def _decontamination(docs: DataFrame, words: DataFrame | None = None) -> DataFrame:
     from etl_pipelines_spark.llm.dedup import doc_chunks
 
-    ch = doc_chunks(t(spark, sf, "documents"), chunk_tokens=5).select(
+    ch = doc_chunks(docs, chunk_tokens=5, words=words).select(
         "doc_id", "digest"
     ).distinct()
     bench = ch.filter(F.col("doc_id") % 97 == 0).select(
