@@ -83,18 +83,23 @@ def doc_shingles(
     words = (
         words if words is not None else doc_words(df, text_col, id_col)
     )
-    # get() x3 instead of slice(): slice allocates a 3-element array
-    # per shingle before concat_ws; three positional reads don't
-    # (measured ~25% off the shingle stage). get() is null (not an
-    # ANSI error) past the end, and concat_ws skips nulls, so the
-    # size<3 degenerate doc still yields its single short shingle.
-    tris = F.expr(
+    # per-doc dedupe happens map-side (array_distinct); repartition by
+    # doc spreads the shingle+digest CPU across cores (see doc_tokens)
+    return words.select(
+        id_col, F.explode(F.array_distinct(_tris())).alias("shingle")
+    )
+
+
+# get() x3 instead of slice(): slice allocates a 3-element array
+# per shingle before concat_ws; three positional reads don't
+# (measured ~25% off the shingle stage). get() is null (not an
+# ANSI error) past the end, and concat_ws skips nulls, so the
+# size<3 degenerate doc still yields its single short shingle.
+def _tris() -> F.Column:
+    return F.expr(
         "transform(sequence(0, greatest(size(_w) - 3, 0)),"
         " i -> concat_ws(' ', get(_w, i), get(_w, i + 1), get(_w, i + 2)))"
     )
-    # per-doc dedupe happens map-side (array_distinct); repartition by
-    # doc spreads the shingle+digest CPU across cores (see doc_tokens)
-    return words.select(id_col, F.explode(F.array_distinct(tris)).alias("shingle"))
 
 
 # single-slot registry for duplicate_spans' corpus-sized gram-array
@@ -1220,17 +1225,39 @@ def doc_shingle_arrays(
     words: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, _toks: array<string>, _n) — each doc's distinct shingle
-    set folded to ONE row. The groupBy is partition-local (doc_shingles
-    repartitions by doc id) and the result is the cache-friendly form
-    of the shingle stream: same bytes, one row per doc, and re-deriving
-    the exploded stream from it is a cheap Generate over cached arrays
-    instead of a re-run of split+trigram+concat over raw text. Persist
-    THIS frame when several pipeline stages (df-ranking, banding,
-    verify) need the shingles."""
-    return doc_shingles(df, text_col, id_col, words=words).groupBy(id_col).agg(
-        F.collect_list("shingle").alias("_toks"),
-        F.count(F.lit(1)).alias("_n"),
-    )
+    set folded to ONE row: the cache-friendly form of the shingle
+    stream (same bytes, one row per doc; re-deriving the exploded
+    stream from it is a cheap Generate over cached arrays instead of a
+    re-run of split+trigram+concat over raw text). Built as a PURE
+    PROJECTION over the words frame — shingle distinctness is per-doc,
+    so the old explode + partition-local collect_list round-trip was a
+    whole hash-aggregation pass re-folding an array the trigram
+    expression had already built. Every consumer (min-hash slices,
+    array_intersect verify, df-ordered prefix filter) treats _toks as
+    a SET, so the element order change (document order instead of
+    collect_list order) is unobservable. Persist THIS frame when
+    several pipeline stages (df-ranking, banding, verify) need the
+    shingles. A doc with NULL text keeps a NULL _toks row here (the
+    explode used to drop it); no consumer joins arrays for ids outside
+    the candidate stream, which never contains such docs."""
+    w = words if words is not None else doc_words(df, text_col, id_col)
+    return w.select(
+        id_col, F.array_distinct(_tris()).alias("_toks")
+    ).withColumn("_n", F.size("_toks").cast("long"))
+
+
+def doc_word_shingle_arrays(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, _w, _toks, _n) — words AND distinct trigram shingles in
+    ONE pass over the text: the single persisted feed for a suite whose
+    members consume both grains (trigram minhash/verify/prefix plus
+    word-grain simhash/chunks/grams). One cache-fill barrier replaces
+    the words-then-arrays chain of two."""
+    w = doc_words(df, text_col, id_col)
+    return w.select(
+        id_col, "_w", F.array_distinct(_tris()).alias("_toks")
+    ).withColumn("_n", F.size("_toks").cast("long"))
 
 
 def array_jaccard_verify(

@@ -185,11 +185,10 @@ def _pair_suite_shared_scan(schema, members):
     def spark_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         from etl_pipelines_spark.llm.dedup import (
             array_jaccard_verify,
-            doc_words,
+            doc_word_shingle_arrays,
             duplicate_spans,
             lsh_candidate_pairs,
             minhash_signatures,
-            persisted_shingle_arrays,
             prefix_filter_pairs,
             simhash_near_dups,
         )
@@ -197,21 +196,28 @@ def _pair_suite_shared_scan(schema, members):
         from etl_pipelines_spark.sources.registry import load_table
 
         docs = load_table(spark, sf_dir, "documents")
-        # ONE split pass feeds every word-grain member: the trigram
-        # trio (via the shingle arrays), simhash tokens, the 5-token
-        # decontamination chunks, and the 8-gram span digests each
-        # re-derive their stream from this cached array frame instead
-        # of re-scanning + re-splitting the text (4 fewer text scans
-        # per run). Materialized eagerly BEFORE the member threads
-        # start: concurrent builders racing past a lazy cache would
-        # each recompute the split.
-        words = _suite_persist("pair_words", doc_words(docs), eager=True)
+        # ONE text pass feeds every word-grain member: the persisted
+        # feed carries BOTH the word array (simhash tokens, 5-token
+        # decontamination chunks, 8-gram span digests) and the distinct
+        # trigram-shingle array (minhash, both verifies, prefixes) —
+        # one cache-fill barrier where the previous shape paid two
+        # serialized ones (words.count then arrs.count), and five fewer
+        # text scans per run than per-member feeds. Materialized
+        # eagerly BEFORE the member threads start: concurrent builders
+        # racing past a lazy cache would each recompute the split.
+        feed = _suite_persist(
+            "pair_feed", doc_word_shingle_arrays(docs), eager=True
+        )
+        words = feed.select("doc_id", "_w")
 
         def trigram_group():
-            # one shingle scan feeds minhash, both verifies, and
-            # prefixes; the arrs barrier and the banding barrier inside
-            # lsh_candidate_pairs stay ordered WITHIN this thread
-            arrs, sh = persisted_shingle_arrays(docs, words=words)
+            # the shingle slices of the feed serve minhash, both
+            # verifies, and prefixes; the banding barrier inside
+            # lsh_candidate_pairs stays ordered WITHIN this thread
+            arrs = feed.select("doc_id", "_toks", "_n")
+            sh = feed.select(
+                "doc_id", F.explode("_toks").alias("shingle")
+            )
             sigs = minhash_signatures(docs, shingles=sh)
             toks = sh.withColumnRenamed("shingle", "token")
             return {
