@@ -483,10 +483,15 @@ def refresh_warehouse_incremental(
 
     import time as _time
 
+    import threading
+
     report = RefreshReport()
     rules = load_expectations(expectations_path)
     built: dict[str, DataFrame] = {}
     _t0 = _time.time()
+    # table-family branches run from concurrent driver threads (the
+    # rebuild's shape since round 11); report/built mutations lock
+    report_lock = threading.Lock()
 
     def tick(label: str) -> None:
         nonlocal _t0
@@ -495,12 +500,14 @@ def refresh_warehouse_incremental(
         _t0 = now
 
     def audit(name: str, back: DataFrame, slice_df: DataFrame | None = None) -> None:
-        built[name] = back  # referential parents resolve to full tables
+        with report_lock:
+            built[name] = back  # referential parents resolve to full tables
         if slice_df is None:
             # full-table row count rides the fused expectations action
             res, n = run_expectations(back, name, rules, built, count_rows_of=back)
-            report.tables[name] = n
-            report.expectations.extend(res)
+            with report_lock:
+                report.tables[name] = n
+                report.expectations.extend(res)
             return
         # churn-sized slice: materialize ONCE so the suite's checks
         # (branches of one fused counts job) read the cache, not N
@@ -510,8 +517,9 @@ def refresh_warehouse_incremental(
         res, n = run_expectations(
             slice_df, name, rules, built, count_rows_of=back
         )
-        report.tables[name] = n
-        report.expectations.extend(res)
+        with report_lock:
+            report.tables[name] = n
+            report.expectations.extend(res)
         slice_df.unpersist()
 
     # ---- ARRIVAL STATS: one raw-grain pass serves delta discovery,
@@ -738,11 +746,9 @@ def refresh_warehouse_incremental(
     # count-equal coins provably have unchanged observations. First
     # scoped run after upgrade (no dims_counts state) falls back to
     # the full aggregation once, then maintains O(churn).
-    li_obs = None
     scoped = since is not None or until is not None or coin_limit is not None
     facts_path = os.path.join(out_dir, "coin_facts")
     dims_state = os.path.join(state_dir, "dims_counts")
-    dims_affected = None
     new_dim_counts = None
     if scoped:
         # computed on EVERY scoped run (including the first, so the
@@ -755,59 +761,70 @@ def refresh_warehouse_incremental(
             .agg(F.count(F.lit(1)).alias("n_rows_all"))
             .localCheckpoint(eager=True)
         )
-    if not first_run and os.path.exists(facts_path):
-        if not scoped:
-            dims_affected = affected if n_affected else False
-        else:
-            old_counts = load_watermark_state(spark, dims_state)
-            if old_counts is not None:
-                dims_affected = (
-                    new_dim_counts.join(
-                        old_counts.withColumnRenamed("n_rows_all", "_old"),
-                        "coin_id",
-                        "left",
+
+    def dims_branch() -> None:
+        """Key-grain dim rebuild (write + audit), O(churn) observation
+        maintenance — the DIMS table family, independent of the fact
+        families so it runs as its own concurrent branch (the rebuild's
+        shape; job descriptions are thread-local)."""
+        _bt = _time.time()
+        spark.sparkContext.setJobDescription("incremental refresh: dims")
+        li_obs = None
+        dims_affected = None
+        if not first_run and os.path.exists(facts_path):
+            if not scoped:
+                dims_affected = affected if n_affected else False
+            else:
+                old_counts = load_watermark_state(spark, dims_state)
+                if old_counts is not None:
+                    dims_affected = (
+                        new_dim_counts.join(
+                            old_counts.withColumnRenamed("n_rows_all", "_old"),
+                            "coin_id",
+                            "left",
+                        )
+                        .filter(
+                            F.col("_old").isNull()
+                            | (F.col("n_rows_all") != F.col("_old"))
+                        )
+                        .select("coin_id")
+                        .localCheckpoint(eager=True)
                     )
-                    .filter(
-                        F.col("_old").isNull()
-                        | (F.col("n_rows_all") != F.col("_old"))
-                    )
-                    .select("coin_id")
-                    .localCheckpoint(eager=True)
+        if dims_affected is False:
+            # unscoped steady-state run with zero arrivals: standing
+            # observations are proven current — reuse them wholesale
+            prev_facts = spark.read.parquet(facts_path)
+            li_obs = prev_facts.filter(F.col("first_seen").isNotNull()).select(
+                "coin_id", "first_seen", "n_suppliers"
+            )
+        elif dims_affected is not None:
+            prev_facts = spark.read.parquet(facts_path)
+            aff_obs = (
+                load_table(spark, sf_dir, "lineitem")
+                .join(
+                    F.broadcast(dims_affected.select(F.col("coin_id").alias("l_partkey"))),
+                    "l_partkey",
                 )
-    if dims_affected is False:
-        # unscoped steady-state run with zero arrivals: standing
-        # observations are proven current — reuse them wholesale
-        prev_facts = spark.read.parquet(facts_path)
-        li_obs = prev_facts.filter(F.col("first_seen").isNotNull()).select(
-            "coin_id", "first_seen", "n_suppliers"
-        )
-    elif dims_affected is not None:
-        prev_facts = spark.read.parquet(facts_path)
-        aff_obs = (
-            load_table(spark, sf_dir, "lineitem")
-            .join(
-                F.broadcast(dims_affected.select(F.col("coin_id").alias("l_partkey"))),
-                "l_partkey",
+                .groupBy(F.col("l_partkey").alias("coin_id"))
+                .agg(
+                    F.min(F.to_date("l_shipdate")).alias("first_seen"),
+                    F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+                )
             )
-            .groupBy(F.col("l_partkey").alias("coin_id"))
-            .agg(
-                F.min(F.to_date("l_shipdate")).alias("first_seen"),
-                F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+            # first_seen null <=> coin absent from lineitem (shipdate is
+            # never null), so it is the membership flag of the standing row
+            unaff_obs = (
+                prev_facts.filter(F.col("first_seen").isNotNull())
+                .join(F.broadcast(dims_affected), "coin_id", "left_anti")
+                .select("coin_id", "first_seen", "n_suppliers")
             )
-        )
-        # first_seen null <=> coin absent from lineitem (shipdate is
-        # never null), so it is the membership flag of the standing row
-        unaff_obs = (
-            prev_facts.filter(F.col("first_seen").isNotNull())
-            .join(F.broadcast(dims_affected), "coin_id", "left_anti")
-            .select("coin_id", "first_seen", "n_suppliers")
-        )
-        li_obs = unaff_obs.unionByName(aff_obs).localCheckpoint(eager=True)
-    for name, df in _dim_frames(spark, sf_dir, li_obs=li_obs):
-        path = os.path.join(out_dir, name)
-        write_partitioned(df, path)
-        audit(name, spark.read.parquet(path))
-    tick("dims")
+            li_obs = unaff_obs.unionByName(aff_obs).localCheckpoint(eager=True)
+        for name, df in _dim_frames(spark, sf_dir, li_obs=li_obs):
+            path = os.path.join(out_dir, name)
+            write_partitioned(df, path)
+            audit(name, spark.read.parquet(path))
+        with report_lock:
+            report.stage_sec["dims"] = round(_time.time() - _bt, 2)
 
     def after_hwm(df: DataFrame, hwm: DataFrame | None) -> DataFrame:
         """Rows strictly past their coin's cutoff (first new arrival
@@ -874,13 +891,17 @@ def refresh_warehouse_incremental(
             write_partitioned(delta_df, path)
         back = spark.read.parquet(path)
         audit(name, back, slice_df=audit_slice(back) if audit_slice else None)
-        report.reconcile[name] = validate_incremental_load(
+        rec = validate_incremental_load(
             delta_df, probe(back), keys, cache=not first_run
         )
+        with report_lock:
+            report.reconcile[name] = rec
         return back
 
     if n_affected == 0:
-        # nothing new anywhere: audit the standing tables and return
+        # nothing new anywhere: rebuild dims (key-grain discipline),
+        # audit the standing fact tables, and return
+        dims_branch()
         for name in ("coin_market_data", "coin_wallet_transfers", "coin_wallet_profits"):
             path = os.path.join(out_dir, name)
             if os.path.exists(path):
@@ -891,10 +912,19 @@ def refresh_warehouse_incremental(
             save_watermark_state(new_dim_counts, dims_state)
         return report
 
-    # ---- MERGE + AUDIT + RECONCILE, per table in build order. The
-    # affected-coin filter lands on the RAW scan, below the heavy
-    # daily aggregations (filters on grouping keys commute): the
-    # (coin, date) and (coin, wallet, date) aggs only ever see churn.
+    # ---- MERGE + AUDIT + RECONCILE: the three independent table
+    # FAMILIES (dims; coin_market_data; coin_wallet_transfers ->
+    # coin_wallet_profits) run as concurrent driver branches, the same
+    # shape as the full rebuild — on a one-day increment the per-job
+    # scheduling floor dominates, so overlapping the families' fixed-
+    # floor jobs (merge reads, audits, reconcile probes) is most of the
+    # win. Ordering that carries STATE stays inside one branch:
+    # profits reads the LANDED transfers table (its own branch, after
+    # the cwt merge) and the shared md_aff cache (primed by the market
+    # branch; an Event hands it over). The affected-coin filter lands
+    # on the RAW scan, below the heavy daily aggregations (filters on
+    # grouping keys commute): the (coin, date) and (coin, wallet, date)
+    # aggs only ever see churn.
     if first_run:
         li_aff = li_sc
     else:
@@ -904,105 +934,135 @@ def refresh_warehouse_incremental(
         )
     # shared by the dense rebuild and the profits kernel; churn-sized
     md_aff = daily_prices_from(li_aff).persist()
-    md_aff.count()
-    tick("cmd/md_aff")
-    x_aff = transfers_from(li_aff, load_table(spark, sf_dir, "orders"))
-
-    # coin_market_data: the one densified table — see docstring step 3
-    dense_aff = _dense_market(md_aff, end_date=horizon)
-    dense_delta = after_hwm(dense_aff, cuts)
-    cmd_path = os.path.join(out_dir, "coin_market_data")
-    if cuts is not None and os.path.exists(cmd_path):
-        # materialized once: merge + reconcile read it five times;
-        # churn-sized only on the merge path — a first run's
-        # corpus-sized "delta" writes straight to parquet instead
-        dense_delta = dense_delta.localCheckpoint(eager=True)
-        tick("cmd/dense_delta")
-    tails = None
-    ext = None
-    if os.path.exists(cmd_path):
-        standing_cmd = spark.read.parquet(cmd_path)
-        if prev_horizon is None or prev_horizon < horizon:
-            # checkpoint BEFORE the rewrite: the extension plan must
-            # not lazily re-read files the merge is about to replace
-            tails = _horizon_tails(
-                standing_cmd, affected, horizon, prev_horizon
-            ).localCheckpoint(eager=True)
-            ext = (
-                _horizon_extension(tails, horizon) if tails.count() else None
-            )
-        update = (
-            dense_delta.unionByName(ext) if ext is not None else dense_delta
-        )
-        # (coin_id, date) keys: replace-per-day. The delta covers every
-        # row that can differ from standing (real new days, recomputed
-        # imputed days past the mark, horizon fills), and the standing
-        # imputed rows it replaces sit at the same (coin, date) keys.
-        tick("cmd/tails")
-        upsert_partitions(spark, cmd_path, update, ["coin_id", "date"])
-        tick("cmd/upsert")
-    else:
-        # first run: no marks, so the delta IS the corpus
-        write_partitioned(dense_delta, cmd_path)
-    cmd_back = spark.read.parquet(cmd_path)
-    audit(
-        "coin_market_data",
-        cmd_back,
-        slice_df=touch(cmd_back) if churn_audit else None,
-    )
-    tick("cmd/audit")
-    # dense_delta == dense_aff on the first run (no marks yet), so one
-    # expression serves both paths; the probe mirrors the same cutoff
+    md_ready = threading.Event()
+    # probe-cutoff scalar: both fact branches' reconcile probes read it
     md_cut = probe_cutoff(cuts)
-    report.reconcile["coin_market_data"] = validate_incremental_load(
-        dense_delta,
-        after_hwm(touch(pruned(cmd_back, md_cut)), cuts),
-        ["coin_id", "date"],
-        cache=not first_run,
-    )
-    if ext is not None:
-        base = pruned(cmd_back, prev_horizon)
-        ext_loaded = (
-            base.join(
-                F.broadcast(tails.select("coin_id", "_maxd")), "coin_id"
+    cmd_path = os.path.join(out_dir, "coin_market_data")
+
+    def market_branch() -> None:
+        _bt = _time.time()
+        spark.sparkContext.setJobDescription("incremental refresh: market data")
+        try:
+            md_aff.count()  # prime the shared cache once
+        finally:
+            md_ready.set()  # never strand the profits branch
+        # coin_market_data: the one densified table — docstring step 3
+        dense_aff = _dense_market(md_aff, end_date=horizon)
+        dense_delta = after_hwm(dense_aff, cuts)
+        if cuts is not None and os.path.exists(cmd_path):
+            # materialized once: merge + reconcile read it five times;
+            # churn-sized only on the merge path — a first run's
+            # corpus-sized "delta" writes straight to parquet instead
+            dense_delta = dense_delta.localCheckpoint(eager=True)
+        tails = None
+        ext = None
+        if os.path.exists(cmd_path):
+            standing_cmd = spark.read.parquet(cmd_path)
+            if prev_horizon is None or prev_horizon < horizon:
+                # checkpoint BEFORE the rewrite: the extension plan must
+                # not lazily re-read files the merge is about to replace
+                tails = _horizon_tails(
+                    standing_cmd, affected, horizon, prev_horizon
+                ).localCheckpoint(eager=True)
+                ext = (
+                    _horizon_extension(tails, horizon) if tails.count() else None
+                )
+            update = (
+                dense_delta.unionByName(ext) if ext is not None else dense_delta
             )
-            .filter(F.col("date") > F.col("_maxd"))
-            .drop("_maxd")
+            # (coin_id, date) keys: replace-per-day. The delta covers
+            # every row that can differ from standing (real new days,
+            # recomputed imputed days past the mark, horizon fills), and
+            # the standing imputed rows it replaces sit at the same
+            # (coin, date) keys.
+            upsert_partitions(spark, cmd_path, update, ["coin_id", "date"])
+        else:
+            # first run: no marks, so the delta IS the corpus
+            write_partitioned(dense_delta, cmd_path)
+        cmd_back = spark.read.parquet(cmd_path)
+        audit(
+            "coin_market_data",
+            cmd_back,
+            slice_df=touch(cmd_back) if churn_audit else None,
         )
-        report.reconcile["coin_market_data_horizon"] = (
-            validate_incremental_load(
+        # dense_delta == dense_aff on the first run (no marks yet), so
+        # one expression serves both paths; the probe mirrors the cutoff
+        rec = validate_incremental_load(
+            dense_delta,
+            after_hwm(touch(pruned(cmd_back, md_cut)), cuts),
+            ["coin_id", "date"],
+            cache=not first_run,
+        )
+        with report_lock:
+            report.reconcile["coin_market_data"] = rec
+        if ext is not None:
+            base = pruned(cmd_back, prev_horizon)
+            ext_loaded = (
+                base.join(
+                    F.broadcast(tails.select("coin_id", "_maxd")), "coin_id"
+                )
+                .filter(F.col("date") > F.col("_maxd"))
+                .drop("_maxd")
+            )
+            rec_h = validate_incremental_load(
                 ext, ext_loaded, ["coin_id", "date"], cache=True
             )
+            with report_lock:
+                report.reconcile["coin_market_data_horizon"] = rec_h
+        with report_lock:
+            report.stage_sec["coin_market_data"] = round(_time.time() - _bt, 2)
+
+    def transfers_branch() -> None:
+        _bt = _time.time()
+        spark.sparkContext.setJobDescription("incremental refresh: transfers")
+        x_aff = transfers_from(li_aff, load_table(spark, sf_dir, "orders"))
+        cwt_back = merge_and_check(
+            "coin_wallet_transfers",
+            after_hwm(_with_balance(x_aff), cuts),
+            ["coin_id", "wallet_address", "date"],
+            probe=lambda back: after_hwm(touch(pruned(back, md_cut)), cuts),
+            audit_slice=(lambda back: touch(back)) if churn_audit else None,
         )
-    tick("coin_market_data")
-    cwt_back = merge_and_check(
-        "coin_wallet_transfers",
-        after_hwm(_with_balance(x_aff), cuts),
-        ["coin_id", "wallet_address", "date"],
-        probe=lambda back: after_hwm(touch(pruned(back, md_cut)), cuts),
-        audit_slice=(lambda back: touch(back)) if churn_audit else None,
-    )
-    tick("coin_wallet_transfers")
-    # profits can gain/change rows anywhere from the first new arrival
-    # of EITHER input (price or transfer) — the same first-new cutoff,
-    # least-of-streams by construction (docstring note above)
-    # fed from the LANDED transfers table (curated lineage: profits
-    # derive from the table users see), filtered to affected coins
-    profits = wallet_profits_kernel_from(
-        touch(cwt_back).select(
-            "coin_id", "wallet_address", "date", "net_transfers", "balance"
-        ),
-        md_aff,
-    )
-    merge_and_check(
-        "coin_wallet_profits",
-        after_hwm(profits, cuts),
-        ["coin_id", "wallet_address", "date"],
-        probe=lambda back: after_hwm(touch(pruned(back, md_cut)), cuts),
-        audit_slice=(lambda back: touch(back)) if churn_audit else None,
-    )
+        with report_lock:
+            report.stage_sec["coin_wallet_transfers"] = round(_time.time() - _bt, 2)
+        # profits can gain/change rows anywhere from the first new
+        # arrival of EITHER input (price or transfer) — the same
+        # first-new cutoff, least-of-streams by construction (docstring
+        # note above); fed from the LANDED transfers table (curated
+        # lineage: profits derive from the table users see), filtered
+        # to affected coins. Waits for the market branch's cache prime
+        # so the kernel reads md_aff hot instead of racing to fill it.
+        _bt = _time.time()
+        md_ready.wait()
+        spark.sparkContext.setJobDescription("incremental refresh: profits")
+        profits = wallet_profits_kernel_from(
+            touch(cwt_back).select(
+                "coin_id", "wallet_address", "date", "net_transfers", "balance"
+            ),
+            md_aff,
+        )
+        merge_and_check(
+            "coin_wallet_profits",
+            after_hwm(profits, cuts),
+            ["coin_id", "wallet_address", "date"],
+            probe=lambda back: after_hwm(touch(pruned(back, md_cut)), cuts),
+            audit_slice=(lambda back: touch(back)) if churn_audit else None,
+        )
+        with report_lock:
+            report.stage_sec["coin_wallet_profits"] = round(_time.time() - _bt, 2)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futures = [
+            pool.submit(dims_branch),
+            pool.submit(market_branch),
+            pool.submit(transfers_branch),
+        ]
+        for fut in futures:
+            fut.result()
     md_aff.unpersist()
-    tick("coin_wallet_profits")
+    _t0 = _time.time()
 
     # ---- advance watermarks LAST (state reflects only landed work).
     # Both streams key on the same raw arrival grain in this corpus, so
