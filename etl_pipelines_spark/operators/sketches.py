@@ -143,6 +143,7 @@ def kmv_distinct(
     k: int = 16,
     salt_groups: int = 0,
     md5_stream: DataFrame | None = None,
+    salt_mode: str = "cascade",
 ) -> DataFrame:
     """Per-group KMV distinct-count estimate: (group_cols..., n_min,
     kmv_estimate). n_min = |kept hashes| (= exact count when < k).
@@ -162,13 +163,15 @@ def kmv_distinct(
     O(G) surviving hashes per key reach the collect — value-identical
     output (pinned salted==direct in test_operators at G>16).
 
-    NOTE: with salt_groups > 0 the hashed stream is consumed twice
-    (the prefilter's min pass + the filter pass). When `md5_stream`
-    is a persisted frame (the suite path) both passes hit the cache;
-    with md5_stream=None the distinct+md5 subtree appears twice in
-    the plan and Spark's exchange reuse (AQE ReusedExchange over the
-    identical distinct shuffle) is what keeps it from executing
-    twice — persist the stream yourself if you cannot rely on that.
+    NOTE: with salt_groups > 0 and salt_mode="prefilter" the hashed
+    stream is consumed twice (the prefilter's min pass + the filter
+    pass). When `md5_stream` is a persisted frame (the suite path)
+    both passes hit the cache; with md5_stream=None the distinct+md5
+    subtree appears twice in the plan and Spark's exchange reuse (AQE
+    ReusedExchange over the identical distinct shuffle) is what keeps
+    it from executing twice — persist the stream yourself if you
+    cannot rely on that. The default cascade mode consumes the stream
+    ONCE, so it needs no such caution.
     """
     # distinct BEFORE the hash: md5 is deterministic per value, so
     # hash-of-distinct == distinct-of-hash — but the reordering hashes
@@ -201,9 +204,30 @@ def kmv_distinct(
         )
 
     if salt_groups > 0:
-        hashed = _bottomk_prefilter(
-            hashed, group_cols, F.col("_h"), k, salt_groups
-        )
+        if salt_mode == "prefilter":
+            # exact threshold pre-filter: O(G) buffers independent of
+            # group size, but the stream is consumed TWICE (min pass +
+            # filter pass) and the threshold rejoin adds a join stage —
+            # cache the stream, and prefer this only when a single
+            # key's rows / salt_groups outgrows executor memory
+            hashed = _bottomk_prefilter(
+                hashed, group_cols, F.col("_h"), k, salt_groups
+            )
+        else:
+            # cascade (default, the quantile_sketch_build idiom): a
+            # first bottom-k on (keys, hash % G) spreads a hot key
+            # over G tasks, then the per-key reduce sees <= G*k hashes.
+            # Value-identical to direct — the k globally-smallest
+            # hashes are each the smallest within their own salt group,
+            # so the union of per-salt bottom-k contains them (pinned
+            # salted==direct in test_operators). ONE pass over the
+            # stream (the prefilter's min pass + rejoin measured as a
+            # full extra exchange + SortMergeJoin at sf1), buffer bound
+            # group/G rows per task — size G to the worst key.
+            salted = hashed.withColumn(
+                "_salt", F.pmod(F.hash("_h"), F.lit(salt_groups))
+            )
+            hashed = _bk(salted, [*group_cols, "_salt"]).drop("_salt")
     topk = _bk(hashed, group_cols)
     est = F.when(
         F.col("n_min") < k, F.col("n_min").cast("double")

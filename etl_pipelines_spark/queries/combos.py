@@ -422,10 +422,22 @@ def _q52_frames(words: DataFrame) -> dict[str, DataFrame]:
         _tfidf_top_terms,
     )
 
+    # ONE dfreq subtree (docs containing each token — vocab-sized after
+    # a map-side distinct-explode collapse) passed to BOTH tfidf and
+    # bm25: the two frames reference the same DataFrame, so the plan
+    # carries one BroadcastExchange and a ReusedExchange instead of two
+    # independently-computed document-frequency passes (tfidf's
+    # distinct-explode and bm25's full tf re-aggregation). Same value
+    # by definition: tf rows per token == docs containing the token.
+    dfreq = (
+        words.select(F.explode(F.array_distinct("_w")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     return {
-        "tfidf": _tfidf_top_terms(None, words=words),
+        "tfidf": _tfidf_top_terms(None, words=words, dfreq=dfreq),
         "colloc": _bigram_collocations(None, words=words),
-        "bm25": _bm25_retrieval(None, words=words),
+        "bm25": _bm25_retrieval(None, words=words, dfreq=dfreq),
     }
 
 

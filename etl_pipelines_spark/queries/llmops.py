@@ -1198,6 +1198,7 @@ def _tfidf_top_terms(
     words: DataFrame | None = None,
     tf: DataFrame | None = None,
     n_docs: DataFrame | None = None,
+    dfreq: DataFrame | None = None,
 ) -> DataFrame:
     """q52 body, shareable: pass a pre-split `words` frame (doc_id, _w)
     to reuse one tokenization across combo members, or the aggregated
@@ -1234,14 +1235,16 @@ def _tfidf_top_terms(
             n_docs = words.agg(F.count(F.lit(1)).alias("n_docs"))
         toks = words.select("doc_id", F.explode("_w").alias("token"))
         tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-        dfreq = (
-            df_src.select(F.explode(F.array_distinct("_w")).alias("token"))
-            .groupBy("token")
-            .agg(F.count(F.lit(1)).alias("df"))
-        )
+        if dfreq is None:
+            dfreq = (
+                df_src.select(F.explode(F.array_distinct("_w")).alias("token"))
+                .groupBy("token")
+                .agg(F.count(F.lit(1)).alias("df"))
+            )
     else:
         assert n_docs is not None, "precomputed tf requires an n_docs frame"
-        dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        if dfreq is None:
+            dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(dfreq), "token")
         .crossJoin(F.broadcast(n_docs))
@@ -1336,6 +1339,7 @@ def _bm25_retrieval(
     docs: DataFrame,
     words: DataFrame | None = None,
     tf: DataFrame | None = None,
+    dfreq: DataFrame | None = None,
 ) -> DataFrame:
     """q81 body, shareable via a pre-split `words` frame (doc_id, _w)
     or, cheaper still, a precomputed `tf` frame (doc_id, token, tf):
@@ -1360,7 +1364,8 @@ def _bm25_retrieval(
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens")
     )
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    if dfreq is None:
+        dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     q = q_src.orderBy("token").limit(5)
     avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
     idf = (
@@ -1385,10 +1390,16 @@ def _bm25_retrieval(
         F.count(F.lit(1)).alias("n_hit"),
         (F.sum("term_scaled").cast("double") / F.lit(1e9)).alias("score"),
     )
+    # top-10 via orderBy().limit() (TakeOrdered: per-partition top-10 +
+    # driver merge) instead of a global rank window, which exchanged
+    # every scored doc to ONE partition just to discard all but 10.
+    # Value-identical: the limit takes exactly the first 10 rows of the
+    # same deterministic total order (score desc, doc_id tiebreak), and
+    # the rank window then numbers those 10 in that order.
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(10)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 10)
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("doc_id", "n_hit", "score", "rank")
     )
 

@@ -1184,7 +1184,7 @@ _KMV_K = 16
 )
 def q51(spark: SparkSession, sf: str) -> DataFrame:
     # salt_groups=32 (2k): bound the hot coin's bottom-k buffer via the
-    # exact threshold pre-filter (value-identical, see kmv_distinct)
+    # two-level cascade (value-identical, see kmv_distinct)
     return kmv_distinct(
         transfers(spark, sf), ["coin_id"], "wallet_address", k=_KMV_K, salt_groups=32
     )

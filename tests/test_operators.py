@@ -211,13 +211,14 @@ class TestKmvDistinct:
             for r in kmv_distinct(df, ["grp"], "val", k=16).collect()
         }
         for g in (8, 32, 128):
-            salted = {
-                r["grp"]: (r["n_min"], r["kmv_estimate"])
-                for r in kmv_distinct(
-                    df, ["grp"], "val", k=16, salt_groups=g
-                ).collect()
-            }
-            assert direct == salted, f"salt_groups={g}"
+            for mode in ("cascade", "prefilter"):
+                salted = {
+                    r["grp"]: (r["n_min"], r["kmv_estimate"])
+                    for r in kmv_distinct(
+                        df, ["grp"], "val", k=16, salt_groups=g, salt_mode=mode
+                    ).collect()
+                }
+                assert direct == salted, f"salt_groups={g} mode={mode}"
 
     def test_prefilter_preserves_null_group_keys(self, spark):
         """NULL-keyed groups survive the salted path: the threshold

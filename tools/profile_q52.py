@@ -123,10 +123,100 @@ def build_tf_only():
     ])
 
 
+def build_tf_exchange():
+    """Round-11 candidate: ONE lazy tf subtree ending in an explicit
+    (doc_id, token) repartition — the three members reference the same
+    DataFrame, so the physical plan carries ONE Exchange and two
+    ReusedExchange nodes (no persist barrier, no lazy-cache race).
+    colloc derives its unigram counts and total from tf (sum of tf ==
+    token count, identically); only the bigram pass still reads the
+    words cache."""
+    words = words_frame().persist()
+    words.count()
+    toks = words.select("doc_id", F.explode("_w").alias("token"))
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .repartition("doc_id")
+    )
+    n_docs = words.agg(F.count(F.lit(1)).alias("n_docs"))
+
+    # colloc with tf-derived unigrams, inline (library takes tf= only
+    # if this measures well)
+    from etl_pipelines_spark.queries.llmops import COLLOC_FLOOR
+
+    w2 = words.select("doc_id", F.col("_w").alias("w"))
+    bigram = F.expr(
+        "transform(sequence(0, size(w) - 2),"
+        " i -> concat(get(w, i), ' ', get(w, i + 1)))"
+    )
+    bi = (
+        w2.filter(F.size("w") >= 2)
+        .select(F.explode(bigram).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= COLLOC_FLOOR)
+    )
+    uni = tf.groupBy("token").agg(F.sum("tf").alias("c"))
+    tot = tf.agg(F.sum("tf").alias("n"))
+    parts = F.split("bigram", " ")
+    bi = bi.withColumn("_x", parts[0]).withColumn("_y", parts[1])
+    ua = uni.select(F.col("token").alias("_x"), F.col("c").alias("c_x"))
+    ub = uni.select(F.col("token").alias("_y"), F.col("c").alias("c_y"))
+    colloc = (
+        bi.join(F.broadcast(ua), "_x")
+        .join(F.broadcast(ub), "_y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bigram", "c_xy", "c_x", "c_y",
+            (
+                (F.col("n") * F.col("c_xy")).cast("double")
+                / (F.col("c_x") * F.col("c_y")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return union3([
+        _tfidf_top_terms(None, tf=tf, n_docs=n_docs).select(
+            F.lit("tfidf").alias("part"), "doc_id"
+        ),
+        colloc.select(
+            F.lit("colloc").alias("part"), F.lit(None).cast("bigint").alias("doc_id")
+        ),
+        _bm25_retrieval(None, tf=tf).select(
+            F.lit("bm25").alias("part"), "doc_id"
+        ),
+    ])
+
+
+def build_words_shared_dfreq():
+    """Round-11 shape: words-shared plus (a) ONE dfreq subtree passed
+    to both tfidf and bm25 (vocab-sized broadcast, ReusedExchange) and
+    (b) bm25's global rank window replaced by an order-identical
+    orderBy().limit(10) (TakeOrdered instead of an exchange-to-one-
+    partition of every scored doc)."""
+    words = words_frame().persist()
+    words.count()
+    dfreq = (
+        words.select(F.explode(F.array_distinct("_w")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return union3([
+        _tfidf_top_terms(None, words=words, dfreq=dfreq).select(
+            F.lit("tfidf").alias("part"), "doc_id"
+        ),
+        _bigram_collocations(None, words=words).select(
+            F.lit("colloc").alias("part"), F.lit(None).cast("bigint").alias("doc_id")
+        ),
+        _bm25_retrieval(None, words=words, dfreq=dfreq).select(
+            F.lit("bm25").alias("part"), "doc_id"
+        ),
+    ])
+
+
 VARIANTS = [
-    ("tf-only (no words cache)", build_tf_only),
     ("words-shared (r10 shape)", build_words_shared),
-    ("tf-shared, words eager", build_tf_shared),
+    ("words-shared+dfreq+limit (r11)", build_words_shared_dfreq),
 ]
 
 for label, build in VARIANTS * 2:
