@@ -1350,13 +1350,17 @@ def _bm25_retrieval(
 
     if tf is None:
         if words is None:
-            toks = docs.repartition("doc_id").select(
-                "doc_id", F.explode(F.split("text", " ")).alias("token")
+            words = docs.repartition("doc_id").select(
+                "doc_id", F.split("text", " ").alias("_w")
             )
-        else:
-            toks = words.select("doc_id", F.explode("_w").alias("token"))
+        toks = words.select("doc_id", F.explode("_w").alias("token"))
         tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-        dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+        # tokens-per-doc is the words array's length — same BIGINT as
+        # the oracle's COUNT(*) over toks GROUP BY doc, with no explode
+        # pass and no aggregation (one row per doc already)
+        dl = words.select(
+            "doc_id", F.size("_w").cast("long").alias("dl")
+        )
         q_src = toks.filter(F.col("doc_id") == 0).select("token").distinct()
     else:
         dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
@@ -2373,7 +2377,11 @@ def _bigram_collocations(docs: DataFrame, words: DataFrame | None = None) -> Dat
     )
     toks = words.select(F.explode("w").alias("token"))
     uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    # total token count = sum of the vocabulary-sized unigram counts —
+    # the same BIGINT as the oracle's COUNT(*) over toks, without a
+    # third explode pass over the corpus (the uni exchange output is
+    # shared by AQE stage reuse across the three consumers)
+    tot = uni.agg(F.sum("c").alias("n"))
     parts = F.split("bigram", " ")
     bi = bi.withColumn("_x", parts[0]).withColumn("_y", parts[1])
     ua = uni.select(F.col("token").alias("_x"), F.col("c").alias("c_x"))
