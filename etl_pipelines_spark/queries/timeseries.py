@@ -494,6 +494,19 @@ def q75(spark: SparkSession, sf: str) -> DataFrame:
     tags=("densify", "window", "serving"),
 )
 def q23(spark: SparkSession, sf: str) -> DataFrame:
+    # Delta-events form of the dense cumsum -> densify -> ffill ->
+    # bucket-count chain (round 11): between event days a user's
+    # ffilled balance — hence bucket — is constant, so the per-date
+    # census only moves when a user's bucket changes. Emit +1/-1
+    # bucket deltas at change days (O(events) rows, computed inside
+    # the same user-partitioned window pass as the cumsum), aggregate
+    # per date, and run one cumulative sum over the calendar scaffold
+    # (output-sized: one row per day, so the single-partition window
+    # is over the query's own result). The users x days dense matrix
+    # — its scaffold join and its forward-fill window exchange — is
+    # gone; value-identical because a user enters the census at their
+    # first event day and holds their last bucket through the global
+    # max day, exactly what scaffold+ffill materialized.
     ev = t(spark, sf, "events")
     daily = ev.groupBy("user_id", F.to_date("ts").alias("date")).agg(
         F.sum(F.col("value").cast("decimal(18,2)")).alias("net")
@@ -502,14 +515,62 @@ def q23(spark: SparkSession, sf: str) -> DataFrame:
     balances = daily.withColumn(
         "balance", F.sum("net").over(cum).cast("double")
     ).drop("net")
-    dense = densify_daily(balances, ["user_id"], "date")
-    dense = forward_fill(dense, ["user_id"], ["date"], ["balance"])
-    return dense.groupBy("date").agg(
-        F.count(F.when(F.col("balance") < 100, 1)).alias("small"),
-        F.count(F.when((F.col("balance") >= 100) & (F.col("balance") < 500), 1)).alias(
-            "medium"
-        ),
-        F.count(F.when(F.col("balance") >= 500, 1)).alias("whale"),
+    # bucket is null while the running balance is null (all-null nets
+    # so far) — those rows count in NO bucket, matching the dense
+    # plan's count(CASE ...) null semantics
+    bucket = (
+        F.when(F.col("balance") < 100, F.lit(0))
+        .when(F.col("balance") < 500, F.lit(1))
+        .when(F.col("balance") >= 500, F.lit(2))
+    )
+    w = ordered_window(["user_id"], ["date"])
+    marked = balances.withColumn("_b", bucket).withColumn(
+        "_pb", F.lag("_b", 1).over(w)
+    )
+
+    def _delta(idx: int) -> F.Column:
+        now = F.when(F.col("_b") == idx, F.lit(1)).otherwise(F.lit(0))
+        before = F.when(F.col("_pb") == idx, F.lit(1)).otherwise(F.lit(0))
+        return (now - before).cast("long")
+
+    deltas = (
+        marked.filter(~F.col("_b").eqNullSafe(F.col("_pb")))
+        .groupBy("date")
+        .agg(
+            F.sum(_delta(0)).alias("_ds"),
+            F.sum(_delta(1)).alias("_dm"),
+            F.sum(_delta(2)).alias("_dw"),
+        )
+    )
+    # calendar scaffold straight off the events scan (ts only): its
+    # min/max dates equal the daily aggregate's by construction
+    dates = (
+        ev.agg(
+            F.min(F.to_date("ts")).alias("_lo"), F.max(F.to_date("ts")).alias("_hi")
+        )
+        .select(
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"), F.expr("interval 1 day"))
+            ).alias("date")
+        )
+    )
+    run = Window.orderBy("date").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        dates.join(deltas, "date", "left")
+        .select(
+            "date",
+            F.coalesce(F.col("_ds"), F.lit(0)).alias("_ds"),
+            F.coalesce(F.col("_dm"), F.lit(0)).alias("_dm"),
+            F.coalesce(F.col("_dw"), F.lit(0)).alias("_dw"),
+        )
+        .select(
+            "date",
+            # coalesce keeps the non-nullable long schema count() had
+            # (the sum is never null: every frame holds >= 1 row)
+            F.coalesce(F.sum("_ds").over(run), F.lit(0).cast("long")).alias("small"),
+            F.coalesce(F.sum("_dm").over(run), F.lit(0).cast("long")).alias("medium"),
+            F.coalesce(F.sum("_dw").over(run), F.lit(0).cast("long")).alias("whale"),
+        )
     )
 
 

@@ -420,6 +420,91 @@ class TestWindowHelpers:
         ]
 
 
+class TestWhaleCensusDeltaEvents:
+    """q23's round-11 delta-events rewrite == the dense
+    cumsum -> densify -> ffill -> bucket-count reference on a frame
+    exercising every edge: late joiners, bucket oscillation across
+    both boundaries, multi-day gaps, a null-net prefix (user counted
+    in NO bucket until the balance turns non-null), and no-change
+    event days (a delta must NOT be emitted)."""
+
+    def _dense_reference(self, events):
+        # pure-Python replay of the pre-round-11 plan
+        from collections import defaultdict
+        from decimal import Decimal
+
+        daily = defaultdict(lambda: None)  # (user, date) -> net (None = all-null)
+        for u, d, v in events:
+            if v is not None:
+                cur = daily[(u, d)]
+                daily[(u, d)] = (cur or Decimal(0)) + Decimal(str(v))
+            else:
+                daily.setdefault((u, d), None)
+        users = sorted({u for u, _, _ in events})
+        gmax = max(d for _, d, _ in events)
+        counts = {}
+        for u in users:
+            ds = sorted(d for (uu, d) in daily if uu == u)
+            bal = None
+            cum = None
+            by_day = {}
+            for d in ds:
+                net = daily[(u, d)]
+                if net is not None:
+                    cum = (cum or Decimal(0)) + net
+                by_day[d] = float(cum) if cum is not None else None
+            day = ds[0]
+            while day <= gmax:
+                if day in by_day:
+                    bal = by_day[day]
+                b = (
+                    None
+                    if bal is None
+                    else (0 if bal < 100 else (1 if bal < 500 else 2))
+                )
+                if b is not None:
+                    key = (day, b)
+                    counts[key] = counts.get(key, 0) + 1
+                counts.setdefault((day, None), 0)  # date must appear
+                day += dt.timedelta(days=1)
+        out = {}
+        all_dates = sorted({d for d, _ in counts})
+        for d in all_dates:
+            out[d] = tuple(counts.get((d, b), 0) for b in (0, 1, 2))
+        return out
+
+    def test_matches_dense_reference(self, spark, tmp_path):
+        import datetime as dtm
+
+        from etl_pipelines_spark.queries.timeseries import q23
+
+        T = dtm.datetime
+        events = [
+            # user 1: starts small, jumps to whale, falls to medium, gap days
+            (1, D(2024, 1, 1), 50.0),
+            (1, D(2024, 1, 3), 600.0),     # -> whale (650)
+            (1, D(2024, 1, 7), -400.0),    # -> medium (250)
+            # user 2: late joiner straight into medium, then a no-change day
+            (2, D(2024, 1, 4), 200.0),
+            (2, D(2024, 1, 5), 10.0),      # still medium — no delta day
+            # user 3: null-net prefix (counts nowhere), then small
+            (3, D(2024, 1, 2), None),
+            (3, D(2024, 1, 6), 99.99),     # boundary: < 100 -> small
+            # user 4: exact boundary values
+            (4, D(2024, 1, 2), 100.0),     # == 100 -> medium
+            (4, D(2024, 1, 5), 400.0),     # == 500 -> whale
+        ]
+        rows = [(u, T(d.year, d.month, d.day, 12, 0), v) for u, d, v in events]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        path = str(tmp_path / "events.parquet")
+        df.write.parquet(path)
+        got = {
+            r["date"]: (r["small"], r["medium"], r["whale"])
+            for r in q23(spark, str(tmp_path)).collect()
+        }
+        assert got == self._dense_reference(events)
+
+
 class TestPrefixFilterRecall:
     def test_prefix_filter_is_superset_of_lsh_recall(self, spark):
         """Prefix filtering guarantees recall at the threshold; LSH is
