@@ -228,17 +228,87 @@ def kmv_distinct(
                 "_salt", F.pmod(F.hash("_h"), F.lit(salt_groups))
             )
             hashed = _bk(salted, [*group_cols, "_salt"]).drop("_salt")
-    topk = _bk(hashed, group_cols)
+    return _kmv_finish(
+        hashed.groupBy(*group_cols).agg(
+            F.slice(F.array_sort(F.collect_list("_h")), 1, k).alias("_s")
+        ),
+        group_cols,
+        k,
+    )
+
+
+def _kmv_finish(arrs: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """(keys..., n_min, kmv_estimate) straight from the final bottom-k
+    ARRAYS: n_min = size(_s) and the k-th minimum is the sorted
+    array's last element, so the old explode -> re-aggregate
+    (count/max) pass — one whole extra HashAggregate + Exchange in
+    every kmv plan — is pure projection now (round-12, guide §2.4).
+    Groups whose array is empty (every hash NULL) never produced an
+    exploded row before, so they are filtered, not emitted."""
     est = F.when(
         F.col("n_min") < k, F.col("n_min").cast("double")
     ).otherwise(
-        F.lit(float(k - 1)) / (F.col("_hk").cast("double") / F.lit(HASH_SPACE))
+        F.lit(float(k - 1))
+        / (F.element_at("_s", F.size("_s")).cast("double") / F.lit(HASH_SPACE))
     )
     return (
-        topk.groupBy(*group_cols)
-        .agg(F.count("_h").alias("n_min"), F.max("_h").alias("_hk"))
+        arrs.filter(F.size("_s") > 0)
+        .select(*group_cols, F.size("_s").cast("long").alias("n_min"), "_s")
         .withColumn("kmv_estimate", est.cast("double"))
-        .drop("_hk")
+        .drop("_s")
+    )
+
+
+def fused_kmv_hll_state(
+    md5_stream: DataFrame, keys: list[str], k: int = 16
+) -> DataFrame:
+    """ONE aggregation over a `md5_distinct_stream` computing BOTH
+    per-key sketch states (round-11 verdict item 1, guide §2.4): per
+    (keys..., reg) the HLL register max `rho` AND the KMV level-1
+    bottom-k array `_s` of the 48-bit rank. The HLL register doubles
+    as the kmv cascade's salt group — it is a deterministic partition
+    of each key's distinct hashes into 256 groups (first 2 md5 hex
+    chars), and the cascade's exactness argument holds for ANY
+    deterministic partitioning (see kmv_distinct): every one of the k
+    globally-smallest hashes is within the bottom-k of its own group.
+    Duplicate 48-bit ranks share their first 8 bits, hence their
+    register, so multiset semantics match the hash-salted cascade
+    too. Where the suite previously paid two full passes over the
+    6M-row distinct stream (kmv level-1 + hll register max), this is
+    one pass, one exchange — and the persisted state is sketch-sized
+    (<= 257 rows per key: 256 registers + a NULL-reg row when the
+    stream carries NULL hashes, which the plain register table also
+    emits). Consumers: `kmv_from_fused_state` and
+    `portable_hll_estimate(state.select(*keys, "reg", "rho"), keys)`.
+    Pinned fused == direct for both sketches in test_operators."""
+    hashed = md5_stream.select(
+        *keys,
+        F.expr(HLL_REG_SQL).cast("int").alias("reg"),
+        F.expr(HLL_RHO_SQL).cast("int").alias("rho"),
+        F.conv(F.substring("_h", 1, HASH_HEX_DIGITS), 16, 10)
+        .cast("long")
+        .alias("_h"),
+    )
+    return hashed.groupBy(*keys, "reg").agg(
+        F.max("rho").alias("rho"),
+        F.slice(F.array_sort(F.collect_list("_h")), 1, k).alias("_s"),
+    )
+
+
+def kmv_from_fused_state(
+    state: DataFrame, keys: list[str], k: int = 16
+) -> DataFrame:
+    """KMV estimate off a `fused_kmv_hll_state` frame: the per-register
+    bottom-k arrays are the cascade's level-1 output (salt = register),
+    so one sketch-sized reduce per key finishes the sketch. Value-
+    identical to `kmv_distinct` (pinned in test_operators)."""
+    lvl1 = state.select(*keys, F.explode("_s").alias("_h"))
+    return _kmv_finish(
+        lvl1.groupBy(*keys).agg(
+            F.slice(F.array_sort(F.collect_list("_h")), 1, k).alias("_s")
+        ),
+        keys,
+        k,
     )
 
 

@@ -492,10 +492,10 @@ def _q51_direct_grain(schema, members):
 
     def spark_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         from etl_pipelines_spark.operators.sketches import (
-            kmv_distinct,
+            fused_kmv_hll_state,
+            kmv_from_fused_state,
             md5_distinct_stream,
             portable_hll_estimate,
-            portable_hll_registers,
             quantile_sketch_build,
             quantile_sketch_estimate,
         )
@@ -525,41 +525,41 @@ def _q51_direct_grain(schema, members):
                 ),
                 eager=True,
             )
-            # ONE distinct (coin, wallet) + md5 pass feeds BOTH the KMV
-            # and the HLL registers (their hash idioms read different
-            # slices of the same 32-hex digest) — persisted because
-            # union branches don't share subtrees (kmv reads it twice:
-            # threshold pass + filter pass; hll once). Round 9: the
-            # suite previously paid the distinct shuffle + md5 twice;
-            # the kmv/hll member results are unchanged
-            # (hash-of-distinct == distinct-of-hash).
-            dh = _suite_persist(
-                "q51_md5_stream",
-                md5_distinct_stream(x, ["coin_id"], "wallet_address"),
+            # ONE aggregation over the distinct (coin, wallet) + md5
+            # stream builds BOTH sketch states (round-12, verdict item
+            # 1, guide §2.4): per (coin, reg) the HLL register max AND
+            # the kmv level-1 bottom-k, the register doubling as the
+            # cascade's salt group (any deterministic partition of a
+            # key's hashes is exact — fused_kmv_hll_state docstring;
+            # fused == direct pinned in test_operators). Round 11
+            # persisted the 6M-row md5 stream and paid one full
+            # aggregation pass over it per member (kmv level-1 + hll
+            # register max); now ONE pass runs at persist time and the
+            # cached state is sketch-sized (<= 257 rows per coin), so
+            # the kmv/hll branches of the union job read kilobytes.
+            state = _suite_persist(
+                "q51_fused_state",
+                fused_kmv_hll_state(
+                    md5_distinct_stream(x, ["coin_id"], "wallet_address"),
+                    ["coin_id"],
+                    k=_KMV_K,
+                ),
             )
-            return x, dh
+            return x, state
 
-        def frames_from(x, dh):
+        def frames_from(x, state):
             return {
             # kmv rides the SAME unclustered feed (round 8): its
             # standalone plan rebuilt the coin-keyed transfers for no
-            # consumer benefit — kmv_distinct distincts raw values
-            # before hashing, so the result is partitioning-
-            # independent and the member oracle is unchanged.
-            # salt_groups=32 (2k): the exact threshold pre-filter
-            # bounds the Zipf-hot coin's bottom-k buffer to expected
-            # O(G) survivors (skewed-sf1's hot coin owns ~1/3 of the
-            # distinct (coin, wallet) stream — unsalted, ONE task
-            # buffers + sorts it all)
-            "kmv": kmv_distinct(
-                x, ["coin_id"], "wallet_address", k=_KMV_K,
-                salt_groups=32, md5_stream=dh,
-            ),
+            # consumer benefit — the distinct-before-hash means the
+            # result is partitioning-independent and the member oracle
+            # is unchanged. Hot-key safety: the fused state's register
+            # salt bounds the level-1 bottom-k buffer to
+            # distinct-hashes/256 per task (tighter than round 11's
+            # G=32 hash salt).
+            "kmv": kmv_from_fused_state(state, ["coin_id"], k=_KMV_K),
             "hll": portable_hll_estimate(
-                portable_hll_registers(
-                    x, ["coin_id"], "wallet_address", md5_stream=dh
-                ),
-                ["coin_id"],
+                state.select("coin_id", "reg", "rho"), ["coin_id"]
             ),
             # salt_groups on the sample build: unlike the sketch-sized
             # kmv/hll states, the bottom-k ingests EVERY raw row — the

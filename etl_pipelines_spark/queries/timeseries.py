@@ -453,6 +453,74 @@ def q75(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- q23
+def _parquet_ts_date_bounds(sf: str, table: str, col: str = "ts"):
+    """Global [min, max] DATE of a parquet timestamp column read
+    straight from footer column statistics (guide §6, the
+    `_parquet_rows` idiom) — the round-11 verdict's q23 item: the
+    calendar-bounds aggregate was a second full scan of events just
+    for min/max(ts). Footer min/max are exact for INT64-backed
+    timestamps and skip NULLs exactly like F.min/F.max; the date of
+    the min equals the min of the dates because to_date is monotone.
+    Returns None — callers fall back to the aggregation scan —
+    whenever any part file / row group lacks exact stats, the column
+    is not a plain timestamp, or a pre-epoch value appears (unit
+    truncation below assumes non-negative epochs, like the read
+    path's `ts div 1000`)."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf, f"{table}.parquet")
+    files = (
+        [path]
+        if os.path.isfile(path)
+        else sorted(glob.glob(os.path.join(path, "*.parquet")))
+    )
+    if not files:
+        return None
+    lo = hi = None
+    for f in files:
+        pf = pq.ParquetFile(f)
+        ftype = pf.schema_arrow.field(col).type
+        if not pa.types.is_timestamp(ftype):
+            return None
+        per_us = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": 1}[ftype.unit]
+        div_ns = 1_000 if ftype.unit == "ns" else 1
+        md = pf.metadata
+        idx = next(
+            (
+                j
+                for j in range(md.row_group(0).num_columns)
+                if md.row_group(0).column(j).path_in_schema == col
+            ),
+            None,
+        ) if md.num_row_groups else None
+        for i in range(md.num_row_groups):
+            stats = md.row_group(i).column(idx).statistics
+            if (
+                stats is None
+                or not stats.has_min_max
+                or not isinstance(stats.min_raw, int)
+                or stats.min_raw < 0
+            ):
+                return None
+            us_lo = stats.min_raw // div_ns * per_us
+            us_hi = stats.max_raw // div_ns * per_us
+            lo = us_lo if lo is None else min(lo, us_lo)
+            hi = us_hi if hi is None else max(hi, us_hi)
+    if lo is None:
+        return None
+    import datetime as _dt
+
+    epoch = _dt.date(1970, 1, 1)
+    return (
+        epoch + _dt.timedelta(days=lo // 86_400_000_000),
+        epoch + _dt.timedelta(days=hi // 86_400_000_000),
+    )
+
+
 @register(
     "q23_whale_bucket_counts",
     """
@@ -542,18 +610,33 @@ def q23(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(_delta(2)).alias("_dw"),
         )
     )
-    # calendar scaffold straight off the events scan (ts only): its
-    # min/max dates equal the daily aggregate's by construction
-    dates = (
-        ev.agg(
-            F.min(F.to_date("ts")).alias("_lo"), F.max(F.to_date("ts")).alias("_hi")
-        )
-        .select(
+    # calendar scaffold bounds: its min/max dates equal the daily
+    # aggregate's by construction. Round 12 (verdict item 3): read
+    # them from the parquet footer statistics driver-side instead of
+    # a second full events scan just for min/max(ts) — one whole job
+    # removed; the aggregation stays as the fallback for inputs
+    # without exact footer stats.
+    bounds = _parquet_ts_date_bounds(sf, "events")
+    if bounds is not None:
+        dates = spark.range(1).select(
             F.explode(
-                F.sequence(F.col("_lo"), F.col("_hi"), F.expr("interval 1 day"))
+                F.sequence(
+                    F.lit(bounds[0]), F.lit(bounds[1]), F.expr("interval 1 day")
+                )
             ).alias("date")
         )
-    )
+    else:
+        dates = (
+            ev.agg(
+                F.min(F.to_date("ts")).alias("_lo"),
+                F.max(F.to_date("ts")).alias("_hi"),
+            )
+            .select(
+                F.explode(
+                    F.sequence(F.col("_lo"), F.col("_hi"), F.expr("interval 1 day"))
+                ).alias("date")
+            )
+        )
     run = Window.orderBy("date").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
         dates.join(deltas, "date", "left")

@@ -49,8 +49,9 @@ class TestArtifactIntegrity:
                     (r.get("vs_rebuild") or 0) >= 3 for r in doc["rows"]
                 ), f"{name}: no row clears the 3x sparse-churn bar"
                 continue
-            if re.match(r"BENCH_r\d+\.json$", name):
-                # driver-side capture; shape is the driver's, not ours —
+            if re.match(r"BENCH_r\d+(_c\d+)?\.json$", name):
+                # driver-side capture (incl. the low-core scaling run,
+                # e.g. BENCH_r11_c8); shape is the driver's, not ours —
                 # non-empty parseable JSON is the whole contract
                 continue
             # repo-recorded bench runs share bench.py's full-record shape

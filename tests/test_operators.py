@@ -220,6 +220,49 @@ class TestKmvDistinct:
                 }
                 assert direct == salted, f"salt_groups={g} mode={mode}"
 
+    def test_fused_state_matches_direct_kmv_and_hll(self, spark):
+        """The fused (kmv level-1 + HLL register) aggregation is
+        value-identical to the separate builds, for every group —
+        including a Zipf-hot key, NULL group keys, and NULL values
+        (whose md5 is NULL: dropped by the kmv collect_list, kept as
+        the NULL-register row by the HLL grouping, in both paths)."""
+        from etl_pipelines_spark.operators.sketches import (
+            fused_kmv_hll_state,
+            kmv_distinct,
+            kmv_from_fused_state,
+            md5_distinct_stream,
+            portable_hll_estimate,
+            portable_hll_registers,
+        )
+
+        rows = [(f"g{i % 3}", f"v{i % 400}") for i in range(2000)]
+        rows += [("hot", f"h{i}") for i in range(5000)]
+        rows += [(None, f"n{i}") for i in range(100)]
+        rows += [("g0", None), (None, None)]
+        df = spark.createDataFrame(rows, "grp string, val string")
+        stream = md5_distinct_stream(df, ["grp"], "val")
+        state = fused_kmv_hll_state(stream, ["grp"], k=16)
+
+        kmv_direct = {
+            r["grp"]: (r["n_min"], r["kmv_estimate"])
+            for r in kmv_distinct(df, ["grp"], "val", k=16).collect()
+        }
+        kmv_fused = {
+            r["grp"]: (r["n_min"], r["kmv_estimate"])
+            for r in kmv_from_fused_state(state, ["grp"], k=16).collect()
+        }
+        assert "hot" in kmv_direct and None in kmv_direct
+        assert kmv_direct == kmv_fused
+
+        hll_direct = portable_hll_estimate(
+            portable_hll_registers(df, ["grp"], "val"), ["grp"]
+        )
+        hll_fused = portable_hll_estimate(
+            state.select("grp", "reg", "rho"), ["grp"]
+        )
+        assert hll_direct.exceptAll(hll_fused).count() == 0
+        assert hll_fused.exceptAll(hll_direct).count() == 0
+
     def test_prefilter_preserves_null_group_keys(self, spark):
         """NULL-keyed groups survive the salted path: the threshold
         rejoin is null-safe, so salt_groups > 0 matches salt_groups=0
@@ -472,6 +515,34 @@ class TestWhaleCensusDeltaEvents:
         for d in all_dates:
             out[d] = tuple(counts.get((d, b), 0) for b in (0, 1, 2))
         return out
+
+    def test_footer_bounds_match_scan(self, spark, tmp_path):
+        """The calendar-bounds shortcut (parquet footer min/max ts ->
+        dates, round 12) returns exactly the scan's min/max dates on
+        driver testdata, and falls back (None) when the column lacks
+        usable stats — here: a non-timestamp ts."""
+        import datetime as dtm
+
+        from etl_pipelines_spark.queries.timeseries import (
+            _parquet_ts_date_bounds,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = _parquet_ts_date_bounds(sf, "events")
+        ev = spark.read.parquet(sf + "/events.parquet")
+        ts = ev["ts"]
+        if dict(ev.dtypes)["ts"] == "bigint":
+            ts = F.timestamp_micros(F.expr("ts div 1000"))
+        want = ev.agg(
+            F.min(F.to_date(ts)), F.max(F.to_date(ts))
+        ).collect()[0]
+        assert got == (want[0], want[1])
+        assert isinstance(got[0], dtm.date)
+
+        spark.createDataFrame([("x",)], "ts string").write.parquet(
+            str(tmp_path / "weird.parquet")
+        )
+        assert _parquet_ts_date_bounds(str(tmp_path), "weird") is None
 
     def test_matches_dense_reference(self, spark, tmp_path):
         import datetime as dtm

@@ -31,7 +31,9 @@ spark.sparkContext.setLogLevel("ERROR")
 from pyspark.sql import functions as F  # noqa: E402
 
 from etl_pipelines_spark.operators.sketches import (  # noqa: E402
+    fused_kmv_hll_state,
     kmv_distinct,
+    kmv_from_fused_state,
     md5_distinct_stream,
     portable_hll_estimate,
     portable_hll_registers,
@@ -51,7 +53,9 @@ def x_frame():
 
 
 def suite(x_mode, dh_mode, kmv_salt=32, qsk_salt=16, qsk_mode="cascade"):
-    """Full 5-member suite; x_mode/dh_mode in {lazy, persist, eager}."""
+    """Full 5-member suite; x_mode/dh_mode in {lazy, persist, eager}.
+    dh_mode in {persist, eager} caches the round-11 md5 stream;
+    "fused"/"fused_eager" cache the round-12 fused kmv+hll state."""
 
     def build():
         x = x_frame()
@@ -59,22 +63,36 @@ def suite(x_mode, dh_mode, kmv_salt=32, qsk_salt=16, qsk_mode="cascade"):
             x = x.persist()
             if x_mode == "eager":
                 x.count()
-        dh = md5_distinct_stream(x, ["coin_id"], "wallet_address")
-        if dh_mode != "lazy":
-            dh = dh.persist()
-            if dh_mode == "eager":
-                dh.count()
-        parts = [
-            kmv_distinct(
+        if dh_mode.startswith("fused"):
+            state = fused_kmv_hll_state(
+                md5_distinct_stream(x, ["coin_id"], "wallet_address"),
+                ["coin_id"], k=_KMV_K,
+            ).persist()
+            if dh_mode == "fused_eager":
+                state.count()
+            kmv_part = kmv_from_fused_state(state, ["coin_id"], k=_KMV_K)
+            hll_part = portable_hll_estimate(
+                state.select("coin_id", "reg", "rho"), ["coin_id"]
+            )
+        else:
+            dh = md5_distinct_stream(x, ["coin_id"], "wallet_address")
+            if dh_mode != "lazy":
+                dh = dh.persist()
+                if dh_mode == "eager":
+                    dh.count()
+            kmv_part = kmv_distinct(
                 x, ["coin_id"], "wallet_address", k=_KMV_K,
                 salt_groups=kmv_salt, md5_stream=dh,
-            ).select(F.lit("kmv").alias("part"), "coin_id"),
-            portable_hll_estimate(
+            )
+            hll_part = portable_hll_estimate(
                 portable_hll_registers(
                     x, ["coin_id"], "wallet_address", md5_stream=dh
                 ),
                 ["coin_id"],
-            ).select(F.lit("hll").alias("part"), "coin_id"),
+            )
+        parts = [
+            kmv_part.select(F.lit("kmv").alias("part"), "coin_id"),
+            hll_part.select(F.lit("hll").alias("part"), "coin_id"),
             quantile_sketch_estimate(
                 quantile_sketch_build(
                     x, ["coin_id"], "net_transfers",
@@ -99,11 +117,9 @@ def suite(x_mode, dh_mode, kmv_salt=32, qsk_salt=16, qsk_mode="cascade"):
 
 
 VARIANTS = [
-    ("V0 r10: x persist, dh persist (lazy both)", suite("persist", "persist")),
-    ("V1 all-eager: x eager, dh eager", suite("eager", "eager")),
-    ("V2 x eager, dh lazy-persist", suite("eager", "persist")),
-    ("V3 x eager, dh eager, qsk prefilter64",
-     suite("eager", "eager", qsk_salt=64, qsk_mode="prefilter")),
+    ("V0 r11: x eager, dh lazy-persist", suite("eager", "persist")),
+    ("V1 r12: x eager, fused state lazy-persist", suite("eager", "fused")),
+    ("V2 r12: x eager, fused state eager", suite("eager", "fused_eager")),
 ]
 
 best = {label: float("inf") for label, _ in VARIANTS}
