@@ -322,10 +322,18 @@ def extract_image_features(
     decoded dimensions and the mean pixel value. Same plan shape as
     extract_media_features — input pruned to (id, payload, format)
     before the Python boundary, output schema declared up front."""
-    schema = (
-        f"{id_col} long, width int, height int, channels int, mean_pixel double"
+    run = _image_features_run(id_col, payload_col, format_col)
+    return _spread(df.select(id_col, payload_col, format_col)).mapInPandas(
+        run, schema=_IMAGE_FEATURE_SCHEMA.format(id=id_col)
     )
 
+
+_IMAGE_FEATURE_SCHEMA = (
+    "{id} long, width int, height int, channels int, mean_pixel double"
+)
+
+
+def _image_features_run(id_col: str, payload_col: str, format_col: str):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             decoded = [
@@ -347,9 +355,7 @@ def extract_image_features(
                 }
             )
 
-    return _spread(df.select(id_col, payload_col, format_col)).mapInPandas(
-        run, schema=schema
-    )
+    return run
 
 
 def encode_png(
@@ -439,6 +445,18 @@ def synthetic_media_payloads(
     """
     if kind not in ("image", "audio", "video"):
         raise ValueError(f"unknown synthetic media kind {kind!r}")
+    run = _synthetic_media_run(kind, id_col, size_col)
+    return _spread(df.select(id_col, size_col)).mapInPandas(
+        run, schema=f"{id_col} long, payload binary, media_format string"
+    )
+
+
+def _synthetic_media_run(kind: str, id_col: str, size_col: str):
+    """The synthesis batch generator behind `synthetic_media_payloads`,
+    exposed so `synthetic_media_features` can CHAIN it into the decode
+    generator inside one Python task (guide §4.1: every mapInPandas
+    stage pays a full JVM->Python->JVM round trip of the payload
+    bytes; encode->decode composed in one pass crosses them never)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -475,9 +493,7 @@ def synthetic_media_payloads(
                 rows.append({id_col: doc_id, "payload": payload, "media_format": fmt})
             yield pd.DataFrame(rows, columns=[id_col, "payload", "media_format"])
 
-    return _spread(df.select(id_col, size_col)).mapInPandas(
-        run, schema=f"{id_col} long, payload binary, media_format string"
-    )
+    return run
 
 
 def extract_audio_features(
@@ -490,11 +506,19 @@ def extract_audio_features(
     RMS amplitude and the zero-crossing count of the first channel.
     Same plan contract as the image path: input pruned to (id, payload,
     format) before the Python boundary, output schema declared."""
-    schema = (
-        f"{id_col} long, sample_rate int, n_channels int, n_samples long, "
-        "duration_s double, rms double, zero_crossings long"
+    run = _audio_features_run(id_col, payload_col, format_col)
+    return _spread(df.select(id_col, payload_col, format_col)).mapInPandas(
+        run, schema=_AUDIO_FEATURE_SCHEMA.format(id=id_col)
     )
 
+
+_AUDIO_FEATURE_SCHEMA = (
+    "{id} long, sample_rate int, n_channels int, n_samples long, "
+    "duration_s double, rms double, zero_crossings long"
+)
+
+
+def _audio_features_run(id_col: str, payload_col: str, format_col: str):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
@@ -521,7 +545,7 @@ def extract_audio_features(
                 )
             yield pd.DataFrame(out)
 
-    return _spread(df.select(id_col, payload_col, format_col)).mapInPandas(run, schema=schema)
+    return run
 
 
 def extract_video_features(
@@ -534,11 +558,21 @@ def extract_video_features(
     applied INSIDE the decoder loop so only the selected frames' luma
     planes are touched. Emits one row per (doc, sampled frame) with the
     frame's mean luma — the decode side of the sample_frames plan."""
-    schema = (
-        f"{id_col} long, width int, height int, n_frames int, "
-        "frame_idx long, luma_mean double"
+    run = _video_features_run(id_col, payload_col, format_col, n_samples)
+    return _spread(df.select(id_col, payload_col, format_col)).mapInPandas(
+        run, schema=_VIDEO_FEATURE_SCHEMA.format(id=id_col)
     )
 
+
+_VIDEO_FEATURE_SCHEMA = (
+    "{id} long, width int, height int, n_frames int, "
+    "frame_idx long, luma_mean double"
+)
+
+
+def _video_features_run(
+    id_col: str, payload_col: str, format_col: str, n_samples: int
+):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -566,7 +600,39 @@ def extract_video_features(
                 ],
             )
 
-    return _spread(df.select(id_col, payload_col, format_col)).mapInPandas(run, schema=schema)
+    return run
+
+
+def synthetic_media_features(
+    df: DataFrame,
+    kind: str,
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    n_samples: int = 4,
+) -> DataFrame:
+    """The encode -> decode round trip (synthetic_media_payloads then
+    extract_*_features) composed into ONE mapInPandas stage: the synth
+    generator's output batches feed the decode generator directly
+    inside the same Python task, so the binary payloads never cross
+    the Python/JVM boundary at all (round 12, guide §4.1 — each
+    mapInPandas stage pays a full JVM->Python->JVM Arrow round trip;
+    the intermediate payload column was serialized out and straight
+    back in). The round trip itself is unchanged — real PNG/WAV/Y4M
+    bytes are produced and genuinely decoded — and each member's
+    output is bit-identical (same generators, chained)."""
+    synth = _synthetic_media_run(kind, id_col, size_col)
+    if kind == "image":
+        extract = _image_features_run(id_col, "payload", "media_format")
+        schema = _IMAGE_FEATURE_SCHEMA
+    elif kind == "audio":
+        extract = _audio_features_run(id_col, "payload", "media_format")
+        schema = _AUDIO_FEATURE_SCHEMA
+    else:
+        extract = _video_features_run(id_col, "payload", "media_format", n_samples)
+        schema = _VIDEO_FEATURE_SCHEMA
+    return _spread(df.select(id_col, size_col)).mapInPandas(
+        lambda batches: extract(synth(batches)), schema=schema.format(id=id_col)
+    )
 
 
 def resize_images(

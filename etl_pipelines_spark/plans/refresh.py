@@ -120,9 +120,15 @@ def refresh_warehouse(
     # cross-branch landing order is free.
 
     def dims_branch():
-        # §3.1 steps 2-4 composed, sequential within the branch
-        for name, df in _dim_frames(spark, sf_dir):
-            land(name, df)
+        # §3.1 steps 2-4 composed; chains lands beside the
+        # coins -> coin_facts chain (only that referential audit is
+        # order-sensitive — round 12, §2.6)
+        frames = dict(_dim_frames(spark, sf_dir))
+        with ThreadPoolExecutor(max_workers=2) as dim_pool:
+            chains_f = dim_pool.submit(land, "chains", frames["chains"])
+            land("coins", frames["coins"])
+            land("coin_facts", frames["coin_facts"])
+            chains_f.result()
 
     def market_branch():
         # market data: densify + ffill (D1/D2) over daily prices.
@@ -819,10 +825,28 @@ def refresh_warehouse_incremental(
                 .select("coin_id", "first_seen", "n_suppliers")
             )
             li_obs = unaff_obs.unionByName(aff_obs).localCheckpoint(eager=True)
-        for name, df in _dim_frames(spark, sf_dir, li_obs=li_obs):
+        frames = dict(_dim_frames(spark, sf_dir, li_obs=li_obs))
+
+        def build_dim(name: str) -> None:
+            spark.sparkContext.setJobDescription(
+                f"incremental refresh: dims/{name}"
+            )
             path = os.path.join(out_dir, name)
-            write_partitioned(df, path)
+            write_partitioned(frames[name], path)
             audit(name, spark.read.parquet(path))
+
+        # the three dim tables are independent writes; only the
+        # coin_facts -> coins referential audit is order-sensitive, so
+        # chains runs beside the coins -> coin_facts chain (round 12,
+        # §2.6 — the serial write+audit loop was three fixed-floor
+        # pairs back to back on a key-grain increment)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            chains_f = pool.submit(build_dim, "chains")
+            build_dim("coins")
+            build_dim("coin_facts")
+            chains_f.result()
         with report_lock:
             report.stage_sec["dims"] = round(_time.time() - _bt, 2)
 
@@ -890,10 +914,23 @@ def refresh_warehouse_incremental(
         else:  # first run: the delta IS the corpus — write, don't cache
             write_partitioned(delta_df, path)
         back = spark.read.parquet(path)
-        audit(name, back, slice_df=audit_slice(back) if audit_slice else None)
-        rec = validate_incremental_load(
-            delta_df, probe(back), keys, cache=not first_run
-        )
+        # audit and reconcile are independent consumers of the landed
+        # table — overlap their fixed-floor actions (round 12, §2.6:
+        # they were two serial jobs per fact table on the one-day
+        # increment's critical path)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as mc_pool:
+            audit_f = mc_pool.submit(
+                audit,
+                name,
+                back,
+                audit_slice(back) if audit_slice else None,
+            )
+            rec = validate_incremental_load(
+                delta_df, probe(back), keys, cache=not first_run
+            )
+            audit_f.result()
         with report_lock:
             report.reconcile[name] = rec
         return back
@@ -980,19 +1017,28 @@ def refresh_warehouse_incremental(
             # first run: no marks, so the delta IS the corpus
             write_partitioned(dense_delta, cmd_path)
         cmd_back = spark.read.parquet(cmd_path)
-        audit(
-            "coin_market_data",
-            cmd_back,
-            slice_df=touch(cmd_back) if churn_audit else None,
-        )
-        # dense_delta == dense_aff on the first run (no marks yet), so
-        # one expression serves both paths; the probe mirrors the cutoff
-        rec = validate_incremental_load(
-            dense_delta,
-            after_hwm(touch(pruned(cmd_back, md_cut)), cuts),
-            ["coin_id", "date"],
-            cache=not first_run,
-        )
+        # audit, delta reconcile, and horizon reconcile are independent
+        # consumers of the landed table — overlap their fixed-floor
+        # actions (round 12, §2.6, same shape as merge_and_check)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as mb_pool:
+            audit_f = mb_pool.submit(
+                audit,
+                "coin_market_data",
+                cmd_back,
+                touch(cmd_back) if churn_audit else None,
+            )
+            # dense_delta == dense_aff on the first run (no marks yet),
+            # so one expression serves both paths; the probe mirrors
+            # the cutoff
+            rec = validate_incremental_load(
+                dense_delta,
+                after_hwm(touch(pruned(cmd_back, md_cut)), cuts),
+                ["coin_id", "date"],
+                cache=not first_run,
+            )
+            audit_f.result()
         with report_lock:
             report.reconcile["coin_market_data"] = rec
         if ext is not None:

@@ -534,16 +534,21 @@ def _q51_direct_grain(schema, members):
             # fused == direct pinned in test_operators). Round 11
             # persisted the 6M-row md5 stream and paid one full
             # aggregation pass over it per member (kmv level-1 + hll
-            # register max); now ONE pass runs at persist time and the
-            # cached state is sketch-sized (<= 257 rows per coin), so
-            # the kmv/hll branches of the union job read kilobytes.
-            state = _suite_persist(
-                "q51_fused_state",
-                fused_kmv_hll_state(
-                    md5_distinct_stream(x, ["coin_id"], "wallet_address"),
-                    ["coin_id"],
-                    k=_KMV_K,
-                ),
+            # register max). DELIBERATELY NOT persisted: both
+            # consumers reference this same frame, so their plans
+            # share the identical (coin, reg) aggregation exchange and
+            # AQE's ReusedExchange computes the distinct+md5+fused-agg
+            # subtree ONCE — where a lazy persist made the two union
+            # branches RACE (each recomputing the heavy aggregation
+            # before the cache filled) and an eager persist serialized
+            # a second barrier behind the x count. Interleaved 3-round
+            # A/B at sf1 (tools/profile_q51.py): unpersisted 8.55 s <
+            # one-barrier 9.30 < r11 dh-lazy-persist 10.64 < state
+            # lazy-persist 10.94.
+            state = fused_kmv_hll_state(
+                md5_distinct_stream(x, ["coin_id"], "wallet_address"),
+                ["coin_id"],
+                k=_KMV_K,
             )
             return x, state
 

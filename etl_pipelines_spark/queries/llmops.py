@@ -2544,13 +2544,11 @@ def q74(spark: SparkSession, sf: str) -> DataFrame:
     tags=("multimodal",),
 )
 def q82(spark: SparkSession, sf: str) -> DataFrame:
-    from etl_pipelines_spark.llm.multimodal import (
-        extract_image_features,
-        synthetic_media_payloads,
-    )
+    from etl_pipelines_spark.llm.multimodal import synthetic_media_features
 
-    docs = t(spark, sf, "documents")
-    return extract_image_features(synthetic_media_payloads(docs, "image"))
+    # encode + decode chained in ONE Python stage (round 12): the
+    # payload bytes never round-trip through the JVM between them
+    return synthetic_media_features(t(spark, sf, "documents"), "image")
 
 
 # --------------------------------------------------------------------- q83
@@ -2579,13 +2577,10 @@ def q82(spark: SparkSession, sf: str) -> DataFrame:
     tags=("multimodal",),
 )
 def q83(spark: SparkSession, sf: str) -> DataFrame:
-    from etl_pipelines_spark.llm.multimodal import (
-        extract_audio_features,
-        synthetic_media_payloads,
-    )
+    from etl_pipelines_spark.llm.multimodal import synthetic_media_features
 
-    docs = t(spark, sf, "documents")
-    return extract_audio_features(synthetic_media_payloads(docs, "audio"))
+    # encode + decode chained in ONE Python stage (round 12)
+    return synthetic_media_features(t(spark, sf, "documents"), "audio")
 
 
 # --------------------------------------------------------------------- q84
@@ -2610,15 +2605,10 @@ def q83(spark: SparkSession, sf: str) -> DataFrame:
     tags=("multimodal",),
 )
 def q84(spark: SparkSession, sf: str) -> DataFrame:
-    from etl_pipelines_spark.llm.multimodal import (
-        extract_video_features,
-        synthetic_media_payloads,
-    )
+    from etl_pipelines_spark.llm.multimodal import synthetic_media_features
 
-    docs = t(spark, sf, "documents")
-    return extract_video_features(
-        synthetic_media_payloads(docs, "video"), n_samples=2
-    )
+    # encode + decode chained in ONE Python stage (round 12)
+    return synthetic_media_features(t(spark, sf, "documents"), "video", n_samples=2)
 
 
 # --------------------------------------------------------------------- q85

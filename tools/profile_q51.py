@@ -67,8 +67,14 @@ def suite(x_mode, dh_mode, kmv_salt=32, qsk_salt=16, qsk_mode="cascade"):
             state = fused_kmv_hll_state(
                 md5_distinct_stream(x, ["coin_id"], "wallet_address"),
                 ["coin_id"], k=_KMV_K,
-            ).persist()
+            )
+            if dh_mode != "fused_noper":
+                state = state.persist()
             if dh_mode == "fused_eager":
+                state.count()
+            elif dh_mode == "fused_onebarrier":
+                # x persisted LAZY; the single state.count() barrier
+                # fills BOTH caches (state reads x through its persist)
                 state.count()
             kmv_part = kmv_from_fused_state(state, ["coin_id"], k=_KMV_K)
             hll_part = portable_hll_estimate(
@@ -120,6 +126,10 @@ VARIANTS = [
     ("V0 r11: x eager, dh lazy-persist", suite("eager", "persist")),
     ("V1 r12: x eager, fused state lazy-persist", suite("eager", "fused")),
     ("V2 r12: x eager, fused state eager", suite("eager", "fused_eager")),
+    ("V3 r12: x lazy, fused state eager (one barrier)",
+     suite("persist", "fused_onebarrier")),
+    ("V4 r12: x eager, fused state UNPERSISTED (exchange reuse)",
+     suite("eager", "fused_noper")),
 ]
 
 best = {label: float("inf") for label, _ in VARIANTS}
