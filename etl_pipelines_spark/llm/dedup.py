@@ -1332,6 +1332,7 @@ def prefix_filter_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     tokens: DataFrame | None = None,
+    broadcast_df: bool = True,
 ) -> DataFrame:
     """Candidate (doc_a, doc_b) pairs via prefix filtering — the
     EXACT-recall set-similarity join (PPJoin family), complementing
@@ -1349,11 +1350,19 @@ def prefix_filter_pairs(
     (prefix length n - ceil(t*n) + 1 computed as n - ((n*num + den - 1)
     div den) + 1 with t = num/den), so both engines agree exactly.
 
-    Scale: df table is vocabulary-sized (broadcasts); the prefix
-    stream is a fraction of the token stream; the self-join shuffles
-    on token with salting unnecessary precisely because prefixes
-    exclude hot tokens. Verify candidates with token_jaccard (exact),
-    as q74 does.
+    Scale: the prefix stream is a fraction of the token stream; the
+    self-join shuffles on token with salting unnecessary precisely
+    because prefixes exclude hot tokens. The document-frequency table
+    is vocabulary-sized at WORD grain but O(corpus) at SHINGLE grain
+    (every 3-gram is near-unique), so `broadcast_df` is a caller
+    decision: True (default) hint-broadcasts it — right whenever the
+    distinct-token count is driver-memory-sized (all word-grain
+    callers; shingle grain up to ~100k docs, measured fine at 50k docs
+    / ~2.8M shingles on a 12g driver) — while False leaves the join
+    strategy to the planner (sort-merge at scale; the round-12 sf10
+    gate found the hinted 25M-shingle broadcast overflowing the
+    driver, the exact failure mode guide §3.1 warns about). Verify
+    candidates with token_jaccard (exact), as q74 does.
     """
     from fractions import Fraction
 
@@ -1371,7 +1380,7 @@ def prefix_filter_pairs(
     dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
     w = Window.partitionBy(id_col).orderBy("_df", "token")
     ranked = (
-        toks.join(F.broadcast(dfreq), "token")
+        toks.join(F.broadcast(dfreq) if broadcast_df else dfreq, "token")
         .withColumn("_rn", F.row_number().over(w))
         .withColumn(
             "_n", F.count(F.lit(1)).over(Window.partitionBy(id_col))

@@ -192,7 +192,10 @@ def _pair_suite_shared_scan(schema, members):
             prefix_filter_pairs,
             simhash_near_dups,
         )
-        from etl_pipelines_spark.queries.llmops import _decontamination
+        from etl_pipelines_spark.queries.llmops import (
+            _decontamination,
+            _parquet_rows,
+        )
         from etl_pipelines_spark.sources.registry import load_table
 
         docs = load_table(spark, sf_dir, "documents")
@@ -227,7 +230,15 @@ def _pair_suite_shared_scan(schema, members):
                 ),
                 "prefix": (
                     array_jaccard_verify(
-                        prefix_filter_pairs(docs, 0.5, tokens=toks),
+                        # shingle-grain dfreq broadcast only while the
+                        # corpus keeps it driver-sized (see q74; the
+                        # sf10 gate found the 25M-shingle broadcast
+                        # overflowing a 12g driver)
+                        prefix_filter_pairs(
+                            docs, 0.5, tokens=toks,
+                            broadcast_df=_parquet_rows(sf_dir, "documents")
+                            <= 100_000,
+                        ),
                         arrays=arrs,
                     )
                     .filter(F.col("jaccard") >= 0.5)

@@ -2512,7 +2512,14 @@ def q74(spark: SparkSession, sf: str) -> DataFrame:
     # (the exploded token stream re-derives as a cheap Generate).
     arrs, sh = persisted_shingle_arrays(docs)
     toks = sh.withColumnRenamed("shingle", "token")
-    cands = prefix_filter_pairs(docs, 0.5, tokens=toks)
+    # shingle-grain dfreq broadcasts only while the corpus keeps it
+    # driver-memory-sized (round 12: the sf10 gate measured the 500k-doc
+    # corpus' ~25M-shingle broadcast overflowing a 12g driver; 50k docs
+    # measured fine — threshold 2x the good point, 5x under the bad)
+    cands = prefix_filter_pairs(
+        docs, 0.5, tokens=toks,
+        broadcast_df=_parquet_rows(sf, "documents") <= 100_000,
+    )
     return (
         array_jaccard_verify(cands, arrays=arrs)
         .filter(F.col("jaccard") >= 0.5)

@@ -601,6 +601,24 @@ class TestPrefixFilterRecall:
         assert lsh <= exact
         assert exact  # non-vacuous: the corpus does contain near-dups
 
+    def test_broadcast_off_is_value_identical(self, spark):
+        """`broadcast_df=False` (the >100k-doc scale mode, where the
+        shingle-grain dfreq outgrows the driver — round 12) changes
+        only the join strategy, never the candidate set."""
+        from etl_pipelines_spark.llm.dedup import prefix_filter_pairs
+        from etl_pipelines_spark.sources.registry import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        on = {
+            (r["doc_a"], r["doc_b"])
+            for r in prefix_filter_pairs(docs, 0.5).collect()
+        }
+        off = {
+            (r["doc_a"], r["doc_b"])
+            for r in prefix_filter_pairs(docs, 0.5, broadcast_df=False).collect()
+        }
+        assert on and on == off
+
 
 class TestClusterLabelsDispatch:
     def _edges(self, spark, pairs):
