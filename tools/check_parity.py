@@ -287,23 +287,38 @@ def main() -> int:
             )
         else:
             print(f"ok    {name}: {len(sdf)} rows match ({time.time()-t0:.1f}s)")
+        if emit_path and sample_over is not None:
+            # scale passes run hours: checkpoint after every entry so
+            # an interruption keeps the completed evidence
+            _emit(emit_path, SF_DIR, failures, selected, registry, excluded, records)
     print(f"\n{len(selected) - len(failures)}/{len(selected)} queries match")
     if emit_path:
-        import json
-
-        payload = {
-            "corpus": os.path.basename(SF_DIR.rstrip("/")),
-            "sf_dir": SF_DIR,
-            "n_match": len(selected) - len(failures),
-            "n_total": len(selected),
-            "n_catalog_entries": len(registry),
-            **({"excluded": excluded} if excluded else {}),
-            "entries": records,
-        }
-        with open(emit_path, "w") as f:
-            json.dump(payload, f, indent=1)
-        print(f"wrote {emit_path}")
+        _emit(emit_path, SF_DIR, failures, selected, registry, excluded, records)
     return 1 if failures else 0
+
+
+def _emit(emit_path, sf_dir, failures, selected, registry, excluded, records):
+    """Atomic JSON write; called after EVERY entry on scale corpora so
+    an interrupted multi-hour pass still leaves the completed entries'
+    evidence on disk (n_total always reports the full selection, so a
+    partial artifact self-describes via len(entries) < n_total)."""
+    import json
+
+    payload = {
+        "corpus": os.path.basename(sf_dir.rstrip("/")),
+        "sf_dir": sf_dir,
+        "n_match": len(records)
+        - len([n for n in records if records[n].get("err")]),
+        "n_total": len(selected),
+        "n_catalog_entries": len(registry),
+        **({"excluded": excluded} if excluded else {}),
+        "entries": records,
+    }
+    tmp = emit_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1)
+    os.replace(tmp, emit_path)
+    print(f"wrote {emit_path}")
 
 
 if __name__ == "__main__":
